@@ -1,0 +1,57 @@
+"""Reusable column expressions (all JVM-side, codegen-friendly).
+
+Vector math over ``array<float>`` embedding columns is expressed
+with ``zip_with``/``aggregate`` higher-order functions — no Python
+UDFs in the hot path, so whole-stage codegen applies and a 100 TB
+scan never crosses the JVM↔Python boundary for scoring.
+
+Accumulation is left-to-right over the array on both Spark and the
+DuckDB oracle, and everything is computed in DOUBLE, so results
+agree to ~1e-15 (we round scores to 6dp at query boundaries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two numeric arrays, in double precision."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column | str) -> Column:
+    """Euclidean norm of a numeric array."""
+    return F.sqrt(dot(a, a))
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity (the reference's score is 1 − cosine
+    *distance*, i.e. exactly this — reference:
+    chroma_retrieval_util.py:128-129)."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def char_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Distinct character n-grams of a string column (for Jaccard
+    similarity / shingling). Pure expression: sequence → transform
+    → substring → array_distinct."""
+    c = F.col(col) if isinstance(col, str) else col
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(n))))
+
+
+def word_tokens(col: Column | str) -> Column:
+    """Whitespace tokenization with empty-token removal."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != "")
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))

@@ -1,0 +1,267 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north star): exact
+dedup, MinHash+LSH near-dedup, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup — all over the ``documents`` /
+``embeddings`` tables.
+
+Design for 100 TB:
+- exact dedup is a hash-aggregate on the dedup key — one shuffle,
+  map-side partial aggregation, no data skew beyond the dup clusters
+  themselves;
+- pairwise-exact methods (n-gram Jaccard, cosine all-pairs) are
+  O(n²) and exist as *correctness baselines* — the scale path is
+  MinHash-LSH (d03), where cost is O(n·bands) + bucket-local joins,
+  and buckets are the shuffle key so candidate generation never
+  materializes the n² pair space;
+- every hash is ``xxhash64`` (JVM-side, deterministic), never a
+  Python UDF.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_pipeline_spark.functions import char_ngrams, jaccard, cosine_similarity
+from parquet_pipeline_spark.registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+def dedup_exact(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Idiomatic exact dedup (keeps an arbitrary row per key)."""
+    return df.dropDuplicates(cols)
+
+
+def dedup_exact_keep_min(df: DataFrame, key: str, id_col: str) -> DataFrame:
+    """Deterministic exact dedup: keep the lowest id per key and
+    count the copies (used by the driver query so results are
+    order-stable)."""
+    return df.groupBy(key).agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@register(
+    "d01_exact_dedup",
+    oracle="""
+    SELECT doc_id, n_copies FROM (
+      SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+      FROM (SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id, text FROM documents)
+      GROUP BY text
+    )
+    """,
+)
+def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a self-union (guaranteed duplicates): every
+    text appears twice; dedup keeps the min doc_id with n_copies=2."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    doubled = docs.unionByName(docs)
+    return dedup_exact_keep_min(doubled, key="text", id_col="doc_id").select(
+        "doc_id", "n_copies"
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (exact pairwise baseline)
+# ---------------------------------------------------------------------------
+@register(
+    "d02_ngram_jaccard_pairs",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct([text[i:i+2] FOR i IN range(1, greatest(length(text)-1, 2))]) AS gs
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.gs, b.gs))::DOUBLE
+                 / len(list_distinct(list_concat(a.gs, b.gs))), 6) AS jac
+    FROM g a, g b
+    WHERE a.doc_id < b.doc_id
+      AND len(list_intersect(a.gs, b.gs))::DOUBLE
+          / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.62
+    """,
+)
+def d02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs character-3-gram Jaccard ≥ 0.62 on a bounded id
+    range — the exact baseline that d03's MinHash-LSH approximates."""
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", char_ngrams("text", 3).alias("gs"))
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("gs").alias("gs_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("gs").alias("gs_b"))
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    jac = jaccard(F.col("gs_a"), F.col("gs_b"))
+    return (
+        pairs.withColumn("jac", jac)
+        .filter(F.col("jac") >= 0.62)
+        .select("doc_a", "doc_b", F.round("jac", 6).alias("jac"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the scale path)
+# ---------------------------------------------------------------------------
+def minhash_signature(grams: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature as an array<long>: element i is
+    min(xxhash64(gram, seed=i)) over the document's shingle set.
+    Pure expression — per-row, no shuffle, codegen'd."""
+    return F.array(
+        *[
+            F.array_min(F.transform(grams, lambda g: F.xxhash64(g, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    ngram: int = 3,
+) -> DataFrame:
+    """Banded-LSH candidate pairs: shingle → minhash → split the
+    signature into ``bands`` bands → hash each band → self-join on
+    (band_id, band_hash). Only same-bucket docs ever meet, so the
+    shuffle key is the bucket and the n² pair space is never built.
+    Returns distinct candidate (id_a < id_b) pairs."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(char_ngrams(text_col, ngram), num_hashes)
+    banded = df.select(F.col(id_col), sig.alias("sig")).select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), "band_id", "band_hash"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), "band_id", "band_hash"
+    )
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.62,
+    num_hashes: int = 32,
+    bands: int = 8,
+    ngram: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dedup: candidates from banded LSH, then an
+    exact Jaccard verify on just the candidate pairs."""
+    cands = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands, ngram)
+    grams = df.select(
+        F.col(id_col), char_ngrams(text_col, ngram).alias("gs")
+    )
+    ga = grams.select(F.col(id_col).alias("id_a"), F.col("gs").alias("gs_a"))
+    gb = grams.select(F.col(id_col).alias("id_b"), F.col("gs").alias("gs_b"))
+    verified = (
+        cands.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("jac", jaccard(F.col("gs_a"), F.col("gs_b")))
+        .filter(F.col("jac") >= threshold)
+    )
+    return verified.select("id_a", "id_b", F.round("jac", 6).alias("jac"))
+
+
+@register("d03_minhash_lsh_neardup")  # rows-only: xxhash64-based, not SQL-portable
+def d03_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select("doc_id", "text")
+    return minhash_near_dups(docs, threshold=0.62)
+
+
+# ---------------------------------------------------------------------------
+# SimHash (near-dup fingerprint; hamming-close docs are candidates)
+# ---------------------------------------------------------------------------
+def simhash(tokens: Column, bits: int = 32) -> Column:
+    """SimHash over a token array: bit j of the fingerprint is 1 iff
+    the majority of token hashes have bit j set. Expression-only."""
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    n = F.size(tokens)
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        ones = F.size(
+            F.filter(hashes, lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1)
+        )
+        bit = F.when(ones * 2 >= n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        out = out + bit * F.lit(2**j).cast("long")
+    return out
+
+
+@register("d04_simhash")  # rows-only: xxhash64-based, not SQL-portable
+def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_pipeline_spark.functions import word_tokens
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id", simhash(word_tokens("text"), bits=32).alias("simhash32")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+@register(
+    "d05_embedding_neardup",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id AND a.vec_id < 100 AND b.vec_id < 100
+    ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+             a.vec_id, b.vec_id
+    LIMIT 20
+    """,
+)
+def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar embedding pairs (bounded id range) — the
+    exact form of embedding near-dedup; at scale candidates come from
+    a01's LSH buckets instead of the all-pairs join."""
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 100)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", cosine_similarity(F.col("emb_a"), F.col("emb_b")))
+        .orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")
+        .limit(20)
+        .select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )

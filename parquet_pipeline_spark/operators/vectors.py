@@ -1,0 +1,262 @@
+"""Vector / similarity operators (SURVEY.md §2 A30-A35 + ANN).
+
+The reference stores one ChromaDB collection per logical table and
+retrieves with cosine top-k, where score = 1 − cosine distance
+(reference: chroma_retrieval_util.py:112-138), pre-filters
+collections by a cheap max-score probe with threshold 0.5 / top-10
+(reference: chroma_retrieval_util.py:145-242), and merges
+per-collection hits into a global top-k (reference:
+chroma_retrieval_util.py:284-297).
+
+Spark-first re-expression: the "vector store" is just a Parquet
+table ``embeddings(vec_id, embedding array<float>, label)`` —
+"collection" ≡ the ``label`` column. Scoring is a JVM-side
+expression (functions.cosine_similarity), so:
+
+- top-k          = score column → ``orderBy desc → limit k``
+                   (plans as TakeOrderedAndProject — no global sort
+                   materialization, correct at 100 TB);
+- collection
+  relevance      = one pass ``groupBy(label).max(score)`` instead of
+                   the reference's per-collection probe loop (that
+                   two-phase trick only exists because Chroma scans
+                   per collection — a distributed engine does it in
+                   a single shuffle);
+- global merge   = the same single pass; no per-collection loop at all.
+
+Scale path: brute-force cosine is a full scan (fine: it's one
+parquet scan, embarrassingly parallel, no shuffle until the final
+top-k which is O(k) per partition). For sub-scan latency at 100 TB,
+``ann_lsh_neighbors`` gives random-hyperplane LSH bucketing so
+candidate generation touches only matching buckets; recall is
+checked against brute force in tests/test_vectors.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from parquet_pipeline_spark.functions import cosine_similarity, dot, l2_norm
+from parquet_pipeline_spark.registry import register
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0):
+    """Fetch one embedding to the driver as the query vector.
+
+    Mirrors the reference's query-embedding step (reference:
+    chroma_retrieval_util.py:99-109 — embed once on the driver, then
+    score everywhere). One-row collect; the vector is then inlined
+    as a literal into the plan (implicit broadcast).
+    """
+    row = _emb(spark, sf_dir).filter(F.col("vec_id") == vec_id).select("embedding").first()
+    return [float(x) for x in row["embedding"]]
+
+
+def scored(df: DataFrame, query_vec: list[float], out: str = "score") -> DataFrame:
+    """Attach a cosine-similarity score column against a fixed query
+    vector (reference's score = 1 − cosine distance,
+    chroma_retrieval_util.py:128-129)."""
+    q = F.array(*[F.lit(v) for v in query_vec])
+    return df.withColumn(out, cosine_similarity(F.col("embedding"), q))
+
+
+def topk(df: DataFrame, query_vec: list[float], k: int = 10) -> DataFrame:
+    """Exact cosine top-k (reference A31). Deterministic tiebreak on
+    vec_id so results are stable under reordering."""
+    return (
+        scored(df, query_vec)
+        .orderBy(F.col("score").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# v01 — exact cosine top-k retrieval (A31/A33)
+# ---------------------------------------------------------------------------
+@register(
+    "v01_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def v01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _query_vector(spark, sf_dir, vec_id=0)
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
+    return topk(emb, qv, k=10).select(
+        "vec_id", "label", F.round("score", 6).alias("score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# v02 — collection relevance scoring (A32): max score per "collection"
+# (label), threshold + top-N, one shuffle instead of a probe loop
+# ---------------------------------------------------------------------------
+@register(
+    "v02_collection_scores",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT label,
+           ROUND(MAX(list_cosine_similarity(e.embedding::DOUBLE[], q.qv)), 6) AS best_score,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    GROUP BY label
+    HAVING MAX(list_cosine_similarity(e.embedding::DOUBLE[], q.qv)) >= 0.2
+    ORDER BY best_score DESC, label
+    LIMIT 10
+    """,
+)
+def v02_collection_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _query_vector(spark, sf_dir, vec_id=0)
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
+    return (
+        scored(emb, qv)
+        .groupBy("label")
+        .agg(
+            F.max("score").alias("_best"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        # reference keeps collections with score ≥ 0.5 and takes the
+        # top 10 (chroma_retrieval_util.py:148-150); the synthetic
+        # vectors are near-orthogonal so we use 0.2 to stay non-trivial
+        .filter(F.col("_best") >= 0.2)
+        .orderBy(F.col("_best").desc(), F.col("label"))
+        .limit(10)
+        .select("label", F.round("_best", 6).alias("best_score"), "n_vectors")
+    )
+
+
+# ---------------------------------------------------------------------------
+# v03 — k-NN join: top-3 neighbors for each of a set of query vectors
+# (the multi-query generalization of A31; window over scored pairs)
+# ---------------------------------------------------------------------------
+@register(
+    "v03_knn_join",
+    oracle="""
+    SELECT q_id, vec_id, score, rn FROM (
+      SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS score,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                        e.vec_id) AS INT) AS rn
+      FROM embeddings q JOIN embeddings e ON e.vec_id >= 5
+      WHERE q.vec_id < 5
+    ) WHERE rn <= 3
+    """,
+)
+def v03_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    # broadcast the query side: k-NN join = corpus scan × tiny query set
+    pairs = corpus.crossJoin(F.broadcast(queries)).withColumn(
+        "score", cosine_similarity(F.col("embedding"), F.col("q_emb"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "vec_id", F.round("score", 6).alias("score"), "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# v04 — vector norm statistics per collection (sanity surface for the
+# embeddings table; exercises aggregate-over-array expressions)
+# ---------------------------------------------------------------------------
+@register(
+    "v04_norm_stats",
+    oracle="""
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(AVG(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm,
+           ROUND(MIN(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS min_norm,
+           ROUND(MAX(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS max_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def v04_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).withColumn("nrm", l2_norm(F.col("embedding")))
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN: random-hyperplane LSH bucketing (scale path for A31 at 100 TB).
+# Hyperplane signs are derived from xxhash64(vec_id-free!) — i.e. the
+# hyperplanes are pseudo-random in the *dimension index* and a fixed
+# seed, so the signature is a pure column expression, deterministic,
+# and identical across executors with no fit/broadcast step.
+# ---------------------------------------------------------------------------
+def lsh_signature(emb_col, dim: int, n_planes: int = 16, seed: int = 42):
+    """n_planes-bit signature: bit j = sign(Σ_i h(i,j)·x_i) where
+    h(i,j) ∈ {-1,+1} comes from xxhash64(i, j, seed). Expression-only."""
+    bits = []
+    for j in range(n_planes):
+        # deterministic ±1 per (dimension, plane) — computed from a
+        # hash of literals, folded by Catalyst at plan time
+        proj = F.aggregate(
+            F.zip_with(
+                emb_col,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, i: x.cast("double")
+                * F.when(F.xxhash64(i, F.lit(j), F.lit(seed)) % 2 == 0, 1.0).otherwise(-1.0),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**j))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+@register("a01_ann_lsh_topk")  # rows-only check: hash-derived buckets
+def a01_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: restrict scoring to vectors whose LSH
+    signature is within hamming-distance-by-band of the query's.
+    Here: same 16-bit signature bucket OR same upper-8-bit band —
+    candidate set ≪ corpus at scale; exactness traded for a bucket
+    scan. Recall vs. v01 is asserted in tests/test_vectors.py."""
+    emb = _emb(spark, sf_dir)
+    dim = 64
+    sig = lsh_signature(F.col("embedding"), dim)
+    tagged = emb.withColumn("sig", sig).withColumn(
+        "band_hi", (F.col("sig") / 256).cast("int")
+    )
+    q = tagged.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"),
+        F.col("sig").alias("q_sig"),
+        F.col("band_hi").alias("q_band"),
+    )
+    cands = tagged.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q)).filter(
+        (F.col("sig") == F.col("q_sig")) | (F.col("band_hi") == F.col("q_band"))
+    )
+    return (
+        cands.withColumn("score", cosine_similarity(F.col("embedding"), F.col("q_emb")))
+        .orderBy(F.col("score").desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", F.round("score", 6).alias("score"))
+    )
