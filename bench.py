@@ -1,0 +1,86 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q01_...": sec, ...}, "sf": 0.1}
+
+Each query is timed to full materialization (count of the result),
+after a session warm-up so JVM startup isn't attributed to the first
+query. Set BENCH_QUERIES=name1,name2 to run a subset.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# breadth over the operator families: scan/agg, filter pushdown,
+# top-k, fact-fact + broadcast joins, window, time bucket, JSON,
+# vector top-k + collection scoring, dedup (exact, minhash-LSH),
+# text analysis, chunking
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q06_topk_orders",
+    "q08_join_multiway",
+    "q09_join_broadcast_dim",
+    "q19_window_rank",
+    "q24_events_json",
+    "q25_events_hourly",
+    "v01_cosine_topk",
+    "v02_collection_scores",
+    "d01_exact_dedup",
+    "d03_minhash_lsh_neardup",
+    "t04_quality_score",
+    "t05_token_count",
+    "t02_chunk_assignment",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from parquet_pipeline_spark import registry
+    from parquet_pipeline_spark.session import get_spark, warm_up
+
+    registry.load_all()
+    spark = get_spark("bench")
+    warm_up(spark)
+
+    names = (
+        os.environ["BENCH_QUERIES"].split(",")
+        if os.environ.get("BENCH_QUERIES")
+        else HEADLINE
+    )
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = registry.QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.count()  # materialize fully (not collect: keep result distributed)
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

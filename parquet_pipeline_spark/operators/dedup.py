@@ -37,6 +37,19 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across the cluster before expression-
+    heavy per-row work (minhash/shingling runs interpreted, not
+    codegen'd — a single small parquet file would otherwise pin the
+    whole corpus to one task). No-op when the input already has
+    enough partitions, so a 100 TB scan is never gratuitously
+    reshuffled."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -121,13 +134,16 @@ def d02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def minhash_signature(grams: Column, num_hashes: int = 32) -> Column:
     """MinHash signature as an array<long>: element i is
-    min(xxhash64(gram, seed=i)) over the document's shingle set.
-    Pure expression — per-row, no shuffle, codegen'd."""
-    return F.array(
-        *[
-            F.array_min(F.transform(grams, lambda g: F.xxhash64(g, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+    min(xxhash64(gram, i)) over the document's shingle set.
+    Pure expression — per-row, no shuffle, codegen'd.
+
+    Built as one nested ``transform(sequence(...))`` so the (large)
+    grams expression appears exactly once in the plan — an
+    ``F.array(*[...])`` of per-seed mins would inline the shingle
+    computation num_hashes times and blow up codegen."""
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.transform(
+        seeds, lambda i: F.array_min(F.transform(grams, lambda g: F.xxhash64(g, i)))
     )
 
 
@@ -145,33 +161,47 @@ def lsh_candidate_pairs(
     shuffle key is the bucket and the n² pair space is never built.
     Returns distinct candidate (id_a < id_b) pairs."""
     rows_per_band = num_hashes // bands
+    df = _ensure_parallelism(df)
     sig = minhash_signature(char_ngrams(text_col, ngram), num_hashes)
-    banded = df.select(F.col(id_col), sig.alias("sig")).select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_id", "band.band_hash")
-    a = banded.select(
-        F.col(id_col).alias("id_a"), "band_id", "band_hash"
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.xxhash64(
+                F.slice(F.col("sig"), b * rows_per_band + 1, F.lit(rows_per_band))
+            ).alias("band_hash"),
+        ),
     )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), "band_id", "band_hash"
+    banded = (
+        df.select(F.col(id_col), sig.alias("sig"))
+        .select(id_col, F.explode(band_structs).alias("band"))
+        .select(id_col, "band.band_id", "band.band_hash")
+    )
+    # bucket-then-enumerate instead of a self-join: one shuffle on the
+    # bucket key, signatures computed once, and the n² pair space is
+    # only ever enumerated *inside* a bucket. (A self-join would
+    # recompute the whole minhash pipeline for both sides.) At scale,
+    # pathologically hot buckets (boilerplate dups) should be capped/
+    # sampled — collect_set keeps a bucket in one task's memory.
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.collect_set(id_col).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs_in_bucket = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda a: F.transform(
+                    F.col("ids"), lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))
+                ),
+            )
+        ),
+        lambda p: p["id_a"] < p["id_b"],
     )
     return (
-        a.join(b, ["band_id", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pairs_in_bucket).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -187,6 +217,7 @@ def minhash_near_dups(
 ) -> DataFrame:
     """MinHash-LSH near-dedup: candidates from banded LSH, then an
     exact Jaccard verify on just the candidate pairs."""
+    df = _ensure_parallelism(df)
     cands = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands, ngram)
     grams = df.select(
         F.col(id_col), char_ngrams(text_col, ngram).alias("gs")
@@ -211,29 +242,34 @@ def d03_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # SimHash (near-dup fingerprint; hamming-close docs are candidates)
 # ---------------------------------------------------------------------------
-def simhash(tokens: Column, bits: int = 32) -> Column:
-    """SimHash over a token array: bit j of the fingerprint is 1 iff
-    the majority of token hashes have bit j set. Expression-only."""
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    n = F.size(tokens)
-    out = F.lit(0).cast("long")
-    for j in range(bits):
-        ones = F.size(
-            F.filter(hashes, lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1)
-        )
-        bit = F.when(ones * 2 >= n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        out = out + bit * F.lit(2**j).cast("long")
-    return out
+def simhash(text_col: str, bits: int = 32) -> Column:
+    """SimHash over whitespace tokens of ``text_col``: bit j of the
+    fingerprint is 1 iff the majority of token hashes have bit j set.
+
+    Written as a SQL expression because bit j is a lambda variable —
+    the PySpark ``shiftleft``/``shiftright`` wrappers only accept
+    Python-int bit counts, while the underlying SQL functions accept
+    any integral expression. One expression, no Python in the row
+    path, token array appears twice (majority test + count)."""
+    toks = f"filter(split(trim({text_col}), '\\\\s+'), w -> w != '')"
+    return F.expr(
+        f"""
+        aggregate(
+          transform(sequence(0, {bits - 1}), j ->
+            CASE WHEN size(filter(transform({toks}, t -> xxhash64(t)),
+                                  h -> (shiftright(h, j) & 1) = 1)) * 2
+                      >= size({toks})
+                 THEN shiftleft(CAST(1 AS BIGINT), j)
+                 ELSE CAST(0 AS BIGINT) END),
+          CAST(0 AS BIGINT), (acc, x) -> acc + x)
+        """
+    )
 
 
 @register("d04_simhash")  # rows-only: xxhash64-based, not SQL-portable
 def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from parquet_pipeline_spark.functions import word_tokens
-
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
-    return docs.select(
-        "doc_id", simhash(word_tokens("text"), bits=32).alias("simhash32")
-    )
+    return docs.select("doc_id", simhash("text", bits=32).alias("simhash32"))
 
 
 # ---------------------------------------------------------------------------

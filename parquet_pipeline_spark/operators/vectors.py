@@ -211,26 +211,29 @@ def v04_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def lsh_signature(emb_col, dim: int, n_planes: int = 16, seed: int = 42):
     """n_planes-bit signature: bit j = sign(Σ_i h(i,j)·x_i) where
-    h(i,j) ∈ {-1,+1} comes from xxhash64(i, j, seed). Expression-only."""
-    bits = []
-    for j in range(n_planes):
-        # deterministic ±1 per (dimension, plane) — computed from a
-        # hash of literals, folded by Catalyst at plan time
-        proj = F.aggregate(
-            F.zip_with(
-                emb_col,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, i: x.cast("double")
-                * F.when(F.xxhash64(i, F.lit(j), F.lit(seed)) % 2 == 0, 1.0).otherwise(-1.0),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**j))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+    h(i,j) ∈ {-1,+1} comes from xxhash64(i, j, seed) — the
+    hyperplanes are pseudo-random in the dimension index and a fixed
+    seed, so the signature is a pure deterministic expression with no
+    fit/broadcast step. Single nested transform: the embedding
+    appears once in the plan regardless of n_planes."""
+    bit_values = F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda j: F.when(
+            F.aggregate(
+                F.zip_with(
+                    emb_col,
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda x, i: x.cast("double")
+                    * F.when(F.xxhash64(i, j, F.lit(seed)) % 2 == 0, 1.0).otherwise(-1.0),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.pow(F.lit(2.0), j).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bit_values, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 @register("a01_ann_lsh_topk")  # rows-only check: hash-derived buckets
