@@ -42,14 +42,22 @@ TESTDATA_TABLES = (
 
 
 def logical_name(path: str) -> str:
-    """Logical table name = file/dir basename minus extension.
+    """Logical table name = file/dir basename minus extension,
+    sanitized to a valid SQL identifier.
 
     Mirrors the reference's naming rule (reference:
-    duckdb_util.py:388 ``os.path.splitext(os.path.basename(p))[0]``).
+    duckdb_util.py:388 ``os.path.splitext(os.path.basename(p))[0]``)
+    — but Spark temp-view names must be identifiers, so spaces and
+    punctuation become underscores (``loans raw.csv`` → ``loans_raw``;
+    the reference never hits this because DuckDB sees only quoted
+    paths, not view names).
     """
     base = os.path.basename(path.rstrip("/"))
     name, _ext = os.path.splitext(base)
-    return name
+    import re
+
+    name = re.sub(r"[^\w]+", "_", name.strip()).strip("_").lower()
+    return name or "table"
 
 
 @dataclass

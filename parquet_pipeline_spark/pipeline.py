@@ -1,0 +1,175 @@
+"""Pipeline orchestration (SURVEY §2 A44-A46, §3.1-3.2).
+
+The reference wires these flows as LangGraph state machines; the
+idiomatic Spark shape is a plain driver loop — each sub-query builds
+a lazy DataFrame plan and Catalyst/AQE handle the execution.
+
+Query path (reference graph: langgraph_pipeline.py:652-751):
+  decompose → per sub-query: identify tables → register/choose views
+  → route → generate SQL → execute (error-as-data) → summary.
+
+Ingestion path (reference graph:
+ingestion_pipeline_langgraph.py:1189-1228): per input file:
+format-dispatch read → clean columns → zstd parquet → catalog entry
+(schema + row count + sample); file conversions run on a small
+driver thread pool like the reference's ThreadPool(4) — each Spark
+job is itself cluster-parallel, the pool just overlaps job
+scheduling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from parquet_pipeline_spark.context import (
+    sample_head,
+    summarize_result,
+    to_markdown,
+)
+from parquet_pipeline_spark.errors import run_sql_safe
+from parquet_pipeline_spark.plans.client import LLMClient
+from parquet_pipeline_spark.plans.planner import (
+    choose_strategy,
+    decompose_query,
+    generate_sql,
+    identify_tables,
+    route_intent,
+)
+from parquet_pipeline_spark.sources.readers import read_any
+from parquet_pipeline_spark.sources.writers import write_parquet
+
+
+@dataclass
+class QueryResult:
+    question: str
+    sub_queries: list[str] = field(default_factory=list)
+    results: dict[str, DataFrame] = field(default_factory=dict)
+    sql: dict[str, str] = field(default_factory=dict)
+    intents: dict[str, str] = field(default_factory=dict)
+    summary: str = ""
+
+
+def _catalog_columns(views: dict[str, DataFrame]) -> dict[str, list[str]]:
+    return {name: list(df.columns) for name, df in views.items()}
+
+
+def _union_view(spark: SparkSession, views: dict[str, DataFrame], name: str) -> None:
+    """UNION-by-name over all selected tables (reference:
+    duckdb_util.py:166-182): union of column sets, NULLs where a
+    table lacks a column."""
+    dfs = list(views.values())
+    out = dfs[0]
+    for other in dfs[1:]:
+        out = out.unionByName(other, allowMissingColumns=True)
+    out.createOrReplaceTempView(name)
+
+
+def run_query_pipeline(
+    spark: SparkSession,
+    question: str,
+    views: dict[str, DataFrame],
+    client: LLMClient | None = None,
+) -> QueryResult:
+    """The reference's RAG query loop, Spark-first and keyless-safe.
+
+    ``views``: logical tables already registered (name → DataFrame).
+    """
+    for name, df in views.items():
+        df.createOrReplaceTempView(name)
+    catalog = _catalog_columns(views)
+    res = QueryResult(question=question)
+    res.sub_queries = decompose_query(question, client)
+
+    for sub in res.sub_queries:
+        tables, join_key = identify_tables(sub, catalog, client)
+        strategy = choose_strategy(tables, join_key)
+        selected = (
+            dict(views)
+            if tables == ["*"]
+            else {t: views[t] for t in tables if t in views}
+        ) or dict(views)
+
+        if strategy == "union" and len(selected) > 1:
+            _union_view(spark, selected, "unified_data")
+            sql_tables = {"unified_data": sorted(
+                {c for df in selected.values() for c in df.columns}
+            )}
+        else:
+            sql_tables = {t: list(df.columns) for t, df in selected.items()}
+
+        intent = route_intent(sub, client)
+        res.intents[sub] = intent
+
+        schema_ctx = "\n".join(
+            f"Logical Table: {t} (Columns: {', '.join(cols)})"
+            for t, cols in sql_tables.items()
+        )
+        first = next(iter(selected.values()))
+        sample_md = to_markdown(sample_head(first, 10))
+        sql = generate_sql(sub, sql_tables, client, schema_ctx, sample_md)
+        res.sql[sub] = sql
+        res.results[sub] = run_sql_safe(spark, sql)
+
+    res.summary = "\n\n".join(
+        summarize_result(sub, df) for sub, df in res.results.items()
+    )
+    return res
+
+
+def run_ingestion_pipeline(
+    spark: SparkSession,
+    input_paths: list[str],
+    output_dir: str,
+    max_workers: int = 4,
+) -> dict:
+    """Convert heterogeneous inputs to cleaned zstd parquet + build
+    the catalog JSON (reference output shape:
+    ingestion_pipeline_langgraph.py:913-1121, trimmed to the
+    deterministic fields — no LLM metadata fabrication)."""
+    os.makedirs(output_dir, exist_ok=True)
+    catalog: dict[str, dict] = {}
+    errors: list[dict] = []
+
+    def convert(path: str) -> list[tuple[str, str]]:
+        tables = read_any(spark, path)
+        out = []
+        for name, df in tables.items():
+            dest = os.path.join(output_dir, f"{name}.parquet")
+            write_parquet(df, dest)
+            out.append((name, dest))
+        return out
+
+    produced: list[tuple[str, str]] = []
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        futures = {pool.submit(convert, p): p for p in input_paths}
+        for fut, path in futures.items():
+            try:
+                produced.extend(fut.result())
+            except Exception as e:  # error-as-data at the file level
+                errors.append({"input": path, "error": str(e)})
+
+    for name, dest in produced:
+        df = spark.read.parquet(dest)
+        catalog[name] = {
+            "parquet_path": dest,
+            "columns": df.columns,
+            "dtypes": dict(df.dtypes),
+            "row_count": df.count(),
+            "sample": json.loads(
+                json.dumps(
+                    [r.asDict(recursive=True) for r in df.limit(5).collect()],
+                    default=str,
+                )
+            ),
+        }
+
+    return {
+        "status": "completed" if not errors else ("partial" if catalog else "failed"),
+        "tables": catalog,
+        "errors": errors,
+    }

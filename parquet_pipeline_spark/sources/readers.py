@@ -1,0 +1,146 @@
+"""Multi-format readers + format dispatch (SURVEY §2 A4-A10).
+
+Reference behavior being re-expressed:
+- format routing by extension (reference:
+  ingestion_pipeline_langgraph.py:158-172, 405-425);
+- CSV/TSV read in 100k-row pandas chunks with header cleaning forced
+  onto later chunks (reference: ingestion_pipeline_langgraph.py:175-289)
+  — obsolete under Spark: ``spark.read.csv`` splits natively and the
+  rename is a Project over the whole relation;
+- JSON via ``pd.read_json`` (reference:
+  ingestion_pipeline_langgraph.py:291-329) → ``spark.read.json``
+  (JSON-lines) with a multiLine fallback for document-style files;
+- Excel sheets each become their own logical table named
+  ``{base}_{sheet}`` (reference: duckdb_util.py:302-306,
+  ingestion_pipeline_langgraph.py:374-375). Excel parsing needs
+  openpyxl, which is optional here — the reader is import-gated and
+  raises a clear error when unavailable. Sheets are read with pandas
+  on the driver (an .xlsx is not splittable; this matches the
+  reference) and handed to Spark via Arrow;
+- HTTP(S) inputs are downloaded to a temp file first (reference:
+  ingestion_pipeline_langgraph.py:138-155, streamed 8KB chunks).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from urllib.parse import urlparse
+from urllib.request import urlopen
+
+from pyspark.sql import DataFrame, SparkSession
+
+from parquet_pipeline_spark.sources.cleaning import clean_columns
+
+FORMAT_EXTENSIONS = {
+    ".xlsx": "excel",
+    ".xls": "excel",
+    ".csv": "csv",
+    ".tsv": "tsv",
+    ".json": "json",
+    ".jsonl": "json",
+    ".parquet": "parquet",
+}
+
+
+def detect_file_format(path: str) -> str:
+    """Extension-based dispatch (reference:
+    ingestion_pipeline_langgraph.py:158-172). Unknown → 'unknown'."""
+    ext = os.path.splitext(urlparse(path).path if "://" in path else path)[1].lower()
+    return FORMAT_EXTENSIONS.get(ext, "unknown")
+
+
+def download_to_temp(url: str, timeout: int = 300, chunk_size: int = 8192) -> str:
+    """Stream a remote file to a local temp path (reference:
+    ingestion_pipeline_langgraph.py:138-155). Driver-side by design —
+    ingestion inputs are single files, not datasets."""
+    suffix = os.path.splitext(urlparse(url).path)[1] or ".bin"
+    fd, local = tempfile.mkstemp(suffix=suffix)
+    with os.fdopen(fd, "wb") as out, urlopen(url, timeout=timeout) as resp:
+        while True:
+            chunk = resp.read(chunk_size)
+            if not chunk:
+                break
+            out.write(chunk)
+    return local
+
+
+def read_csv(spark: SparkSession, path: str, sep: str = ",", clean: bool = True) -> DataFrame:
+    df = (
+        spark.read.option("header", "true")
+        .option("inferSchema", "true")
+        .option("sep", sep)
+        .csv(path)
+    )
+    return clean_columns(df) if clean else df
+
+
+def read_tsv(spark: SparkSession, path: str, clean: bool = True) -> DataFrame:
+    return read_csv(spark, path, sep="\t", clean=clean)
+
+
+def read_json(spark: SparkSession, path: str, clean: bool = True) -> DataFrame:
+    """JSON-lines first (splittable, the scalable layout); fall back
+    to multiLine for whole-document arrays like pd.read_json reads."""
+    df = spark.read.json(path)
+    if df.columns == ["_corrupt_record"]:
+        df = spark.read.option("multiLine", "true").json(path)
+    return clean_columns(df) if clean else df
+
+
+def read_excel_sheets(
+    spark: SparkSession, path: str, clean: bool = True
+) -> dict[str, DataFrame]:
+    """Every sheet of a workbook → its own DataFrame, keyed by
+    ``{base}_{sheet}`` (reference naming, duckdb_util.py:302-306).
+
+    Requires openpyxl (optional dependency). An .xlsx is a zip — not
+    splittable — so it's parsed driver-side with pandas exactly like
+    the reference, then shipped to executors via Arrow. Fine for
+    ingestion-sized workbooks; giant tabular data should never arrive
+    as Excel anyway.
+    """
+    try:
+        import pandas as pd  # noqa: F401
+        import openpyxl  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "Excel ingestion requires openpyxl, which is not installed "
+            "in this environment. Install openpyxl to enable A4."
+        ) from e
+    import pandas as pd
+
+    from parquet_pipeline_spark.catalog import logical_name
+
+    base = logical_name(path)
+    sheets = pd.read_excel(path, sheet_name=None, engine="openpyxl")
+    out: dict[str, DataFrame] = {}
+    for sheet_name, pdf in sheets.items():
+        if pdf.empty or not len(pdf.columns):
+            continue  # skip empty sheets (reference: ingestion_pipeline_langgraph.py:369-371)
+        df = spark.createDataFrame(pdf)
+        out[logical_name(f"{base}_{sheet_name}")] = clean_columns(df) if clean else df
+    return out
+
+
+def read_any(spark: SparkSession, path: str, clean: bool = True) -> dict[str, DataFrame]:
+    """Format-dispatched read: returns {logical_name: DataFrame}
+    (a dict because Excel fans out to one table per sheet)."""
+    if path.startswith(("http://", "https://")):
+        path = download_to_temp(path)
+    fmt = detect_file_format(path)
+    from parquet_pipeline_spark.catalog import logical_name
+
+    base = logical_name(path)
+    if fmt == "excel":
+        return read_excel_sheets(spark, path, clean=clean)
+    if fmt == "csv":
+        return {base: read_csv(spark, path, clean=clean)}
+    if fmt == "tsv":
+        return {base: read_tsv(spark, path, clean=clean)}
+    if fmt == "json":
+        return {base: read_json(spark, path, clean=clean)}
+    if fmt == "parquet":
+        # passthrough (reference: ingestion_pipeline_langgraph.py:332-339)
+        return {base: spark.read.parquet(path)}
+    raise ValueError(f"unsupported format for {path!r} (detected {fmt!r})")

@@ -1,0 +1,49 @@
+"""Parquet sinks (SURVEY §2 A11-A12).
+
+Reference sink: ``COPY ... (FORMAT PARQUET, COMPRESSION ZSTD,
+ROW_GROUP_SIZE 100000)`` to a single file, with ``INSERT INTO
+'{file}.parquet'`` appends for later CSV chunks (reference:
+duckdb_util.py:315-317; ingestion_pipeline_langgraph.py:202-206).
+
+Spark equivalent: a *directory* of part-files with zstd compression
+and a 100k-row-group target. Single-file append has no exact Spark
+analog (and is an anti-pattern at scale — a directory of part files
+IS the scalable layout); ``mode("append")`` adds part-files to the
+same logical table, which is the semantic equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+# ~100k rows/row-group at typical row widths; parquet.block.size is
+# bytes, so approximate: 100k rows × ~1KB ≈ 128MB default is already
+# right-sized — expose the knob anyway for parity.
+DEFAULT_ROW_GROUP_BYTES = 128 * 1024 * 1024
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+    row_group_bytes: int = DEFAULT_ROW_GROUP_BYTES,
+    partition_by: list[str] | None = None,
+) -> None:
+    """ZSTD parquet sink. ``partition_by`` enables hive-style
+    partition pruning for downstream reads — the 100 TB layout knob
+    the reference doesn't have."""
+    writer = (
+        df.write.mode(mode)
+        .option("compression", compression)
+        .option("parquet.block.size", str(row_group_bytes))
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def append_parquet(df: DataFrame, path: str, **kwargs) -> None:
+    """Append part-files to an existing logical table (the Spark
+    analog of the reference's single-file INSERT INTO append)."""
+    write_parquet(df, path, mode="append", **kwargs)

@@ -1,0 +1,78 @@
+from pyspark.sql import functions as F
+
+from parquet_pipeline_spark.functions import char_ngrams, jaccard
+from parquet_pipeline_spark.operators.dedup import (
+    dedup_exact,
+    dedup_exact_keep_min,
+    minhash_near_dups,
+    simhash,
+)
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")], "id long, text string"
+    )
+    assert dedup_exact(df, ["text"]).count() == 2
+    kept = {r["text"]: (r["id"], r["n_copies"])
+            for r in dedup_exact_keep_min(df, "text", "id").collect()}
+    assert kept == {"aaa": (1, 3), "bbb": (2, 1)}
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun light"
+    )
+    mutated = base.replace("afternoon", "evening")  # near-dup
+    other = (
+        "completely different content about spark shuffle partitions "
+        "broadcast joins and adaptive query execution at terabyte scale"
+    )
+    df = spark.createDataFrame(
+        [(0, base), (1, mutated), (2, other)], "doc_id long, text string"
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_near_dups(df, threshold=0.6).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_minhash_recall_vs_exact(spark, sf_dir):
+    """LSH candidates must recover (almost) all truly-similar pairs."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 80)
+        .select("doc_id", "text")
+    )
+    grams = docs.select("doc_id", char_ngrams("text", 3).alias("gs"))
+    a = grams.select(F.col("doc_id").alias("id_a"), F.col("gs").alias("gs_a"))
+    b = grams.select(F.col("doc_id").alias("id_b"), F.col("gs").alias("gs_b"))
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("j", jaccard(F.col("gs_a"), F.col("gs_b")))
+        .filter(F.col("j") >= 0.62)
+        .collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dups(docs, threshold=0.62).collect()
+    }
+    assert got.issubset(exact), "verify step must not admit false positives"
+    if exact:
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.8, f"LSH recall too low: {recall}"
+
+
+def test_simhash_close_for_near_identical(spark):
+    a = "spark makes distributed data processing simple and fast for everyone"
+    b = "spark makes distributed data processing simple and fast for anyone"
+    c = "unrelated words entirely about cooking pasta with tomato sauce tonight"
+    df = spark.createDataFrame([(0, a), (1, b), (2, c)], "id long, text string")
+    sigs = {r["id"]: r["s"] for r in df.select("id", simhash("text").alias("s")).collect()}
+
+    def hamming(x, y):
+        return bin((x ^ y) & 0xFFFFFFFF).count("1")
+
+    assert hamming(sigs[0], sigs[1]) < hamming(sigs[0], sigs[2])
+    assert hamming(sigs[0], sigs[1]) <= 6

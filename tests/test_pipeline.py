@@ -1,0 +1,54 @@
+from parquet_pipeline_spark.pipeline import run_ingestion_pipeline
+
+
+def test_ingestion_pipeline_end_to_end(spark, tmp_path):
+    csv = tmp_path / "sales data.csv"
+    csv.write_text("Region,Amount $\nus,10.5\neu,20.0\nus,30.25\n")
+    jl = tmp_path / "users.jsonl"
+    jl.write_text('{"user id": 1, "name": "a"}\n{"user id": 2, "name": "b"}\n')
+    out_dir = str(tmp_path / "lake")
+
+    result = run_ingestion_pipeline(spark, [str(csv), str(jl)], out_dir)
+    assert result["status"] == "completed"
+    # 'sales data.csv' sanitizes to a valid view/table identifier
+    assert set(result["tables"]) == {"sales_data", "users"}
+
+    sales = result["tables"]["sales_data"]
+    assert sales["columns"] == ["region", "amount"]
+    assert sales["row_count"] == 3
+    assert len(sales["sample"]) == 3
+
+    users = result["tables"]["users"]
+    assert set(users["columns"]) == {"user_id", "name"}
+    assert users["row_count"] == 2
+
+
+def test_ingestion_pipeline_partial_on_bad_input(spark, tmp_path):
+    good = tmp_path / "ok.csv"
+    good.write_text("a\n1\n")
+    result = run_ingestion_pipeline(
+        spark, [str(good), str(tmp_path / "missing.csv")], str(tmp_path / "lake2")
+    )
+    assert result["status"] == "partial"
+    assert list(result["tables"]) == ["ok"]
+    assert result["errors"] and "missing.csv" in result["errors"][0]["input"]
+
+
+def test_catalog_register_and_describe(spark, sf_dir):
+    from parquet_pipeline_spark.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register_dir(sf_dir, names=["region", "nation"], with_count=True)
+    assert cat.get("region").row_count == 5
+    s = cat.catalog_string()
+    assert "Logical Table: region (Columns: r_regionkey, r_name)" in s
+    assert spark.table("nation").count() == 25
+
+
+def test_error_frame_convention(spark):
+    from parquet_pipeline_spark.errors import error_frame, is_error_frame, run_sql_safe
+
+    ef = error_frame(spark, "boom")
+    assert is_error_frame(ef) and ef.first()["Error"] == "boom"
+    bad = run_sql_safe(spark, "SELECT FROM nowhere AT ALL")
+    assert is_error_frame(bad)

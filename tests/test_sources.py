@@ -1,0 +1,96 @@
+import os
+
+import pytest
+
+from parquet_pipeline_spark.sources import (
+    append_parquet,
+    detect_file_format,
+    read_any,
+    read_csv,
+    read_json,
+    read_tsv,
+    write_parquet,
+)
+
+
+def test_detect_file_format():
+    assert detect_file_format("a/b/data.CSV") == "csv"
+    assert detect_file_format("x.tsv") == "tsv"
+    assert detect_file_format("x.jsonl") == "json"
+    assert detect_file_format("x.xlsx") == "excel"
+    assert detect_file_format("https://host/p/f.parquet?sig=1") == "parquet"
+    assert detect_file_format("mystery.bin") == "unknown"
+
+
+def test_csv_roundtrip_with_dirty_headers(spark, tmp_path):
+    src = tmp_path / "dirty.csv"
+    src.write_text("Col A,Col.A, Relative humidity.\n1,2,55.5\n3,4,60.1\n")
+    df = read_csv(spark, str(src))
+    assert df.columns == ["col_a", "col_a_1", "relative_humidity"]
+    assert df.count() == 2
+
+    dest = str(tmp_path / "out.parquet")
+    write_parquet(df, dest)
+    back = spark.read.parquet(dest)
+    assert back.count() == 2
+    assert dict(back.dtypes)["relative_humidity"] == "double"
+
+
+def test_tsv(spark, tmp_path):
+    src = tmp_path / "t.tsv"
+    src.write_text("a\tb\n1\tx\n2\ty\n")
+    df = read_tsv(spark, str(src))
+    assert df.columns == ["a", "b"] and df.count() == 2
+
+
+def test_json_lines_and_document(spark, tmp_path):
+    jl = tmp_path / "rows.jsonl"
+    jl.write_text('{"A B": 1, "v": "x"}\n{"A B": 2, "v": "y"}\n')
+    df = read_json(spark, str(jl))
+    assert set(df.columns) == {"a_b", "v"} and df.count() == 2
+
+    doc = tmp_path / "doc.json"
+    doc.write_text('[{"k": 1}, {"k": 2}, {"k": 3}]')
+    df2 = read_json(spark, str(doc))
+    assert df2.count() == 3
+
+
+def test_append_mode(spark, tmp_path):
+    src = tmp_path / "a.csv"
+    src.write_text("x\n1\n2\n")
+    df = read_csv(spark, str(src))
+    dest = str(tmp_path / "acc.parquet")
+    write_parquet(df, dest)
+    append_parquet(df, dest)
+    assert spark.read.parquet(dest).count() == 4
+
+
+def test_read_any_dispatch_and_excel_gate(spark, tmp_path):
+    src = tmp_path / "d.csv"
+    src.write_text("x\n1\n")
+    out = read_any(spark, str(src))
+    assert list(out) == ["d"] and out["d"].count() == 1
+
+    with pytest.raises(ValueError):
+        read_any(spark, str(tmp_path / "weird.bin"))
+
+    xlsx = tmp_path / "wb.xlsx"
+    xlsx.write_bytes(b"PK\x03\x04 not a real workbook")
+    with pytest.raises(NotImplementedError):
+        # openpyxl is not installed in this container — the reader
+        # must fail with a clear gate, not an ImportError surprise
+        read_any(spark, str(xlsx))
+
+
+def test_zstd_compression_written(spark, tmp_path):
+    src = tmp_path / "c.csv"
+    src.write_text("x\n" + "\n".join(map(str, range(100))))
+    df = read_csv(spark, str(src))
+    dest = str(tmp_path / "z.parquet")
+    write_parquet(df, dest)
+    files = [f for f in os.listdir(dest) if f.endswith(".parquet")]
+    assert files and all(".zstd." in f or f.endswith(".parquet") for f in files)
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(os.path.join(dest, files[0])).metadata
+    assert meta.row_group(0).column(0).compression.lower() == "zstd"

@@ -1,0 +1,70 @@
+import json
+
+from parquet_pipeline_spark.streaming import (
+    read_event_stream,
+    stream_to_parquet,
+    windowed_event_counts,
+)
+
+
+def _events_as_jsonl(spark, sf_dir, tmp_path):
+    """Materialize the events table as JSON-lines files (the
+    streaming file source), micro-precision timestamps."""
+    from parquet_pipeline_spark.operators.relational import _events
+
+    ev = _events(spark, sf_dir)
+    rows = ev.collect()
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    half = len(rows) // 2
+    for i, batch in enumerate((rows[:half], rows[half:])):
+        with open(src / f"batch_{i}.jsonl", "w") as f:
+            for r in batch:
+                d = r.asDict()
+                d["ts"] = d["ts"].isoformat(sep=" ")
+                f.write(json.dumps(d) + "\n")
+    return str(src), ev
+
+
+def test_windowed_counts_stream_matches_batch(spark, sf_dir, tmp_path):
+    src, batch_events = _events_as_jsonl(spark, sf_dir, tmp_path)
+
+    stream = read_event_stream(spark, src, fmt="json", max_files=1)
+    assert stream.isStreaming
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM wincounts").collect()
+    }
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in windowed_event_counts(batch_events).collect()
+    }
+    assert got == expected
+
+
+def test_stream_to_parquet_exactly_once(spark, sf_dir, tmp_path):
+    src, batch_events = _events_as_jsonl(spark, sf_dir, tmp_path)
+    dest = str(tmp_path / "out_parquet")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = read_event_stream(spark, src, fmt="json", max_files=1)
+    q = stream_to_parquet(stream, dest, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(dest).count() == batch_events.count()
+
+    # restart with same checkpoint: no new input → no duplicates
+    stream2 = read_event_stream(spark, src, fmt="json", max_files=1)
+    q2 = stream_to_parquet(stream2, dest, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(dest).count() == batch_events.count()
