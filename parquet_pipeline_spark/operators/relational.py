@@ -896,3 +896,216 @@ def q28_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return supp.join(
         recent, supp.s_suppkey == recent.l_suppkey, "left_semi"
     ).select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal"))
+
+
+# ===========================================================================
+# batch 2 — wider SQL-surface coverage
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# q29 — GROUPING SETS (explicit; rollup/cube are its sugar)
+# ---------------------------------------------------------------------------
+@register(
+    "q29_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q29_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_extendedprice), 2) AS total_price
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q30 — regexp functions (extract + filter)
+# ---------------------------------------------------------------------------
+@register(
+    "q30_regexp",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+           CAST(regexp_matches(p_name, 'r.d') AS BOOLEAN) AS has_rd
+    FROM part
+    WHERE regexp_matches(p_type, '^(STANDARD|SMALL)')
+    """,
+)
+def q30_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.regexp_like("p_type", F.lit("^(STANDARD|SMALL)")))
+        .select(
+            "p_partkey",
+            F.regexp_extract("p_type", "^([A-Z]+)", 1).alias("type_head"),
+            F.regexp_like("p_name", F.lit("r.d")).alias("has_rd"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q31 — null functions: NULLIF / NVL / NVL2 shapes
+# ---------------------------------------------------------------------------
+@register(
+    "q31_null_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           NULLIF(o_orderstatus, 'O')                    AS status_or_null,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN')  AS status_label,
+           CASE WHEN NULLIF(o_orderstatus, 'O') IS NULL THEN 0.0
+                ELSE ROUND(o_totalprice, 2) END          AS closed_value
+    FROM orders
+    WHERE o_orderkey < 300
+    """,
+)
+def q31_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return o.select(
+        "o_orderkey",
+        status_or_null.alias("status_or_null"),
+        F.coalesce(status_or_null, F.lit("OPEN")).alias("status_label"),
+        F.when(status_or_null.isNull(), F.lit(0.0))
+        .otherwise(F.round("o_totalprice", 2))
+        .alias("closed_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q32 — comparison against a global aggregate (scalar subquery shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q32_vs_global_avg",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           ROUND(SUM(o.o_totalprice), 2) AS spend
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    HAVING SUM(o.o_totalprice) > 5 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def q32_vs_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # scalar aggregate computed once, broadcast as a crossJoin of a
+    # 1-row frame (Catalyst folds it; no per-row recomputation)
+    avg_row = orders.agg(F.avg("o_totalprice").alias("_global_avg"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum("o_totalprice").alias("_spend"))
+        .crossJoin(F.broadcast(avg_row))
+        .filter(F.col("_spend") > 5 * F.col("_global_avg"))
+        .select("c_custkey", "c_name", F.round("_spend", 2).alias("spend"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q33 — TPC-H Q3 shape: filtered 3-way join, grouped revenue, top-10
+# ---------------------------------------------------------------------------
+@register(
+    "q33_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q33_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q34 — exact percentiles (continuous interpolation)
+# ---------------------------------------------------------------------------
+@register(
+    "q34_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4)  AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q34_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q35 — variance / stddev (sample semantics on both engines)
+# ---------------------------------------------------------------------------
+@register(
+    "q35_stddev",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(STDDEV_SAMP(o_totalprice), 3) AS sd_price,
+           ROUND(VAR_SAMP(o_totalprice), 1)    AS var_price,
+           ROUND(AVG(o_totalprice), 3)         AS avg_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q35_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.stddev_samp("o_totalprice"), 3).alias("sd_price"),
+            F.round(F.var_samp("o_totalprice"), 1).alias("var_price"),
+            F.round(F.avg("o_totalprice"), 3).alias("avg_price"),
+        )
+    )

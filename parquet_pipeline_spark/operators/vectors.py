@@ -62,9 +62,16 @@ def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0):
 def scored(df: DataFrame, query_vec: list[float], out: str = "score") -> DataFrame:
     """Attach a cosine-similarity score column against a fixed query
     vector (reference's score = 1 − cosine distance,
-    chroma_retrieval_util.py:128-129)."""
+    chroma_retrieval_util.py:128-129).
+
+    The query norm is a per-row constant, so it's computed once on
+    the driver and inlined — the row expression is one dot product +
+    one row-norm instead of three array aggregates."""
+    qnorm = sum(v * v for v in query_vec) ** 0.5
     q = F.array(*[F.lit(v) for v in query_vec])
-    return df.withColumn(out, cosine_similarity(F.col("embedding"), q))
+    return df.withColumn(
+        out, dot(F.col("embedding"), q) / (l2_norm(F.col("embedding")) * F.lit(qnorm))
+    )
 
 
 def topk(df: DataFrame, query_vec: list[float], k: int = 10) -> DataFrame:
@@ -262,4 +269,41 @@ def a01_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("vec_id"))
         .limit(10)
         .select("vec_id", "label", F.round("score", 6).alias("score"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# v05 — retrieval context assembly with source attribution (A34/A35):
+# top-k hits joined back to their documents (collection↔table↔file
+# mapping is a plain equi-join on the shared id in our model), each
+# chunk rendered as "[Source: {table}]\n{chunk}"
+# ---------------------------------------------------------------------------
+@register(
+    "v05_context_assembly",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    hits AS (
+      SELECT e.vec_id,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id
+      LIMIT 5
+    )
+    SELECT h.vec_id, h.score,
+           '[Source: ' || d.source || '] ' || d.text AS context
+    FROM hits h JOIN documents d ON h.vec_id = d.doc_id
+    """,
+)
+def v05_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _query_vector(spark, sf_dir, vec_id=0)
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
+    hits = topk(emb, qv, k=5).select("vec_id", F.round("score", 6).alias("score"))
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return hits.join(docs, hits.vec_id == docs.doc_id).select(
+        "vec_id",
+        "score",
+        F.concat(F.lit("[Source: "), F.col("source"), F.lit("] "), F.col("text")).alias(
+            "context"
+        ),
     )
