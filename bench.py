@@ -54,6 +54,20 @@ def main() -> None:
     registry.load_all()
     spark = get_spark("bench")
     warm_up(spark)
+    # compile the hot code paths (parquet reader, hash-agg, broadcast
+    # join codegen) on a 1k-row slice so JVM/codegen warm-up isn't
+    # charged to the first timed query — timings then reflect
+    # steady-state engine throughput, the comparable quantity
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000)
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet").limit(1000)
+    (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_extendedprice"))
+        .count()
+    )
 
     names = (
         os.environ["BENCH_QUERIES"].split(",")
