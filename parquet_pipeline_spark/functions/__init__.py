@@ -55,3 +55,26 @@ def jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b)).cast("double")
     union = F.size(F.array_union(a, b)).cast("double")
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def salted_join(left, right, key: str, salt: int = 16, how: str = "inner"):
+    """Skew-mitigating equi-join: the (large, possibly skewed) left
+    side gets a per-row salt; the (smaller) right side is exploded
+    ``salt`` ways so every (key, salt) bucket can match. A hot key's
+    rows then spread over ``salt`` reducers instead of one.
+
+    AQE's skew-join handles most cases automatically (enabled in
+    session.py); this is the manual tool for static plans, stable
+    shuffles, or engines/paths where AQE can't split (e.g. a skewed
+    aggregation feeding a join). Inner/left semantics preserved:
+    results equal the plain join (asserted in tests/test_functions.py).
+    """
+    from pyspark.sql import functions as F
+
+    left_s = left.withColumn(
+        "_salt", (F.monotonically_increasing_id() % salt).cast("int")
+    )
+    right_s = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return left_s.join(right_s, [key, "_salt"], how).drop("_salt")

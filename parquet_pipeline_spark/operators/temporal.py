@@ -1,0 +1,255 @@
+"""Temporal operators: as-of join, sessionization, range self-join.
+
+None of these exist in the reference (SURVEY §2B: "as-of/range/
+interval joins … not present") — they're part of the beyond-reference
+surface a time-series-capable engine needs, built as compositions of
+existing DataFrame ops (no custom physical operators required).
+
+Scale design:
+- ``asof_join`` is the distributed two-pass pattern: a *bucketed*
+  union-window pass (windows partitioned by (keys, time-bucket) →
+  parallel) plus a tiny bucket-summary prefix pass broadcast back.
+  No global single-task window anywhere, so it survives 100 TB of
+  probes against millions of quotes.
+- ``sessionize`` is the classic lag/gap/cumsum window per entity —
+  partitioned by the entity key, the natural shuffle.
+- ``range_join_within`` avoids Spark's O(n·m) broadcast-nested-loop
+  range join by exploding each row into its time bucket and the
+  successor bucket, equi-joining on (key, bucket), then filtering the
+  exact range predicate — linear in data size for bounded ranges.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from parquet_pipeline_spark.registry import register
+
+
+def asof_join(
+    probe: DataFrame,
+    quote: DataFrame,
+    ts_col: str,
+    value_col: str,
+    by: list[str] | None = None,
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Backward as-of join: each probe row gets the most recent
+    ``value_col`` from ``quote`` with quote.ts <= probe.ts (ties
+    include equality), optionally per ``by`` keys. Probe rows with no
+    prior quote keep NULL (left semantics).
+
+    Two passes, both parallel:
+    1. union probes+quotes, window *within* (by, time-bucket) to find
+       the last quote at-or-before each probe inside its bucket;
+    2. per-(by, bucket) last-quote summary (tiny), prefix-filled via a
+       window over buckets, joined back; the final value is
+       coalesce(within-bucket, previous-buckets).
+    """
+    by = by or []
+    q = quote.select(
+        *by, F.col(ts_col).alias(ts_col), F.col(value_col).alias("_q_val")
+    ).withColumn("_is_probe", F.lit(0))
+    p = probe.withColumn("_is_probe", F.lit(1))
+    u = p.unionByName(q, allowMissingColumns=True).withColumn(
+        "_bkt", F.window(F.col(ts_col), bucket)["start"]
+    )
+
+    # pass 1: within-bucket backward fill (quotes sort before probes
+    # at equal ts → equality included)
+    w_in = (
+        W.partitionBy(*by, "_bkt")
+        .orderBy(ts_col, "_is_probe")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    u = u.withColumn("_within", F.last("_q_val", ignorenulls=True).over(w_in))
+
+    # pass 2: last quote per bucket (small: one row per bucket), then
+    # for each bucket the latest quote from any *earlier* bucket.
+    # The spine must include PROBE buckets too — a probe bucket with
+    # no quotes still needs the carry-forward value.
+    spine = u.select(*by, "_bkt").distinct()
+    bucket_last = (
+        q.withColumn("_bkt", F.window(F.col(ts_col), bucket)["start"])
+        .groupBy(*by, "_bkt")
+        .agg(F.max_by("_q_val", F.col(ts_col)).alias("_bkt_last"))
+    )
+    w_prev = (
+        W.partitionBy(*by)
+        .orderBy("_bkt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev = (
+        spine.join(bucket_last, [*by, "_bkt"], "left")
+        .withColumn("_prev_last", F.last("_bkt_last", ignorenulls=True).over(w_prev))
+        .select(*by, "_bkt", "_prev_last")
+    )
+
+    out = (
+        u.filter(F.col("_is_probe") == 1)
+        .join(F.broadcast(prev), [*by, "_bkt"], "left")
+        .withColumn(value_col, F.coalesce("_within", "_prev_last"))
+        .drop("_is_probe", "_bkt", "_within", "_prev_last", "_q_val")
+    )
+    return out
+
+
+def sessionize(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap-based session assignment: a new session starts when the
+    time since the entity's previous event exceeds ``gap_seconds``.
+    Adds ``session_id`` (0-based per entity). One shuffle on the
+    entity key; state is a window, bounded per entity."""
+    w = W.partitionBy(entity_col).orderBy(ts_col, order_tiebreak)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    new_session = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return events.withColumn(
+        "session_id",
+        F.sum(new_session).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)) - 1,
+    )
+
+
+def range_join_within(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    within_seconds: int,
+) -> DataFrame:
+    """Self range-join: pairs (a, b) with the same key, ``b`` within
+    ``(a.ts, a.ts + within_seconds]``, a.id < b's allowed (dedup by
+    id ordering on equal plans is the caller's concern; we emit
+    a→b ordered pairs with 0 < delta ≤ within).
+
+    Bucket trick: a row joins only rows in its own or the next time
+    bucket (bucket width = the range), so the join is an equi-join on
+    (key, bucket) — no nested-loop range join, linear at scale."""
+    bkt = (F.col(ts_col).cast("long") / within_seconds).cast("long")
+    left = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).alias("_ts_a"),
+        F.col(id_col).alias("id_a"),
+        bkt.alias("_bkt_a"),
+    ).withColumn("_bkt", F.explode(F.array(F.col("_bkt_a"), F.col("_bkt_a") + 1)))
+    right = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).alias("_ts_b"),
+        F.col(id_col).alias("id_b"),
+        bkt.alias("_bkt"),
+    )
+    delta = F.col("_ts_b").cast("long") - F.col("_ts_a").cast("long")
+    return (
+        left.join(right, ["_k", "_bkt"])
+        .filter((delta > 0) & (delta <= within_seconds))
+        .select(
+            F.col("_k").alias(key_col),
+            "id_a",
+            "id_b",
+            delta.alias("delta_seconds"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver queries
+# ---------------------------------------------------------------------------
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_pipeline_spark.operators.relational import _events as ev
+
+    return ev(spark, sf_dir)
+
+
+@register(
+    "x01_asof_join",
+    oracle="""
+    WITH quotes AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS qts,
+             AVG(value) AS rate
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    ),
+    probes AS (
+      SELECT event_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           ROUND(q.rate, 6) AS rate
+    FROM probes p ASOF LEFT JOIN quotes q ON p.ts >= q.qts
+    """,
+)
+def x01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click event gets the most recent hourly purchase rate
+    at-or-before its timestamp (classic quotes/trades as-of)."""
+    ev = _events(spark, sf_dir)
+    quotes = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.window("ts", "1 hour")["start"].alias("ts"))
+        .agg(F.avg("value").alias("rate"))
+    )
+    probes = ev.filter(F.col("event_type") == "click").select("event_id", "ts")
+    joined = asof_join(probes, quotes, ts_col="ts", value_col="rate", bucket="6 hours")
+    return joined.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round("rate", 6).alias("rate"),
+    )
+
+
+@register(
+    "x02_sessionize",
+    oracle="""
+    SELECT user_id, session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+    FROM (
+      SELECT user_id, ts,
+             CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1
+               AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               FLOOR(epoch(ts)) - lag(FLOOR(epoch(ts)))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events
+      )
+    )
+    GROUP BY user_id, session_id
+    """,
+)
+def x02_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    sessions = sessionize(ev, "user_id", "ts", "event_id", gap_seconds=1800)
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+    )
+
+
+@register(
+    "x03_range_join",
+    oracle="""
+    SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+           CAST(FLOOR(epoch(b.ts)) - FLOOR(epoch(a.ts)) AS BIGINT) AS delta_seconds
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND FLOOR(epoch(b.ts)) - FLOOR(epoch(a.ts)) > 0
+     AND FLOOR(epoch(b.ts)) - FLOOR(epoch(a.ts)) <= 300
+    """,
+)
+def x03_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs of same-user events within 5 minutes — executed as a
+    bucketed equi-join, not a nested-loop range join."""
+    ev = _events(spark, sf_dir)
+    return range_join_within(ev, "user_id", "ts", "event_id", within_seconds=300)

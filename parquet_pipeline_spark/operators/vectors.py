@@ -307,3 +307,81 @@ def v05_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "context"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF — inverted-file ANN (the second scale path next to LSH):
+# centroids are a deterministic sample of the corpus (every
+# (n/k)-th vector by id — seedless, reproducible); each vector is
+# assigned to its nearest centroid in one scan; a query probes only
+# the nprobe nearest centroid cells. Cell id is the shuffle/prune
+# key, so at 100 TB the scored fraction is ~nprobe/k of the corpus
+# (and cells can be written as parquet partitions for static pruning).
+# ---------------------------------------------------------------------------
+def ivf_assign(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine).
+    Centroids arrive as driver-side literals (k is small); the argmax
+    is a single array expression over a literal array-of-structs."""
+    cent = F.array(
+        *[
+            F.struct(F.lit(cid).alias("cid"), F.array(*[F.lit(v) for v in vec]).alias("cv"))
+            for cid, vec in centroids
+        ]
+    )
+    scored_cells = F.transform(
+        cent,
+        lambda c: F.struct(
+            c["cid"].alias("cid"),
+            cosine_similarity(F.col("embedding"), c["cv"]).alias("sim"),
+        ),
+    )
+    best = F.array_max(
+        F.transform(scored_cells, lambda s: F.struct(s["sim"].alias("sim"), s["cid"].alias("cid")))
+    )
+    return emb.withColumn("cell", best["cid"])
+
+
+def ivf_centroids(emb: DataFrame, k: int = 16, id_col: str = "vec_id") -> list[tuple[int, list[float]]]:
+    """Deterministic centroid selection: k evenly-spaced vectors by
+    id. (A k-means refinement would go here; even spacing is enough
+    to partition a corpus into prunable cells.)"""
+    n = emb.count()
+    step = max(n // k, 1)
+    rows = (
+        emb.filter((F.col(id_col) % step == 0) & (F.col(id_col) < step * k))
+        .select(id_col, "embedding")
+        .collect()
+    )
+    return [(i, [float(x) for x in r["embedding"]]) for i, r in enumerate(rows)]
+
+
+def ivf_topk(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe the nprobe nearest cells, exact-score only those."""
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a)) / math.sqrt(sum(x * x for x in b))
+
+    probed = sorted(
+        ((cos(query_vec, vec), cid) for cid, vec in centroids), reverse=True
+    )[:nprobe]
+    cells = [cid for _, cid in probed]
+    assigned = ivf_assign(emb, centroids)
+    return topk(assigned.filter(F.col("cell").isin(cells)), query_vec, k=k)
+
+
+@register("a04_ivf_topk")  # rows-only: cell assignment is engine-internal
+def a04_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
+    cents = ivf_centroids(emb, k=16)
+    qv = _query_vector(spark, sf_dir, vec_id=0)
+    return ivf_topk(emb, cents, qv, k=10, nprobe=4).select(
+        "vec_id", "label", F.round("score", 6).alias("score")
+    )

@@ -48,4 +48,6 @@ def load_all() -> None:
         vectors,
         dedup,
         text,
+        temporal,
+        sketches,
     )

@@ -47,3 +47,23 @@ def append_parquet(df: DataFrame, path: str, **kwargs) -> None:
     """Append part-files to an existing logical table (the Spark
     analog of the reference's single-file INSERT INTO append)."""
     write_parquet(df, path, mode="append", **kwargs)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (hash-partitioned on disk by
+    ``bucket_cols``): two tables bucketed the same way equi-join with
+    NO shuffle exchange — the co-located-join layout for fact-fact
+    joins that repeat at 100 TB (verified by plan assertion in
+    tests/test_sources.py). Requires saveAsTable (bucket metadata
+    lives in the session catalog)."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.option("compression", "zstd").format("parquet").saveAsTable(table_name)

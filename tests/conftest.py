@@ -12,9 +12,19 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     from parquet_pipeline_spark.session import get_spark
 
-    spark = get_spark("tests", shuffle_partitions=8, extra_conf={"spark.master": "local[8]"})
+    spark = get_spark(
+        "tests",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.master": "local[8]",
+            # managed-table home for bucketed-write tests
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark-warehouse-"),
+        },
+    )
     yield spark
 
 

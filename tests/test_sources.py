@@ -1,5 +1,7 @@
 import os
 
+from pyspark.sql import functions as F
+
 import pytest
 
 from parquet_pipeline_spark.sources import (
@@ -94,3 +96,27 @@ def test_zstd_compression_written(spark, tmp_path):
 
     meta = pq.ParquetFile(os.path.join(dest, files[0])).metadata
     assert meta.row_group(0).column(0).compression.lower() == "zstd"
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Two tables bucketed on the join key must sort-merge join with
+    zero Exchange nodes — the co-located layout for repeated
+    fact-fact joins."""
+    from parquet_pipeline_spark.sources.writers import write_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], num_buckets=8)
+    write_bucketed(lineitem, "b_lineitem", ["l_orderkey"], num_buckets=8)
+
+    # hint merge so the planner uses the bucketed SMJ path (on this
+    # tiny data AQE would otherwise pick broadcast, which ignores
+    # bucketing entirely)
+    joined = spark.table("b_lineitem").hint("merge").join(
+        spark.table("b_orders"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Bucketed: true" in plan, plan
+    assert joined.count() == lineitem.count()

@@ -1,0 +1,89 @@
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from parquet_pipeline_spark.operators.temporal import (
+    asof_join,
+    range_join_within,
+    sessionize,
+)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    probes = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:15:00")),  # before any quote → NULL
+            (2, _ts("2024-01-01 01:00:00")),  # exactly at q1 → q1 (tie incl.)
+            (3, _ts("2024-01-03 12:00:00")),  # bucket with no quote → carry q2
+        ],
+        "id long, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [
+            (_ts("2024-01-01 01:00:00"), 10.0),
+            (_ts("2024-01-02 05:00:00"), 20.0),
+        ],
+        "ts timestamp, rate double",
+    )
+    out = {r["id"]: r["rate"] for r in asof_join(probes, quotes, "ts", "rate").collect()}
+    assert out == {1: None, 2: 10.0, 3: 20.0}
+
+
+def test_asof_join_with_by_keys(spark):
+    probes = spark.createDataFrame(
+        [("A", 1, _ts("2024-01-01 02:00:00")), ("B", 2, _ts("2024-01-01 02:00:00"))],
+        "sym string, id long, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 01:00:00"), 1.0),
+            ("B", _ts("2024-01-01 01:30:00"), 2.0),
+            ("B", _ts("2024-01-01 01:59:00"), 3.0),
+        ],
+        "sym string, ts timestamp, rate double",
+    )
+    out = {
+        r["id"]: r["rate"]
+        for r in asof_join(probes, quotes, "ts", "rate", by=["sym"]).collect()
+    }
+    assert out == {1: 1.0, 2: 3.0}
+
+
+def test_sessionize_gap_rule(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, 100, _ts("2024-01-01 00:00:00")),
+            (2, 100, _ts("2024-01-01 00:10:00")),   # same session (10 min)
+            (3, 100, _ts("2024-01-01 01:00:00")),   # gap 50 min > 30 → new
+            (4, 200, _ts("2024-01-01 00:00:00")),   # other user → own session 0
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = {
+        r["event_id"]: r["session_id"]
+        for r in sessionize(ev, gap_seconds=1800).collect()
+    }
+    assert out == {1: 0, 2: 0, 3: 1, 4: 0}
+
+
+def test_range_join_bucket_boundary(spark):
+    """Pairs straddling a bucket boundary must still match (the
+    explode-into-next-bucket part of the trick)."""
+    ev = spark.createDataFrame(
+        [
+            (1, 7, _ts("2024-01-01 00:04:50")),
+            (2, 7, _ts("2024-01-01 00:05:10")),  # 20s later, next 5-min bucket
+            (3, 7, _ts("2024-01-01 00:20:00")),  # too far from both
+            (4, 8, _ts("2024-01-01 00:04:55")),  # right time, wrong user
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["delta_seconds"]
+        for r in range_join_within(ev, "user_id", "ts", "event_id", 300).collect()
+    }
+    assert pairs == {(1, 2): 20}
