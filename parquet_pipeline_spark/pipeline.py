@@ -69,15 +69,76 @@ def _union_view(spark: SparkSession, views: dict[str, DataFrame], name: str) -> 
     out.createOrReplaceTempView(name)
 
 
+def semantic_search(
+    question: str,
+    embeddings: DataFrame,
+    documents: DataFrame | None = None,
+    table_col: str = "source_table",
+    id_col: str = "vec_id",
+    embedder=None,
+    k: int = 10,
+    threshold: float = 0.2,
+    top_tables: int = 10,
+) -> tuple[list[str], str, DataFrame]:
+    """The reference's semantic-search node (A30-A35, A49): embed the
+    question, score each "collection" (``table_col``) by its max
+    cosine, keep score ≥ threshold / top-N tables (reference
+    defaults 0.5 / 10, chroma_retrieval_util.py:148-150), take the
+    global top-k hits, and assemble attributed context. One scan +
+    one hash-aggregate — no per-collection probe loop.
+
+    Returns (relevant_tables, context_string, hits_df)."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.embedding import embed_query
+    from parquet_pipeline_spark.operators.vectors import scored
+
+    first = embeddings.select("embedding").first()
+    dim = len(first["embedding"]) if first else 64
+    qv = embed_query(question, embedder, dim=dim)
+
+    s = scored(embeddings, qv)
+    tables = [
+        r[table_col]
+        for r in s.groupBy(table_col)
+        .agg(F.max("score").alias("best"))
+        .filter(F.col("best") >= threshold)
+        .orderBy(F.col("best").desc(), F.col(table_col))
+        .limit(top_tables)
+        .collect()
+    ]
+    hits = s.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+    if documents is not None:
+        docs = documents.select(
+            F.col(id_col), F.col("text").alias("_chunk")
+        )
+        hits = hits.join(docs, id_col, "left")
+        rows = hits.collect()
+        context = "\n\n".join(
+            f"[Source: {r[table_col]}]\n{r['_chunk']}" for r in rows
+        )
+    else:
+        context = ""
+    return tables, context, hits
+
+
 def run_query_pipeline(
     spark: SparkSession,
     question: str,
     views: dict[str, DataFrame],
     client: LLMClient | None = None,
+    embeddings: DataFrame | None = None,
+    documents: DataFrame | None = None,
+    embedder=None,
+    table_col: str = "source_table",
+    semantic_threshold: float = 0.5,
 ) -> QueryResult:
     """The reference's RAG query loop, Spark-first and keyless-safe.
 
     ``views``: logical tables already registered (name → DataFrame).
+    ``embeddings``/``documents``: optional semantic layer — when a
+    sub-query routes to SEMANTIC_SEARCH, retrieval narrows the table
+    set (A49) and injects attributed context.
     """
     for name, df in views.items():
         df.createOrReplaceTempView(name)
@@ -94,6 +155,22 @@ def run_query_pipeline(
             else {t: views[t] for t in tables if t in views}
         ) or dict(views)
 
+        intent_early = route_intent(sub, client)
+        semantic_context = ""
+        if intent_early == "SEMANTIC_SEARCH" and embeddings is not None:
+            rel_tables, semantic_context, _hits = semantic_search(
+                sub,
+                embeddings,
+                documents,
+                table_col=table_col,
+                embedder=embedder,
+                threshold=semantic_threshold,
+            )
+            narrowed = {t: views[t] for t in rel_tables if t in views}
+            if narrowed:  # A49: retrieval replaces the target set
+                selected = narrowed
+                strategy = choose_strategy(list(narrowed), join_key)
+
         if strategy == "union" and len(selected) > 1:
             _union_view(spark, selected, "unified_data")
             sql_tables = {"unified_data": sorted(
@@ -102,13 +179,17 @@ def run_query_pipeline(
         else:
             sql_tables = {t: list(df.columns) for t, df in selected.items()}
 
-        intent = route_intent(sub, client)
-        res.intents[sub] = intent
+        res.intents[sub] = intent_early
 
         schema_ctx = "\n".join(
             f"Logical Table: {t} (Columns: {', '.join(cols)})"
             for t, cols in sql_tables.items()
         )
+        if semantic_context:
+            # the reference embeds retrieved chunks in the SQL prompt
+            # (langgraph_pipeline.py:433-437) so generated predicates
+            # can use exact retrieved values
+            schema_ctx = f"{schema_ctx}\n\nSemantic context:\n{semantic_context}"
         first = next(iter(selected.values()))
         sample_md = to_markdown(sample_head(first, 10))
         sql = generate_sql(sub, sql_tables, client, schema_ctx, sample_md)

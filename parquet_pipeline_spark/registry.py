@@ -50,4 +50,5 @@ def load_all() -> None:
         text,
         temporal,
         sketches,
+        embedding,
     )

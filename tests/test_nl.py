@@ -105,3 +105,54 @@ def test_query_pipeline_error_as_data(spark, sf_dir):
     [df] = list(res.results.values())
     assert df.columns == ["Error"]
     assert "No data found or error occurred" in res.summary
+
+
+def test_semantic_search_narrows_tables(spark):
+    """A49: retrieval-driven source refinement — a SEMANTIC_SEARCH
+    question narrows the table set to tables whose embeddings score
+    above threshold, using the keyless hash embedder end-to-end."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.embedding import embed_text
+    from parquet_pipeline_spark.pipeline import run_query_pipeline, semantic_search
+
+    alpha = spark.createDataFrame(
+        [(0, "who is Gregory Red the loan applicant"), (1, "loan amounts and rates")],
+        "vec_id long, text string",
+    )
+    beta = spark.createDataFrame(
+        [(2, "supplier shipping manifests"), (3, "warehouse inventory levels")],
+        "vec_id long, text string",
+    )
+    docs = alpha.unionByName(beta)
+    emb = embed_text(docs, "text", "vec_id", dim=16).join(docs, "vec_id").withColumn(
+        "source_table", F.when(F.col("vec_id") < 2, "alpha").otherwise("beta")
+    )
+    # the hash embedder maps the exact question text to the exact
+    # same vector → doc 0 scores 1.0 for its own text, so a question
+    # equal to doc 0's text must rank 'alpha' first
+    q = "who is Gregory Red the loan applicant"
+    tables, context, hits = semantic_search(q, emb, docs, threshold=0.5)
+    assert tables == ["alpha"]
+    assert "[Source: alpha]" in context
+    assert hits.first()["vec_id"] == 0
+
+    views = {
+        "alpha": spark.createDataFrame([(1, "x")], "id long, v string"),
+        "beta": spark.createDataFrame([(2, "y")], "id long, v string"),
+    }
+    res = run_query_pipeline(
+        spark, q, views, embeddings=emb, documents=docs, semantic_threshold=0.5
+    )
+    assert res.intents[q] == "SEMANTIC_SEARCH"
+    # fallback SQL runs against the narrowed table, not the union
+    assert "alpha" in list(res.sql.values())[0]
+
+
+def test_sanitize_collection_name():
+    from parquet_pipeline_spark.operators.embedding import sanitize_collection_name
+
+    assert sanitize_collection_name("data_source_loans") == "data_source_loans"
+    assert sanitize_collection_name("__weird  name!!") == "weird__name"
+    assert sanitize_collection_name("a") == "aco"  # padded to 3
+    assert len(sanitize_collection_name("x" * 600)) == 512
