@@ -591,13 +591,18 @@ def q17_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers_without_orders
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
     GROUP BY c_mktsegment
     """,
 )
 def q18_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_custkey")
+    )
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
@@ -848,13 +853,12 @@ def q26_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q27_above_brand_avg",
     oracle="""
-    SELECT p_partkey, p_brand, ROUND(p_retailprice, 2) AS price,
-           ROUND(brand_avg, 2) AS brand_avg
+    SELECT p_partkey, p_brand, ROUND(p_retailprice, 2) AS price
     FROM (
       SELECT p_partkey, p_brand, p_retailprice,
              AVG(p_retailprice) OVER (PARTITION BY p_brand) AS brand_avg
       FROM part
-    ) WHERE p_retailprice > brand_avg * 1.5
+    ) WHERE p_retailprice > brand_avg * 1.047
     """,
 )
 def q27_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -862,12 +866,15 @@ def q27_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "part")
         .withColumn("brand_avg", F.avg("p_retailprice").over(w))
-        .filter(F.col("p_retailprice") > F.col("brand_avg") * 1.5)
+        # 1.047 (not a round decimal) keeps avg*multiplier off exact
+        # 2-decimal price values, and the avg itself is not output —
+        # an avg of 2-decimal values can land exactly on a .xx5
+        # rounding boundary where the engines' rounding modes differ
+        .filter(F.col("p_retailprice") > F.col("brand_avg") * 1.047)
         .select(
             "p_partkey",
             "p_brand",
             F.round("p_retailprice", 2).alias("price"),
-            F.round("brand_avg", 2).alias("brand_avg"),
         )
     )
 
@@ -1107,5 +1114,81 @@ def q35_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.stddev_samp("o_totalprice"), 3).alias("sd_price"),
             F.round(F.var_samp("o_totalprice"), 1).alias("var_price"),
             F.round(F.avg("o_totalprice"), 3).alias("avg_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q36 — NOT IN subquery (the classic null-semantics trap: with a
+# null-free subquery it's exactly an anti join; we keep the subquery
+# provably null-free so both engines agree)
+# ---------------------------------------------------------------------------
+@register(
+    "q36_not_in",
+    oracle="""
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM part
+    WHERE p_partkey NOT IN (
+      SELECT l_partkey FROM lineitem WHERE l_quantity >= 48 AND l_partkey IS NOT NULL
+    )
+    GROUP BY p_brand
+    """,
+)
+def q36_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    heavy = (
+        _t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_quantity") >= 48) & F.col("l_partkey").isNotNull())
+        .select("l_partkey")
+    )
+    return (
+        part.join(heavy, part.p_partkey == heavy.l_partkey, "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q37 — TPC-H Q18 shape: large-volume customers via IN (grouped
+# HAVING subquery) — aggregate subquery feeding a semi join
+# ---------------------------------------------------------------------------
+@register(
+    "q37_large_volume_customers",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           ROUND(o.o_totalprice, 2) AS o_totalprice,
+           ROUND(SUM(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def q37_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 250)
+        .select("l_orderkey")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(big_orders, orders.o_orderkey == big_orders.l_orderkey, "left_semi")
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
         )
     )

@@ -194,6 +194,10 @@ def x01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "purchase")
         .groupBy(F.window("ts", "1 hour")["start"].alias("ts"))
         .agg(F.avg("value").alias("rate"))
+        # the quote aggregate is consumed three times inside asof_join
+        # (union, bucket summary, spine) — cache the small result
+        # instead of re-aggregating the event scan each time
+        .cache()
     )
     probes = ev.filter(F.col("event_type") == "click").select("event_id", "ts")
     joined = asof_join(probes, quotes, ts_col="ts", value_col="rate", bucket="6 hours")

@@ -145,7 +145,7 @@ def greedy_chunk(
         f"{group_col} string, chunk_id bigint, chunk_text string, row_ids array<bigint>"
     )
 
-    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col)
         chunks, cur_rows, cur_texts, cur_len, cid = [], [], [], 0, 0
         for rid, txt in zip(pdf[order_col], pdf[text_col]):
