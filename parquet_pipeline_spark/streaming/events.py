@@ -82,3 +82,88 @@ def stream_to_parquet(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user session
+    aggregation via ``applyInPandasWithState`` (the Spark construct
+    for operators the built-in windowed aggs can't express).
+
+    State per user = (open-session start, last-seen ts, event count).
+    Each micro-batch folds its events into the state; sessions whose
+    gap has been exceeded are EMITTED and removed, the still-open
+    session stays in state. Emits (user_id, session_start,
+    session_end, n_events) for CLOSED sessions only — bounded state,
+    exactly the per-key-state pattern a 100 TB event stream needs
+    (state scales with active users, not history).
+
+    The batch twin is ``operators/temporal.sessionize``; equivalence
+    on closed sessions is asserted in tests/test_streaming.py.
+    """
+    from typing import Iterator, Tuple
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("count", T.LongType()),
+        ]
+    )
+
+    def fold(
+        key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        rows = []
+        if state.exists:
+            start_us, last_us, count = state.get
+        else:
+            start_us = last_us = count = None
+        ts_us = []
+        for pdf in pdfs:
+            ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+        for t in sorted(ts_us):
+            if last_us is None:
+                start_us, last_us, count = t, t, 1
+            elif (t - last_us) > gap_seconds * 1_000_000:
+                rows.append((user_id, start_us, last_us, count))
+                start_us, last_us, count = t, t, 1
+            else:
+                last_us, count = t, count + 1
+        state.update((start_us, last_us, count))
+        if rows:
+            out = pd.DataFrame(
+                rows, columns=["user_id", "start_us", "end_us", "n_events"]
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": out["user_id"],
+                    "session_start": pd.to_datetime(out["start_us"], unit="us"),
+                    "session_end": pd.to_datetime(out["end_us"], unit="us"),
+                    "n_events": out["n_events"],
+                }
+            )
+
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

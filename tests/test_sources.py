@@ -120,3 +120,22 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Bucketed: true" in plan, plan
     assert joined.count() == lineitem.count()
+
+
+def test_csv_like_testdata_roundtrip(spark, tmp_path):
+    """FIXTURES.md §3 'chunked CSV': a large CSV ingests to parquet
+    with full fidelity — Spark splits natively, no manual chunking."""
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    csv_dir = str(tmp_path / "lineitem_csv")
+    li.write.option("header", "true").mode("overwrite").csv(csv_dir)
+
+    back = read_csv(spark, csv_dir)
+    assert back.count() == li.count() == 60000
+    assert set(back.columns) == set(li.columns)
+    # inferSchema must recover numerics
+    dt = dict(back.dtypes)
+    assert dt["l_quantity"] == "double" and dt["l_orderkey"] in ("bigint", "int")
+
+    dest = str(tmp_path / "roundtrip.parquet")
+    write_parquet(back, dest)
+    assert spark.read.parquet(dest).count() == 60000

@@ -68,3 +68,54 @@ def test_stream_to_parquet_exactly_once(spark, sf_dir, tmp_path):
     q2 = stream_to_parquet(stream2, dest, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(dest).count() == batch_events.count()
+
+
+def test_streaming_sessionize_matches_batch_closed_sessions(spark, sf_dir, tmp_path):
+    """The stateful streaming sessionizer must produce exactly the
+    batch sessionizer's CLOSED sessions (the final open session per
+    user never closes without more data)."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.temporal import sessionize
+    from parquet_pipeline_spark.streaming.events import streaming_sessionize
+
+    src, batch_events = _events_as_jsonl(spark, sf_dir, tmp_path)
+
+    stream = read_event_stream(spark, src, fmt="json", max_files=1)
+    sessions = streaming_sessionize(stream, gap_seconds=1800)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("stream_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM stream_sessions").collect()
+    }
+
+    batch = (
+        sessionize(batch_events, gap_seconds=1800)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    # drop each user's LAST session (still open in the stream)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id")
+    closed = (
+        batch.withColumn("_max_sid", F.max("session_id").over(w))
+        .filter(F.col("session_id") < F.col("_max_sid"))
+    )
+    expected = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in closed.collect()
+    }
+    assert got == expected
+    assert len(got) > 0
