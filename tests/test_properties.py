@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis) for the pure-python kernels and
+the trickiest distributed invariants on randomized small inputs."""
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+
+from parquet_pipeline_spark.operators.embedding import sanitize_collection_name
+from parquet_pipeline_spark.sources.cleaning import clean_column_names
+
+
+# ---------------------------------------------------------------------------
+# clean_column_names: output is always unique, lower_snake, non-empty
+# ---------------------------------------------------------------------------
+@given(st.lists(st.text(max_size=30), max_size=15))
+def test_clean_names_unique_and_wellformed(names):
+    out = clean_column_names(names)
+    assert len(out) == len(names)
+    assert len(set(out)) == len(out), "no collisions after dedup"
+    for c in out:
+        assert c and c == c.lower()
+        assert " " not in c and "__" not in c
+        assert not c.startswith("_") and not c.endswith("_")
+
+
+@given(st.lists(st.text(alphabet=st.characters(categories=("Ll", "Nd")), min_size=1, max_size=10), max_size=10))
+def test_clean_names_idempotent_on_clean_input(names):
+    once = clean_column_names(names)
+    twice = clean_column_names(once)
+    assert once == twice
+
+
+# ---------------------------------------------------------------------------
+# sanitize_collection_name: reference charset/length/ends contract
+# ---------------------------------------------------------------------------
+@given(st.text(max_size=600))
+def test_sanitize_collection_contract(name):
+    s = sanitize_collection_name(name)
+    assert 3 <= len(s) <= 512
+    assert all(c.isalnum() or c in "._-" for c in s)
+    assert s[0].isalnum() and s[-1].isalnum()
+
+
+# ---------------------------------------------------------------------------
+# greedy chunker (pure-python reimplementation of its loop is the
+# spec; here we check the real operator on random inputs via Spark)
+# ---------------------------------------------------------------------------
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=st.characters(categories=("Ll",)), min_size=1, max_size=120),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_greedy_chunk_properties(texts):
+    from tests.conftest import SF_DIR  # noqa: F401 (session already up)
+    from parquet_pipeline_spark.session import get_spark
+    from parquet_pipeline_spark.operators.text import greedy_chunk
+
+    spark = get_spark("tests")
+    rows = [(i, t, "g") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    chunks = sorted(
+        greedy_chunk(df, "source", "doc_id", "text", max_chars=100).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    seen = [rid for c in chunks for rid in c["row_ids"]]
+    assert seen == list(range(len(texts))), "each row exactly once, in order"
+    for c in chunks:
+        if len(c["row_ids"]) > 1:
+            assert len(c["chunk_text"]) <= 100
+    # greedy property: a chunk only closes because the next row would
+    # not fit (i.e. merging any chunk with its successor's first row
+    # must overflow)
+    for a, b in zip(chunks, chunks[1:]):
+        first_next = texts[b["row_ids"][0]]
+        assert len(a["chunk_text"]) + 1 + len(first_next) > 100
+
+
+# ---------------------------------------------------------------------------
+# asof_join equals the naive per-row definition on random data
+# ---------------------------------------------------------------------------
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=20),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_asof_join_matches_naive(probe_secs, quotes_raw):
+    from parquet_pipeline_spark.session import get_spark
+    from parquet_pipeline_spark.operators.temporal import asof_join
+
+    spark = get_spark("tests")
+    base = dt.datetime(2024, 1, 1)
+    probes = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=s)) for i, s in enumerate(probe_secs)],
+        "id long, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [(base + dt.timedelta(seconds=s), v) for s, v in quotes_raw],
+        "ts timestamp, rate double",
+    )
+    got = {r["id"]: r["rate"] for r in asof_join(probes, quotes, "ts", "rate", bucket="1 hour").collect()}
+
+    def naive(s):
+        eligible = [(qs, v) for qs, v in quotes_raw if qs <= s]
+        return max(eligible)[1] if eligible else None
+
+    expected = {i: naive(s) for i, s in enumerate(probe_secs)}
+    assert got == expected
