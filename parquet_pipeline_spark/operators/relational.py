@@ -1192,3 +1192,73 @@ def q37_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q38 — sliding time windows (2h window, 1h slide): each event lands
+# in two overlapping windows; oracle = union of the two shifted
+# hour-aligned buckets
+# ---------------------------------------------------------------------------
+@register(
+    "q38_events_sliding",
+    oracle="""
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour' AS wstart, event_type, value FROM events
+    )
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 3) AS total_value
+    FROM assigned
+    GROUP BY 1, 2
+    """,
+)
+def q38_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q39 — navigation window functions: lag / lead / first_value
+# ---------------------------------------------------------------------------
+@register(
+    "q39_window_nav",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(o_totalprice, 2) AS price,
+           ROUND(lag(o_totalprice) OVER w, 2)        AS prev_price,
+           ROUND(lead(o_totalprice) OVER w, 2)       AS next_price,
+           ROUND(first_value(o_totalprice) OVER w, 2) AS first_price
+    FROM orders
+    WHERE o_custkey < 30
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q39_window_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 30)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+            F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+            F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        )
+    )
