@@ -1262,3 +1262,227 @@ def q39_window_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q40 — deterministic sampling (modulo on a key: reproducible across
+# engines/runs, unlike RNG TABLESAMPLE; the pattern for stable
+# training-data subsets)
+# ---------------------------------------------------------------------------
+@register(
+    "q40_deterministic_sample",
+    oracle="""
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 20 = 0
+    """,
+)
+def q40_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 20 == 0)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q41 — text normalization chain (lowercase, punctuation strip,
+# whitespace collapse — the canonical pre-dedup normalizer)
+# ---------------------------------------------------------------------------
+@register(
+    "q41_text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))
+             AS norm_text,
+           CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS INT)
+             AS norm_len
+    FROM documents
+    WHERE doc_id < 100
+    """,
+)
+def q41_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).filter(
+        F.col("doc_id") < 100
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return docs.select(
+        "doc_id", norm.alias("norm_text"), F.length(norm).alias("norm_len")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q42 — column profiling (null rate / distinct / min / max) — the
+# data-quality pass a training pipeline runs before ingestion
+# ---------------------------------------------------------------------------
+@register(
+    "q42_profile_columns",
+    oracle="""
+    SELECT 'o_totalprice' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_totalprice) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
+           ROUND(MIN(o_totalprice), 2) AS min_val,
+           ROUND(MAX(o_totalprice), 2) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           ROUND(MIN(o_custkey), 2),
+           ROUND(MAX(o_custkey), 2)
+    FROM orders
+    """,
+)
+def q42_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+
+    def profile(col: str) -> DataFrame:
+        return o.agg(
+            F.lit(col).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.round(F.min(F.col(col).cast("double")), 2).alias("min_val"),
+            F.round(F.max(F.col(col).cast("double")), 2).alias("max_val"),
+        )
+
+    return profile("o_totalprice").unionByName(profile("o_custkey"))
+
+
+# ---------------------------------------------------------------------------
+# q43 — histogram (fixed-width bucketing; integer-exact)
+# ---------------------------------------------------------------------------
+@register(
+    "q43_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q43_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.floor(F.col("o_totalprice") / 50000).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q44 — correlation / covariance (sample semantics both engines)
+# ---------------------------------------------------------------------------
+@register(
+    "q44_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 4)       AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_discount), 6)      AS qty_disc_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q44_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("qty_disc_covar"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q45 — array operations over the embedding column (slice,
+# element_at, per-row aggregate) — the array-typed column surface
+# ---------------------------------------------------------------------------
+@register(
+    "q45_array_ops",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           ROUND(embedding[1]::DOUBLE, 6) AS first_component,
+           ROUND(list_sum(embedding[1:8]::DOUBLE[]), 6) AS head_sum,
+           ROUND(list_max(embedding::DOUBLE[]), 6) AS max_component
+    FROM embeddings
+    WHERE vec_id < 50
+    """,
+)
+def q45_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).filter(
+        F.col("vec_id") < 50
+    )
+    head = F.slice(F.col("embedding"), 1, 8)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_component"),
+        F.round(
+            F.aggregate(head, F.lit(0.0), lambda a, x: a + x.cast("double")), 6
+        ).alias("head_sum"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_component"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q46 — ordered string aggregation (listagg analog: sorted
+# collect_list → concat, deterministic)
+# ---------------------------------------------------------------------------
+@register(
+    "q46_string_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q46_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_set("o_orderpriority"))
+            ).alias("priorities")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q47 — date arithmetic (datediff / date_add / month truncation)
+# ---------------------------------------------------------------------------
+@register(
+    "q47_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INT) AS days_since_epoch_start,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month
+    FROM orders
+    WHERE o_orderkey < 500
+    """,
+)
+def q47_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+        F.date_format(F.date_add(F.col("o_orderdate"), 30), "yyyy-MM-dd").alias("due_date"),
+        F.date_format(F.trunc(F.col("o_orderdate"), "month"), "yyyy-MM-dd").alias("order_month"),
+    )
