@@ -49,7 +49,18 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
     if dict(ev.dtypes).get("ts") in ("bigint", "long"):
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # timestamp_micros yields an epoch-based TIMESTAMP whose
+        # *rendering* depends on the session timezone; convert to
+        # TIMESTAMP_NTZ at UTC so the wall-clock values equal the
+        # file's naive nanos regardless of the driver's session tz
+        # (verified: a New-York session otherwise shifts every
+        # windowed/event query by the UTC offset)
+        ev = ev.withColumn(
+            "ts",
+            F.convert_timezone(
+                None, F.lit("UTC"), F.timestamp_micros(F.expr("ts div 1000"))
+            ),
+        )
     return ev
 
 

@@ -109,7 +109,12 @@ def sessionize(
     Adds ``session_id`` (0-based per entity). One shuffle on the
     entity key; state is a window, bounded per entity."""
     w = W.partitionBy(entity_col).orderBy(ts_col, order_tiebreak)
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    # unix_timestamp: epoch seconds for TIMESTAMP, and (crucially)
+    # UTC-interpreted wall-clock seconds for TIMESTAMP_NTZ — i.e.
+    # independent of the session timezone for both types (a plain
+    # cast-to-long is illegal on NTZ)
+    secs = F.unix_timestamp(F.col(ts_col))
+    gap = secs - F.lag(secs).over(w)
     new_session = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
     return events.withColumn(
         "session_id",
@@ -132,7 +137,7 @@ def range_join_within(
     Bucket trick: a row joins only rows in its own or the next time
     bucket (bucket width = the range), so the join is an equi-join on
     (key, bucket) — no nested-loop range join, linear at scale."""
-    bkt = (F.col(ts_col).cast("long") / within_seconds).cast("long")
+    bkt = (F.unix_timestamp(F.col(ts_col)) / within_seconds).cast("long")
     left = df.select(
         F.col(key_col).alias("_k"),
         F.col(ts_col).alias("_ts_a"),
@@ -145,7 +150,7 @@ def range_join_within(
         F.col(id_col).alias("id_b"),
         bkt.alias("_bkt"),
     )
-    delta = F.col("_ts_b").cast("long") - F.col("_ts_a").cast("long")
+    delta = F.unix_timestamp(F.col("_ts_b")) - F.unix_timestamp(F.col("_ts_a"))
     return (
         left.join(right, ["_k", "_bkt"])
         .filter((delta > 0) & (delta <= within_seconds))
