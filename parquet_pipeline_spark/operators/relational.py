@@ -1497,3 +1497,60 @@ def q47_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_add(F.col("o_orderdate"), 30), "yyyy-MM-dd").alias("due_date"),
         F.date_format(F.trunc(F.col("o_orderdate"), "month"), "yyyy-MM-dd").alias("order_month"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q48 — UNPIVOT / melt (wide → long)
+# ---------------------------------------------------------------------------
+@register(
+    "q48_unpivot",
+    oracle="""
+    SELECT p_partkey, metric, ROUND(val, 2) AS val
+    FROM (
+      SELECT p_partkey, ROUND(p_retailprice, 2) AS retail_price,
+             CAST(p_size AS DOUBLE) AS size_val
+      FROM part WHERE p_partkey < 200
+    )
+    UNPIVOT (val FOR metric IN (retail_price, size_val))
+    """,
+)
+def q48_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 200)
+        .select(
+            "p_partkey",
+            F.round("p_retailprice", 2).alias("retail_price"),
+            F.col("p_size").cast("double").alias("size_val"),
+        )
+    )
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["retail_price", "size_val"],
+        variableColumnName="metric",
+        valueColumnName="_v",
+    ).select("p_partkey", "metric", F.round("_v", 2).alias("val"))
+
+
+# ---------------------------------------------------------------------------
+# q49 — explode / UNNEST with position (lateral array expansion)
+# ---------------------------------------------------------------------------
+@register(
+    "q49_explode",
+    oracle="""
+    SELECT vec_id,
+           CAST(i - 1 AS INT) AS pos,
+           ROUND(embedding[CAST(i AS INT)]::DOUBLE, 6) AS component
+    FROM embeddings, range(1, 5) r(i)
+    WHERE vec_id < 20
+    """,
+)
+def q49_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).filter(
+        F.col("vec_id") < 20
+    )
+    return (
+        emb.select("vec_id", F.slice("embedding", 1, 4).alias("head"))
+        .select("vec_id", F.posexplode("head").alias("pos", "_c"))
+        .select("vec_id", "pos", F.round(F.col("_c").cast("double"), 6).alias("component"))
+    )

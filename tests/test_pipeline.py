@@ -52,3 +52,30 @@ def test_error_frame_convention(spark):
     assert is_error_frame(ef) and ef.first()["Error"] == "boom"
     bad = run_sql_safe(spark, "SELECT FROM nowhere AT ALL")
     assert is_error_frame(bad)
+
+
+def test_context_helpers(spark):
+    from parquet_pipeline_spark.context import (
+        df_to_json_records,
+        json_records_to_df,
+        sample_head,
+        to_markdown,
+        with_provenance,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, None)], "id long, v string")
+    assert sample_head(df, 2).count() == 2
+
+    tagged = with_provenance(df, "T1:loans")
+    assert tagged.columns[0] == "__TABLE__"
+    assert tagged.first()["__TABLE__"] == "T1:loans"
+
+    md = to_markdown(df)
+    assert "id" in md and "|" in md
+
+    payload = df_to_json_records(df)
+    back = json_records_to_df(spark, payload)
+    assert back.count() == 3
+    assert sorted(back.columns) == ["id", "v"]
+
+    assert json_records_to_df(spark, "[]").count() == 0
