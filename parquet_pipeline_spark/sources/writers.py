@@ -67,3 +67,31 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.option("compression", "zstd").format("parquet").saveAsTable(table_name)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    partition_cols: list[str] | None = None,
+    num_files: int | None = None,
+    **kwargs,
+) -> None:
+    """Layout-optimized parquet: rows sorted *within* each output
+    file on ``sort_cols`` so parquet row-group min/max statistics
+    become selective — a range filter on the sort key then skips
+    whole row groups at scan time (the poor man's clustering index;
+    at 100 TB this is the difference between reading a few row
+    groups and reading everything when filtering on the sort key).
+    ``repartitionByRange`` first (hash repartitioning would scatter
+    every key range across every file, leaving min/max useless), so
+    each file owns a contiguous key range. ``num_files`` pins the
+    file count (an explicit count is exempt from AQE coalescing,
+    which would otherwise merge small range partitions and widen the
+    per-file key span)."""
+    if num_files is not None:
+        arranged = df.repartitionByRange(num_files, *sort_cols)
+    else:
+        arranged = df.repartitionByRange(*sort_cols)
+    arranged = arranged.sortWithinPartitions(*sort_cols)
+    write_parquet(arranged, path, partition_by=partition_cols, **kwargs)

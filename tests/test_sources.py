@@ -139,3 +139,32 @@ def test_csv_like_testdata_roundtrip(spark, tmp_path):
     dest = str(tmp_path / "roundtrip.parquet")
     write_parquet(back, dest)
     assert spark.read.parquet(dest).count() == 60000
+
+
+def test_write_sorted_rowgroup_stats_selective(spark, sf_dir, tmp_path):
+    """Sorted layout → narrow per-file min/max ranges on the sort key
+    (row-group skipping works); unsorted layout → every file spans
+    ~the whole key range."""
+    import pyarrow.parquet as pq
+
+    from parquet_pipeline_spark.sources.writers import write_parquet, write_sorted
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    full_span = hi - lo
+
+    dest = str(tmp_path / "sorted.parquet")
+    write_sorted(orders, dest, ["o_orderkey"], num_files=8)
+
+    spans = []
+    for f in os.listdir(dest):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(dest, f)).metadata
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert md.schema.column(0).name == "o_orderkey"
+            spans.append(col.statistics.max - col.statistics.min)
+    assert spans and max(spans) < full_span * 0.6, spans
+
+    assert spark.read.parquet(dest).count() == orders.count()
