@@ -95,3 +95,36 @@ def write_sorted(
         arranged = df.repartitionByRange(*sort_cols)
     arranged = arranged.sortWithinPartitions(*sort_cols)
     write_parquet(arranged, path, partition_by=partition_cols, **kwargs)
+
+
+def compact(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet table into
+    ~target-size files (the standard lake-maintenance pass after many
+    streaming/append micro-batches each left tiny part-files —
+    unbounded small files destroy scan scheduling at scale).
+    Rewrites via a temp sibling dir then atomic-ish rename. Returns
+    the new file count."""
+    import math
+    import os as _os
+    import shutil
+
+    df = spark.read.parquet(path)
+    total_bytes = sum(
+        f.stat().st_size
+        for f in _os.scandir(path)
+        if f.name.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    tmp = path.rstrip("/") + "._compacting"
+    arranged = df.repartitionByRange(n_files, *sort_cols) if sort_cols else df.coalesce(n_files)
+    write_parquet(arranged, tmp)
+    backup = path.rstrip("/") + "._old"
+    _os.rename(path, backup)
+    _os.rename(tmp, path)
+    shutil.rmtree(backup)
+    return sum(1 for f in _os.scandir(path) if f.name.endswith(".parquet"))

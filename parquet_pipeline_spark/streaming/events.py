@@ -167,3 +167,15 @@ def streaming_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup(
+    stream: DataFrame, key_cols: list[str], watermark: str = "1 day"
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key across
+    micro-batches. State = one entry per key within the watermark
+    horizon, so memory is bounded by the dedup-key cardinality per
+    watermark window — the streaming twin of the batch exact dedup
+    (operators/dedup.dedup_exact)."""
+    src = stream.withWatermark("ts", watermark) if "ts" in stream.columns else stream
+    return src.dropDuplicates(key_cols)

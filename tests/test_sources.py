@@ -168,3 +168,19 @@ def test_write_sorted_rowgroup_stats_selective(spark, sf_dir, tmp_path):
     assert spans and max(spans) < full_span * 0.6, spans
 
     assert spark.read.parquet(dest).count() == orders.count()
+
+
+def test_compaction_reduces_files_preserves_data(spark, sf_dir, tmp_path):
+    from parquet_pipeline_spark.sources.writers import compact
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dest = str(tmp_path / "fragmented.parquet")
+    orders.repartition(40).write.parquet(dest)  # simulate micro-batch litter
+    before = sum(1 for f in os.listdir(dest) if f.endswith(".parquet"))
+    assert before >= 40
+
+    checksum_before = orders.agg(F.sum("o_orderkey"), F.count(F.lit(1))).first()
+    n_after = compact(spark, dest, target_file_bytes=10 * 1024 * 1024)
+    assert n_after < before
+    back = spark.read.parquet(dest)
+    assert back.agg(F.sum("o_orderkey"), F.count(F.lit(1))).first() == checksum_before

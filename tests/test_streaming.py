@@ -119,3 +119,37 @@ def test_streaming_sessionize_matches_batch_closed_sessions(spark, sf_dir, tmp_p
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_streaming_dedup_across_batches(spark, sf_dir, tmp_path):
+    """Duplicates split across micro-batches must still dedup (state
+    carries keys across batches)."""
+    import json as _json
+
+    from parquet_pipeline_spark.streaming.events import streaming_dedup
+
+    src = tmp_path / "dup_src"
+    src.mkdir()
+    # same user_id+event_type pairs appear in both batches
+    rows = [
+        {"event_id": i, "ts": f"2024-01-01 00:{i:02d}:00", "user_id": i % 3,
+         "event_type": "click", "value": 1.0, "props": "{}"}
+        for i in range(10)
+    ]
+    (src / "b0.jsonl").write_text("\n".join(_json.dumps(r) for r in rows[:5]))
+    (src / "b1.jsonl").write_text("\n".join(_json.dumps(r) for r in rows[5:]))
+
+    stream = read_event_stream(spark, str(src), fmt="json", max_files=1)
+    deduped = streaming_dedup(stream, ["user_id", "event_type"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT user_id, event_id FROM dedup_stream").collect()
+    assert len(out) == 3  # one per user_id despite 10 input rows
+    # first arrival wins: event_ids 0,1,2
+    assert sorted(r["event_id"] for r in out) == [0, 1, 2]
