@@ -40,6 +40,8 @@ HEADLINE = [
     "t04_quality_score",
     "t05_token_count",
     "t02_chunk_assignment",
+    "x02_sessionize",
+    "q33_shipping_priority",
 ]
 
 
