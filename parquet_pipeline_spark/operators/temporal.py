@@ -262,3 +262,54 @@ def x03_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed equi-join, not a nested-loop range join."""
     ev = _events(spark, sf_dir)
     return range_join_within(ev, "user_id", "ts", "event_id", within_seconds=300)
+
+
+# ---------------------------------------------------------------------------
+# x04 — native session windows (F.session_window: the built-in
+# gap-based grouping; same semantics as x02's lag/cumsum
+# sessionization, so they share oracle logic — and the construct
+# works unchanged on a stream with a watermark)
+# ---------------------------------------------------------------------------
+@register(
+    "x04_session_window",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+    FROM (
+      SELECT user_id, ts,
+             CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1
+               AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               FLOOR(epoch(ts)) - lag(FLOOR(epoch(ts)))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events
+      )
+    )
+    GROUP BY user_id, session_id
+    """,
+)
+def x04_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session aggregation via the built-in session_window.
+
+    Boundary alignment with the lag-based oracle: timestamps are
+    floored to whole seconds first (the oracle floors epochs too),
+    and session_window's merge rule is INCLUSIVE at the gap endpoint
+    (an event exactly ``gap`` after the previous one extends the
+    session), matching the oracle's "new session iff gap > 1800"."""
+    ev = _events(spark, sf_dir).withColumn(
+        "ts", F.timestamp_seconds(F.unix_timestamp("ts"))
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "1800 seconds").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        )
+        .select("user_id", "n_events", "session_start", "session_end")
+    )

@@ -385,3 +385,50 @@ def a04_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, cents, qv, k=10, nprobe=4).select(
         "vec_id", "label", F.round("score", 6).alias("score")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means refinement for IVF (iterative Lloyd steps as DataFrame ops:
+# assign = argmax-cosine over broadcast centroid literals; update =
+# element-wise mean via posexplode → groupBy(cell, pos) → rebuild.
+# Deterministic: seeded by the even-spaced ivf_centroids init).
+# ---------------------------------------------------------------------------
+def kmeans_refine(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    iterations: int = 2,
+) -> list[tuple[int, list[float]]]:
+    """A few Lloyd iterations over the corpus. Each iteration is two
+    distributed passes (assign, average) — no data ever collects to
+    the driver except the k centroid vectors themselves."""
+    for _ in range(iterations):
+        assigned = ivf_assign(emb, centroids)
+        new_rows = (
+            assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+            .collect()
+        )
+        updated = {r["cell"]: [float(x) for x in r["centroid"]] for r in new_rows}
+        # cells that lost all members keep their previous centroid
+        centroids = [(cid, updated.get(cid, vec)) for cid, vec in centroids]
+    return centroids
+
+
+def kmeans_inertia(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> float:
+    """Mean (1 - best cosine) over the corpus — the quantity Lloyd
+    iterations should not increase."""
+    assigned = ivf_assign(emb, centroids)
+    cent = F.array(
+        *[
+            F.struct(F.lit(cid).alias("cid"), F.array(*[F.lit(v) for v in vec]).alias("cv"))
+            for cid, vec in centroids
+        ]
+    )
+    best = F.array_max(
+        F.transform(cent, lambda c: cosine_similarity(F.col("embedding"), c["cv"]))
+    )
+    return assigned.agg(F.avg(1 - best)).first()[0]

@@ -44,3 +44,24 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     # and with all cells probed it must equal exact
     full = [r["vec_id"] for r in ivf_topk(emb, cents, qv, k=10, nprobe=8).collect()]
     assert full == exact
+
+
+def test_kmeans_refinement_reduces_inertia_and_preserves_exactness(spark, sf_dir):
+    from parquet_pipeline_spark.operators.vectors import (
+        ivf_centroids,
+        kmeans_inertia,
+        kmeans_refine,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") != 0
+    )
+    init = ivf_centroids(emb, k=8)
+    refined = kmeans_refine(emb, init, iterations=2)
+    assert kmeans_inertia(emb, refined) <= kmeans_inertia(emb, init) + 1e-9
+
+    # full-probe top-k with refined cells still equals exact top-k
+    qv = _query_vector(spark, sf_dir, vec_id=0)
+    exact = [r["vec_id"] for r in topk(emb, qv, k=10).collect()]
+    full = [r["vec_id"] for r in ivf_topk(emb, refined, qv, k=10, nprobe=8).collect()]
+    assert full == exact
