@@ -128,3 +128,31 @@ def compact(
     _os.rename(tmp, path)
     shutil.rmtree(backup)
     return sum(1 for f in _os.scandir(path) if f.name.endswith(".parquet"))
+
+
+def upsert_parquet(
+    spark,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> None:
+    """MERGE-style upsert onto a plain parquet table: rows in
+    ``updates`` replace same-key rows in the target, new keys are
+    inserted (delete-free MERGE INTO semantics without a table
+    format). Implemented as target-anti-join-updates ∪ updates, then
+    the same tmp-dir + swap used by ``compact``. At real scale this
+    is what a transactional table format (Delta/Iceberg/Hudi) does
+    with metadata instead of a rewrite — the operator shape (anti
+    join on the key, union, atomic swap) is identical."""
+    import os as _os
+    import shutil
+
+    target = spark.read.parquet(path)
+    kept = target.join(updates.select(*key_cols), key_cols, "left_anti")
+    merged = kept.unionByName(updates.select(*target.columns))
+    tmp = path.rstrip("/") + "._upserting"
+    write_parquet(merged, tmp)
+    backup = path.rstrip("/") + "._old"
+    _os.rename(path, backup)
+    _os.rename(tmp, path)
+    shutil.rmtree(backup)

@@ -184,3 +184,20 @@ def test_compaction_reduces_files_preserves_data(spark, sf_dir, tmp_path):
     assert n_after < before
     back = spark.read.parquet(dest)
     assert back.agg(F.sum("o_orderkey"), F.count(F.lit(1))).first() == checksum_before
+
+
+def test_upsert_parquet(spark, tmp_path):
+    from parquet_pipeline_spark.sources.writers import upsert_parquet, write_parquet
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, v string, x double"
+    )
+    dest = str(tmp_path / "t.parquet")
+    write_parquet(base, dest)
+
+    updates = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "id long, v string, x double"
+    )
+    upsert_parquet(spark, dest, updates, ["id"])
+    out = {r["id"]: (r["v"], r["x"]) for r in spark.read.parquet(dest).collect()}
+    assert out == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}

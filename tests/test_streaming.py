@@ -153,3 +153,58 @@ def test_streaming_dedup_across_batches(spark, sf_dir, tmp_path):
     assert len(out) == 3  # one per user_id despite 10 input rows
     # first arrival wins: event_ids 0,1,2
     assert sorted(r["event_id"] for r in out) == [0, 1, 2]
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg: a window emits once the watermark
+    passes it; data for that window arriving after the watermark is
+    dropped. Two separate checkpointed runs force the batch split."""
+    import json as _json
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    dest = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def run_once():
+        stream = read_event_stream(spark, str(src), fmt="json", max_files=1)
+        agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", dest)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: on-time events + a sentinel that pushes the watermark to
+    # 04:00, far past the 00:00-01:00 window
+    b0 = [
+        {"event_id": 1, "ts": "2024-01-01 00:10:00", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01 00:20:00", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01 06:00:00", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+    ]
+    (src / "b0.jsonl").write_text("\n".join(_json.dumps(r) for r in b0))
+    run_once()
+
+    # run 2: a LATE event for the long-closed 00:00 window
+    b1 = [
+        {"event_id": 4, "ts": "2024-01-01 00:30:00", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+    ]
+    (src / "b1.jsonl").write_text("\n".join(_json.dumps(r) for r in b1))
+    run_once()
+
+    out = spark.read.parquet(dest)
+    rows = {
+        str(r["window_start"]): r["n_events"]
+        for r in out.filter(out.n_events.isNotNull()).collect()
+    }
+    # the 00:00 window holds only the ON-TIME events; the late
+    # arrival was dropped, and no duplicate emission happened
+    assert rows.get("2024-01-01 00:00:00") == 2, rows
