@@ -116,3 +116,11 @@ def test_asof_join_matches_naive(probe_secs, quotes_raw):
 
     expected = {i: naive(s) for i, s in enumerate(probe_secs)}
     assert got == expected
+
+
+def test_fuzz_differential_vs_duckdb(spark):
+    """30 randomized filter+aggregate queries must agree with DuckDB
+    (numeric tolerance). Seeded — deterministic in CI."""
+    import tools.fuzz_oracle as fz
+
+    assert fz.run(n=30, seed=123, quiet=True) == 0

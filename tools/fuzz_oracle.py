@@ -1,0 +1,141 @@
+"""Differential query fuzzer: random filter+aggregate queries
+executed by BOTH Spark and DuckDB, results compared group-by-group
+with numeric tolerance.
+
+The fixed driver queries prove the declared operator surface; this
+proves the *engine* agrees with DuckDB on an open-ended neighborhood
+of that surface (predicate combinations, group-bys, aggregate
+choices nobody hand-picked).
+
+Usage:
+    python tools/fuzz_oracle.py [N] [seed]
+Exit code 1 on any divergence beyond tolerance.
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+
+NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+NUM_RANGES = {
+    "l_quantity": (1, 50),
+    "l_extendedprice": (900, 100000),
+    "l_discount": (0.0, 0.1),
+    "l_tax": (0.0, 0.08),
+}
+STR_COLS = {"l_returnflag": ["A", "N", "R"], "l_linestatus": ["O", "F"]}
+DATE_COL = "l_shipdate"
+GROUP_CHOICES = [[], ["l_returnflag"], ["l_linestatus"], ["l_returnflag", "l_linestatus"]]
+AGG_FUNCS = ["SUM", "AVG", "MIN", "MAX", "COUNT"]
+
+
+def random_predicate(rng: random.Random) -> str:
+    atoms = []
+    for _ in range(rng.randint(1, 3)):
+        kind = rng.choice(["num", "num", "str", "date"])
+        if kind == "num":
+            col = rng.choice(NUM_COLS)
+            lo, hi = NUM_RANGES[col]
+            val = round(rng.uniform(lo, hi), 3)
+            op = rng.choice(["<", "<=", ">", ">=", "=", "!="])
+            atoms.append(f"{col} {op} {val}")
+        elif kind == "str":
+            col = rng.choice(list(STR_COLS))
+            val = rng.choice(STR_COLS[col])
+            op = rng.choice(["=", "!=", "IN"])
+            if op == "IN":
+                vals = rng.sample(STR_COLS[col], rng.randint(1, len(STR_COLS[col])))
+                atoms.append(f"{col} IN ({', '.join(repr(v) for v in vals)})")
+            else:
+                atoms.append(f"{col} {op} {val!r}")
+        else:
+            y, m = rng.randint(1995, 2001), rng.randint(1, 12)
+            op = rng.choice(["<", ">=", ">"])
+            atoms.append(f"{DATE_COL} {op} TIMESTAMP '{y}-{m:02d}-01 00:00:00'")
+    joiner = rng.choice([" AND ", " OR "])
+    return joiner.join(atoms)
+
+
+def random_query(rng: random.Random) -> tuple[str, list[str]]:
+    pred = random_predicate(rng)
+    groups = rng.choice(GROUP_CHOICES)
+    fn = rng.choice(AGG_FUNCS)
+    col = rng.choice(NUM_COLS)
+    agg = "COUNT(*)" if fn == "COUNT" else f"{fn}({col})"
+    sel = (", ".join(groups) + ", " if groups else "") + f"{agg} AS agg_val"
+    sql = f"SELECT {sel} FROM lineitem WHERE {pred}"
+    if groups:
+        sql += " GROUP BY " + ", ".join(groups)
+    return sql, groups
+
+
+def compare(spark_rows, duck_rows, groups) -> str | None:
+    def keyed(rows):
+        return {tuple(str(r[g]) for g in groups): r["agg_val"] for r in rows}
+
+    import math
+
+    def is_null(v) -> bool:
+        # pandas renders SQL NULL as NaN; Spark collect gives None
+        return v is None or (isinstance(v, float) and math.isnan(v))
+
+    a, b = keyed(spark_rows), keyed(duck_rows)
+    if set(a) != set(b):
+        return f"group keys differ: {set(a) ^ set(b)}"
+    for k in a:
+        va, vb = a[k], b[k]
+        if is_null(va) and is_null(vb):
+            continue
+        if is_null(va) or is_null(vb):
+            return f"null mismatch at {k}: {va} vs {vb}"
+        va, vb = float(va), float(vb)
+        if abs(va - vb) > 1e-6 + 1e-9 * max(abs(va), abs(vb)):
+            return f"value mismatch at {k}: {va} vs {vb}"
+    return None
+
+
+def run(n: int = 50, seed: int = 7, quiet: bool = False) -> int:
+    import duckdb
+
+    from parquet_pipeline_spark.session import get_spark
+
+    rng = random.Random(seed)
+    spark = get_spark("fuzz")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").createOrReplaceTempView("lineitem")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF_DIR}/lineitem.parquet')"
+    )
+
+    failures = 0
+    for i in range(n):
+        sql, groups = random_query(rng)
+        try:
+            s_rows = [r.asDict() for r in spark.sql(sql).collect()]
+            d_rows = con.execute(sql).fetchdf().to_dict("records")
+        except Exception as e:  # dialect gap is itself a finding
+            print(f"[{i}] ERROR {sql}\n    {e}")
+            failures += 1
+            continue
+        # DuckDB fetchdf renames COUNT(*) etc — normalize via alias
+        # (we always alias to agg_val, so keys line up)
+        diff = compare(s_rows, d_rows, groups)
+        if diff:
+            print(f"[{i}] DIVERGE {sql}\n    {diff}")
+            failures += 1
+        elif not quiet:
+            print(f"[{i}] ok ({len(s_rows)} groups) {sql[:90]}")
+    print(f"\n{n - failures}/{n} agree")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 7
+    raise SystemExit(run(n, seed))
