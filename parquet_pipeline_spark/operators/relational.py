@@ -1554,3 +1554,43 @@ def q49_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.posexplode("head").alias("pos", "_c"))
         .select("vec_id", "pos", F.round(F.col("_c").cast("double"), 6).alias("component"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q50 — TPC-H Q2 shape: match rows against their group's minimum
+# (correlated min subquery → per-group min join)
+# ---------------------------------------------------------------------------
+@register(
+    "q50_min_per_group",
+    oracle="""
+    SELECT l.l_partkey, l.l_suppkey, ROUND(l.l_extendedprice, 2) AS best_price
+    FROM lineitem l
+    JOIN (
+      SELECT l_partkey, MIN(l_extendedprice) AS min_price
+      FROM lineitem GROUP BY l_partkey
+    ) m ON l.l_partkey = m.l_partkey AND l.l_extendedprice = m.min_price
+    WHERE l.l_partkey < 200
+    """,
+)
+def q50_min_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 200)
+    # rename the aggregate side before the self-join — both branches
+    # descend from the same scan, so shared attribute names would be
+    # ambiguous (Spark's "trivially true predicate" trap)
+    mins = (
+        li.groupBy("l_partkey")
+        .agg(F.min("l_extendedprice").alias("min_price"))
+        .withColumnRenamed("l_partkey", "m_partkey")
+    )
+    return (
+        li.join(
+            mins,
+            (F.col("l_partkey") == F.col("m_partkey"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.round("l_extendedprice", 2).alias("best_price"),
+        )
+    )

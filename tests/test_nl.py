@@ -156,3 +156,20 @@ def test_sanitize_collection_name():
     assert sanitize_collection_name("__weird  name!!") == "weird__name"
     assert sanitize_collection_name("a") == "aco"  # padded to 3
     assert len(sanitize_collection_name("x" * 600)) == 512
+
+
+def test_multi_intent_pipeline_keyless(spark, sf_dir):
+    """Two questions in one prompt → two sub-queries, two results."""
+    from parquet_pipeline_spark.catalog import register_tables
+    from parquet_pipeline_spark.pipeline import run_query_pipeline
+
+    views = register_tables(spark, sf_dir, ["orders", "customer"])
+    res = run_query_pipeline(
+        spark,
+        "What is the maximum o_totalprice in orders? How many customer are there?",
+        views,
+    )
+    assert len(res.sub_queries) == 2
+    assert len(res.results) == 2
+    vals = [df.first()[0] for df in res.results.values()]
+    assert all(v is not None for v in vals)

@@ -54,3 +54,32 @@ def test_broadcast_join_for_dims(spark, sf_dir):
     df = entry_mod.queries()["q09_join_broadcast_dim"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_describe_surface(spark, sf_dir):
+    """SURVEY §2B: DESCRIBE is part of the demanded SQL surface."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "li_describe"
+    )
+    rows = {r["col_name"]: r["data_type"] for r in spark.sql("DESCRIBE li_describe").collect()}
+    assert rows["l_quantity"] == "double"
+    assert rows["l_orderkey"] == "bigint"
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    """Hive-partitioned writes → a partition filter prunes at plan
+    time (PartitionFilters in the scan, not a post-scan filter)."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.relational import _events
+    from parquet_pipeline_spark.sources.writers import write_parquet
+
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    dest = str(tmp_path / "events_by_day")
+    write_parquet(ev, dest, partition_by=["day"])
+
+    filtered = spark.read.parquet(dest).filter(F.col("day") == "2024-01-15")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan
+    n_days = ev.select("day").distinct().count()
+    assert filtered.count() < ev.count() / max(n_days - 5, 1)
