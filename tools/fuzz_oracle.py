@@ -63,10 +63,28 @@ def random_predicate(rng: random.Random) -> str:
 
 def random_query(rng: random.Random) -> tuple[str, list[str]]:
     pred = random_predicate(rng)
-    groups = rng.choice(GROUP_CHOICES)
     fn = rng.choice(AGG_FUNCS)
     col = rng.choice(NUM_COLS)
     agg = "COUNT(*)" if fn == "COUNT" else f"{fn}({col})"
+    if rng.random() < 0.3:
+        # join variant: lineitem ⋈ orders with an order-side predicate
+        o_groups = rng.choice([[], ["o_orderstatus"], ["o_orderpriority"]])
+        o_pred = rng.choice(
+            [
+                f"o_totalprice > {rng.randint(50_000, 400_000)}",
+                f"o_orderstatus = '{rng.choice(['O', 'F', 'P'])}'",
+                f"o_orderdate >= TIMESTAMP '{rng.randint(1995, 2001)}-01-01 00:00:00'",
+            ]
+        )
+        sel = (", ".join(o_groups) + ", " if o_groups else "") + f"{agg} AS agg_val"
+        sql = (
+            f"SELECT {sel} FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            f"WHERE ({pred}) AND {o_pred}"
+        )
+        if o_groups:
+            sql += " GROUP BY " + ", ".join(o_groups)
+        return sql, o_groups
+    groups = rng.choice(GROUP_CHOICES)
     sel = (", ".join(groups) + ", " if groups else "") + f"{agg} AS agg_val"
     sql = f"SELECT {sel} FROM lineitem WHERE {pred}"
     if groups:
@@ -107,11 +125,12 @@ def run(n: int = 50, seed: int = 7, quiet: bool = False) -> int:
     rng = random.Random(seed)
     spark = get_spark("fuzz")
     spark.sparkContext.setLogLevel("ERROR")
-    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").createOrReplaceTempView("lineitem")
     con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF_DIR}/lineitem.parquet')"
-    )
+    for t in ("lineitem", "orders"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").createOrReplaceTempView(t)
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
 
     failures = 0
     for i in range(n):
