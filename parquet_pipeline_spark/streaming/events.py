@@ -179,3 +179,42 @@ def streaming_dedup(
     (operators/dedup.dedup_exact)."""
     src = stream.withWatermark("ts", watermark) if "ts" in stream.columns else stream
     return src.dropDuplicates(key_cols)
+
+
+def stream_stream_click_purchase_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: purchases attributed to a prior
+    click by the same user within ``within``. Watermarks on BOTH
+    sides bound the join state (each side buffers only rows younger
+    than watermark + join range — the canonical attribution join at
+    scale)."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if purchases.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        F.expr(
+            f"""
+            c_user = p_user AND
+            purchase_ts > click_ts AND
+            purchase_ts <= click_ts + INTERVAL {within}
+            """
+        ),
+        "inner",
+    ).select("c_user", "click_id", "purchase_id", "purchase_value")

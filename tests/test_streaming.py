@@ -208,3 +208,44 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # the 00:00 window holds only the ON-TIME events; the late
     # arrival was dropped, and no duplicate emission happened
     assert rows.get("2024-01-01 00:00:00") == 2, rows
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream click→purchase attribution join equals the same
+    join run in batch over identical data."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.streaming.events import (
+        stream_stream_click_purchase_join,
+    )
+
+    src, batch_events = _events_as_jsonl(spark, sf_dir, tmp_path)
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    s_clicks, s_purch = split(read_event_stream(spark, src, fmt="json", max_files=1))
+    joined = stream_stream_click_purchase_join(s_clicks, s_purch)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attribution")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM attribution").collect()
+    }
+
+    b_clicks, b_purch = split(batch_events)
+    expected = {
+        (r["click_id"], r["purchase_id"])
+        for r in stream_stream_click_purchase_join(b_clicks, b_purch).collect()
+    }
+    assert got == expected
+    assert len(got) > 0

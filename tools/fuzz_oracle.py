@@ -84,6 +84,16 @@ def random_query(rng: random.Random) -> tuple[str, list[str]]:
         if o_groups:
             sql += " GROUP BY " + ", ".join(o_groups)
         return sql, o_groups
+    if rng.random() < 0.2:
+        # window variant: deterministic full ordering → exact compare
+        wfn = rng.choice(["ROW_NUMBER()", "RANK()", "DENSE_RANK()"])
+        part = rng.choice(["l_returnflag", "l_linestatus"])
+        sql = (
+            f"SELECT l_orderkey, l_linenumber, {wfn} OVER ("
+            f"PARTITION BY {part} ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber"
+            f") AS agg_val FROM lineitem WHERE ({pred}) AND l_orderkey < 2000"
+        )
+        return sql, ["l_orderkey", "l_linenumber"]
     groups = rng.choice(GROUP_CHOICES)
     sel = (", ".join(groups) + ", " if groups else "") + f"{agg} AS agg_val"
     sql = f"SELECT {sel} FROM lineitem WHERE {pred}"
@@ -103,6 +113,17 @@ def compare(spark_rows, duck_rows, groups) -> str | None:
         return v is None or (isinstance(v, float) and math.isnan(v))
 
     a, b = keyed(spark_rows), keyed(duck_rows)
+    if len(a) != len(spark_rows) or len(b) != len(duck_rows):
+        # group key not unique in the output (e.g. window queries over
+        # non-unique natural keys) → exact multiset comparison instead
+        def multiset(rows):
+            return sorted(
+                tuple(str(r[g]) for g in groups) + (str(r["agg_val"]),) for r in rows
+            )
+
+        if multiset(spark_rows) != multiset(duck_rows):
+            return "row multisets differ"
+        return None
     if set(a) != set(b):
         return f"group keys differ: {set(a) ^ set(b)}"
     for k in a:
