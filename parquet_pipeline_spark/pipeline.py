@@ -176,6 +176,16 @@ def run_query_pipeline(
             sql_tables = {"unified_data": sorted(
                 {c for df in selected.values() for c in df.columns}
             )}
+        elif strategy == "join" and len(selected) > 1 and join_key:
+            # JOIN mode (reference: aliased tables + LLM-written join,
+            # duckdb_util.py:184-225): the keyless-deterministic analog
+            # pre-joins on the inferred key and exposes one view
+            dfs = list(selected.values())
+            joined = dfs[0]
+            for other in dfs[1:]:
+                joined = joined.join(other, join_key, "inner")
+            joined.createOrReplaceTempView("joined_data")
+            sql_tables = {"joined_data": list(joined.columns)}
         else:
             sql_tables = {t: list(df.columns) for t, df in selected.items()}
 

@@ -94,31 +94,53 @@ def read_excel_sheets(
     """Every sheet of a workbook → its own DataFrame, keyed by
     ``{base}_{sheet}`` (reference naming, duckdb_util.py:302-306).
 
-    Requires openpyxl (optional dependency). An .xlsx is a zip — not
-    splittable — so it's parsed driver-side with pandas exactly like
-    the reference, then shipped to executors via Arrow. Fine for
-    ingestion-sized workbooks; giant tabular data should never arrive
-    as Excel anyway.
+    An .xlsx is a zip — not splittable — so it's parsed driver-side
+    exactly like the reference, then shipped to executors via Arrow.
+    Fine for ingestion-sized workbooks; giant tabular data should
+    never arrive as Excel anyway. Uses pandas+openpyxl when present;
+    otherwise falls back to the stdlib-only parser in
+    ``sources/xlsx.py`` (flat tabular sheets — the reference's whole
+    input space).
     """
-    try:
-        import pandas as pd  # noqa: F401
-        import openpyxl  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "Excel ingestion requires openpyxl, which is not installed "
-            "in this environment. Install openpyxl to enable A4."
-        ) from e
-    import pandas as pd
-
     from parquet_pipeline_spark.catalog import logical_name
 
     base = logical_name(path)
-    sheets = pd.read_excel(path, sheet_name=None, engine="openpyxl")
     out: dict[str, DataFrame] = {}
-    for sheet_name, pdf in sheets.items():
-        if pdf.empty or not len(pdf.columns):
-            continue  # skip empty sheets (reference: ingestion_pipeline_langgraph.py:369-371)
-        df = spark.createDataFrame(pdf)
+    try:
+        import openpyxl  # noqa: F401
+        import pandas as pd
+
+        sheets = pd.read_excel(path, sheet_name=None, engine="openpyxl")
+        for sheet_name, pdf in sheets.items():
+            if pdf.empty or not len(pdf.columns):
+                continue  # skip empty sheets (reference: ingestion_pipeline_langgraph.py:369-371)
+            df = spark.createDataFrame(pdf)
+            out[logical_name(f"{base}_{sheet_name}")] = clean_columns(df) if clean else df
+        return out
+    except ImportError:
+        pass
+
+    from parquet_pipeline_spark.sources.xlsx import read_xlsx
+
+    for sheet_name, (header, rows) in read_xlsx(path).items():
+        if not rows:
+            continue
+        # column-wise numeric normalization (pandas-like inference):
+        # a column mixing exact ints and floats becomes float —
+        # Spark's row-based inference refuses to merge Long and Double
+        for ci in range(len(header)):
+            vals = [r[ci] for r in rows]
+            has_float = any(isinstance(v, float) for v in vals)
+            has_int = any(
+                isinstance(v, int) and not isinstance(v, bool) for v in vals
+            )
+            if has_float and has_int:
+                for r in rows:
+                    if isinstance(r[ci], int) and not isinstance(r[ci], bool):
+                        r[ci] = float(r[ci])
+        df = spark.createDataFrame(
+            [tuple(r) for r in rows], schema=[str(h) for h in header]
+        )
         out[logical_name(f"{base}_{sheet_name}")] = clean_columns(df) if clean else df
     return out
 

@@ -173,3 +173,25 @@ def test_multi_intent_pipeline_keyless(spark, sf_dir):
     assert len(res.results) == 2
     vals = [df.first()[0] for df in res.results.values()]
     assert all(v is not None for v in vals)
+
+
+def test_join_mode_pipeline_keyless(spark):
+    """Two tables sharing a key + a question touching both → JOIN
+    strategy pre-joins on the inferred key (reference JOIN mode)."""
+    from parquet_pipeline_spark.pipeline import run_query_pipeline
+
+    loans = spark.createDataFrame(
+        [(1, 100.0), (2, 250.0)], "account_id long, loan_amount double"
+    )
+    owners = spark.createDataFrame(
+        [(1, "alice"), (2, "bob")], "account_id long, owner_name string"
+    )
+    res = run_query_pipeline(
+        spark,
+        "maximum loan_amount with owner_name",
+        {"loans": loans, "owners": owners},
+    )
+    sql = list(res.sql.values())[0]
+    assert "joined_data" in sql
+    df = list(res.results.values())[0]
+    assert df.first()[0] == 250.0

@@ -78,9 +78,8 @@ def test_read_any_dispatch_and_excel_gate(spark, tmp_path):
 
     xlsx = tmp_path / "wb.xlsx"
     xlsx.write_bytes(b"PK\x03\x04 not a real workbook")
-    with pytest.raises(NotImplementedError):
-        # openpyxl is not installed in this container — the reader
-        # must fail with a clear gate, not an ImportError surprise
+    with pytest.raises(Exception):
+        # a corrupt workbook must fail loudly, not silently skip
         read_any(spark, str(xlsx))
 
 
@@ -201,3 +200,102 @@ def test_upsert_parquet(spark, tmp_path):
     upsert_parquet(spark, dest, updates, ["id"])
     out = {r["id"]: (r["v"], r["x"]) for r in spark.read.parquet(dest).collect()}
     assert out == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def _make_xlsx(path, sheets):
+    """Hand-build a minimal .xlsx: {sheet_name: (header, rows)}."""
+    import zipfile
+
+    def col_letter(i):
+        s = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            s = chr(ord("A") + r) + s
+        return s
+
+    strings: list[str] = []
+
+    def cell(r, c, v):
+        ref = f"{col_letter(c)}{r}"
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        if v is None:
+            return ""
+        if v not in strings:
+            strings.append(v)
+        return f'<c r="{ref}" t="s"><v>{strings.index(v)}</v></c>'
+
+    sheet_xmls = []
+    for header, rows in sheets.values():
+        body = []
+        for ri, row in enumerate([header] + rows, start=1):
+            cells = "".join(cell(ri, ci, v) for ci, v in enumerate(row))
+            body.append(f'<row r="{ri}">{cells}</row>')
+        sheet_xmls.append(
+            '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            f'<sheetData>{"".join(body)}</sheetData></worksheet>'
+        )
+
+    names = list(sheets)
+    wb = (
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>'
+        + "".join(
+            f'<sheet name="{n}" sheetId="{i+1}" r:id="rId{i+1}"/>' for i, n in enumerate(names)
+        )
+        + "</sheets></workbook>"
+    )
+    rels = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        + "".join(
+            f'<Relationship Id="rId{i+1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet{i+1}.xml"/>'
+            for i in range(len(names))
+        )
+        + "</Relationships>"
+    )
+    sst = (
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        + "".join(f"<si><t>{t}</t></si>" for t in strings)
+        + "</sst>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/sharedStrings.xml", sst)
+        for i, x in enumerate(sheet_xmls):
+            z.writestr(f"xl/worksheets/sheet{i+1}.xml", x)
+
+
+def test_native_xlsx_reader_multisheet(spark, tmp_path):
+    """A4 without openpyxl: the stdlib xlsx parser reads multi-sheet
+    workbooks with strings/numbers/booleans and per-sheet fan-out."""
+    from parquet_pipeline_spark.sources.readers import read_excel_sheets
+
+    path = str(tmp_path / "Loan Data.xlsx")
+    _make_xlsx(
+        path,
+        {
+            "Data": (
+                ["Applicant Name", "Loan Amount $", "Is Employed"],
+                [["alice", 1000.5, True], ["bob", 2000, False]],
+            ),
+            "Notes": (["note id", "text"], [[1, "hello"], [2, "world"]]),
+            "Empty": (["x"], []),
+        },
+    )
+    out = read_excel_sheets(spark, path)
+    assert set(out) == {"loan_data_data", "loan_data_notes"}  # empty sheet skipped
+    data = out["loan_data_data"]
+    assert data.columns == ["applicant_name", "loan_amount", "is_employed"]
+    rows = {r["applicant_name"]: r for r in data.collect()}
+    assert rows["alice"]["loan_amount"] == 1000.5
+    assert rows["alice"]["is_employed"] is True
+    assert rows["bob"]["is_employed"] is False
+    assert out["loan_data_notes"].count() == 2
+
+    # and through the dispatcher
+    out2 = read_any(spark, path)
+    assert set(out2) == {"loan_data_data", "loan_data_notes"}
