@@ -1,0 +1,112 @@
+"""User-facing facade — the reference-user migration surface.
+
+A user of the reference calls ``run_ingestion_pipeline(files)`` then
+``run_rag_pipeline(question)`` (reference:
+ingestion_pipeline_langgraph.py:1231-1306;
+langgraph_pipeline.py:755-851). ``Engine`` exposes the same two
+verbs on Spark with the same defaults — keyless deterministic
+planning out of the box, an ``LLMClient`` plugged in when available,
+and an optional semantic layer built from any text column.
+
+    >>> eng = Engine.local()
+    >>> eng.ingest(["data/loans.xlsx", "data/events.jsonl"])
+    >>> eng.attach_dir("/lake")                # or attach parquet dirs
+    >>> eng.build_semantic_index("documents", "text")   # optional
+    >>> result = eng.ask("What is the maximum loan amount?")
+    >>> result.summary
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from parquet_pipeline_spark.catalog import Catalog
+from parquet_pipeline_spark.operators.embedding import embed_text
+from parquet_pipeline_spark.pipeline import (
+    QueryResult,
+    run_ingestion_pipeline,
+    run_query_pipeline,
+)
+from parquet_pipeline_spark.plans.client import LLMClient
+from parquet_pipeline_spark.session import get_spark
+
+
+class Engine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_dir: str = "./lake",
+        client: LLMClient | None = None,
+    ):
+        self.spark = spark
+        self.warehouse_dir = warehouse_dir
+        self.client = client
+        self.catalog = Catalog(spark)
+        self._embeddings: DataFrame | None = None
+        self._documents: DataFrame | None = None
+
+    @classmethod
+    def local(cls, **kwargs) -> "Engine":
+        return cls(get_spark(), **kwargs)
+
+    # -- ingestion (reference: run_ingestion_pipeline) -----------------
+    def ingest(self, input_paths: list[str]) -> dict:
+        """Convert files/URLs to cleaned zstd parquet in the
+        warehouse and register them as logical tables."""
+        result = run_ingestion_pipeline(self.spark, input_paths, self.warehouse_dir)
+        for name, entry in result["tables"].items():
+            self.catalog.register_path(entry["parquet_path"], name)
+        return result
+
+    def attach_dir(self, directory: str) -> list[str]:
+        """Register every parquet table under a directory."""
+        return [e.name for e in self.catalog.register_dir(directory)]
+
+    # -- semantic layer (reference: vector ingestion + retrieval) ------
+    def build_semantic_index(
+        self, table: str, text_col: str, id_col: str | None = None, dim: int = 64
+    ) -> None:
+        """Embed one table's text column into the retrieval index
+        (keyless hash embedder by default; swap via ``embed_text``
+        for a real model)."""
+        df = self.catalog.df(table)
+        if id_col is None:
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("_row_id", F.monotonically_increasing_id())
+            id_col = "_row_id"
+        emb = embed_text(df, text_col, id_col, dim=dim)
+        from pyspark.sql import functions as F
+
+        docs = df.select(F.col(id_col).alias("vec_id"), F.col(text_col).alias("text"))
+        emb = emb.withColumnRenamed(id_col, "vec_id").withColumn(
+            "source_table", F.lit(table)
+        )
+        self._embeddings = (
+            emb if self._embeddings is None else self._embeddings.unionByName(emb)
+        )
+        self._documents = (
+            docs if self._documents is None else self._documents.unionByName(docs)
+        )
+
+    # -- query (reference: run_rag_pipeline) ---------------------------
+    def ask(self, question: str) -> QueryResult:
+        views = {name: self.catalog.df(name) for name in self.catalog.tables}
+        return run_query_pipeline(
+            self.spark,
+            question,
+            views,
+            client=self.client,
+            embeddings=self._embeddings,
+            documents=self._documents,
+            table_col="source_table",
+        )
+
+    def sql(self, query: str) -> DataFrame:
+        """Direct SQL over the registered logical tables (the
+        reference's execute_duckdb_query analog, error-as-data)."""
+        from parquet_pipeline_spark.errors import run_sql_safe
+
+        return run_sql_safe(self.spark, query)

@@ -1594,3 +1594,35 @@ def q50_min_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("l_extendedprice", 2).alias("best_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q51 — LATERAL correlated subquery (top-N per outer row without a
+# window: the lateral form both engines optimize independently)
+# ---------------------------------------------------------------------------
+@register(
+    "q51_lateral_topn",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber, ROUND(l.l_extendedprice, 2) AS price
+    FROM orders o JOIN LATERAL (
+      SELECT l_linenumber, l_extendedprice FROM lineitem
+      WHERE l_orderkey = o.o_orderkey
+      ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2
+    ) l ON true
+    WHERE o.o_orderkey < 1000
+    """,
+)
+def q51_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_lat_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_lat_lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, l.l_linenumber, ROUND(l.l_extendedprice, 2) AS price
+        FROM _lat_orders o JOIN LATERAL (
+          SELECT l_linenumber, l_extendedprice FROM _lat_lineitem
+          WHERE l_orderkey = o.o_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2
+        ) l
+        WHERE o.o_orderkey < 1000
+        """
+    )

@@ -79,3 +79,41 @@ def test_context_helpers(spark):
     assert sorted(back.columns) == ["id", "v"]
 
     assert json_records_to_df(spark, "[]").count() == 0
+
+
+def test_engine_facade_end_to_end(spark, tmp_path):
+    """The reference-user migration surface: ingest → ask → sql."""
+    from parquet_pipeline_spark.engine import Engine
+
+    csv = tmp_path / "loans.csv"
+    csv.write_text(
+        "Applicant,Loan Amount,Score\nalice,1000.5,700\nbob,2500.0,650\n"
+    )
+    eng = Engine(spark, warehouse_dir=str(tmp_path / "lake"))
+    result = eng.ingest([str(csv)])
+    assert result["status"] == "completed"
+    assert "loans" in eng.catalog.tables
+
+    res = eng.ask("What is the maximum loan_amount?")
+    [df] = list(res.results.values())
+    assert df.first()[0] == 2500.0
+
+    direct = eng.sql("SELECT COUNT(*) AS n FROM loans")
+    assert direct.first()["n"] == 2
+    bad = eng.sql("SELECT broken FROM nowhere")
+    assert bad.columns == ["Error"]
+
+
+def test_engine_semantic_index(spark, tmp_path):
+    from parquet_pipeline_spark.engine import Engine
+
+    jl = tmp_path / "docs.jsonl"
+    jl.write_text(
+        '{"doc_id": 0, "text": "gregory red loan applicant file"}\n'
+        '{"doc_id": 1, "text": "warehouse shipping schedule"}\n'
+    )
+    eng = Engine(spark, warehouse_dir=str(tmp_path / "lake2"))
+    eng.ingest([str(jl)])
+    eng.build_semantic_index("docs", "text", id_col="doc_id")
+    res = eng.ask("who is gregory red loan applicant file")
+    assert res.intents[res.sub_queries[0]] == "SEMANTIC_SEARCH"
