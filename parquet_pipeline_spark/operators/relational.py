@@ -1626,3 +1626,103 @@ def q51_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o.o_orderkey < 1000
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q52 — EXCEPT ALL / INTERSECT ALL (bag semantics, vs q23's set ops)
+# ---------------------------------------------------------------------------
+@register(
+    "q52_bag_set_ops",
+    oracle="""
+    SELECT 'except_all' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    UNION ALL
+    SELECT 'intersect_all' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+)
+def q52_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    f_cust = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_cust = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    ea = f_cust.exceptAll(o_cust).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("except_all").alias("op"), "n"
+    )
+    ia = f_cust.intersectAll(o_cust).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("intersect_all").alias("op"), "n"
+    )
+    return ea.unionByName(ia)
+
+
+# ---------------------------------------------------------------------------
+# q53 — array membership / split on a derived array
+# ---------------------------------------------------------------------------
+@register(
+    "q53_split_contains",
+    oracle="""
+    SELECT p_partkey, words[1] AS first_word,
+           CAST(len(words) AS INT) AS n_words
+    FROM (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
+    WHERE list_contains(words, 'red')
+    """,
+)
+def q53_split_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").withColumn("words", F.split("p_name", " "))
+    return p.filter(F.array_contains("words", "red")).select(
+        "p_partkey",
+        F.element_at("words", 1).alias("first_word"),
+        F.size("words").alias("n_words"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q54 — case-insensitive matching (ILIKE / lower-normalized)
+# ---------------------------------------------------------------------------
+@register(
+    "q54_case_insensitive",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    WHERE lower(o_orderpriority) LIKE '%urgent%'
+    GROUP BY o_orderpriority
+    """,
+)
+def q54_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.lower("o_orderpriority").like("%urgent%"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q55 — GROUP BY a derived expression + HAVING on COUNT(DISTINCT)
+# ---------------------------------------------------------------------------
+@register(
+    "q55_group_by_expr",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 100000) AS BIGINT) AS price_band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders
+    GROUP BY 1
+    HAVING COUNT(DISTINCT o_custkey) > 50
+    """,
+)
+def q55_group_by_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.floor(F.col("o_totalprice") / 100000).alias("price_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .filter(F.col("n_customers") > 50)
+    )
