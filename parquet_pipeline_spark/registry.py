@@ -51,4 +51,5 @@ def load_all() -> None:
         temporal,
         sketches,
         embedding,
+        quality,
     )

@@ -218,3 +218,47 @@ def stream_stream_click_purchase_join(
         ),
         "inner",
     ).select("c_user", "click_id", "purchase_id", "purchase_value")
+
+
+def stream_upsert_to_parquet(
+    stream: DataFrame,
+    dest: str,
+    checkpoint: str,
+    key_cols: list[str],
+    trigger_once: bool = True,
+):
+    """CDC-style streaming sink: each micro-batch UPSERTs into the
+    target on ``key_cols`` (latest batch wins per key) via
+    foreachBatch — the idempotent-merge pattern for change streams,
+    vs. the blind-append of ``stream_to_parquet``. foreachBatch runs
+    the batch upsert transactionally per micro-batch; replays after
+    failure re-apply the same keys, so the sink is effectively
+    idempotent."""
+    import os as _os
+
+    from parquet_pipeline_spark.sources.writers import upsert_parquet, write_parquet
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # dedup within the batch first: one row per key (latest ts)
+        if "ts" in batch_df.columns:
+            from pyspark.sql import Window as W
+
+            w = W.partitionBy(*key_cols).orderBy(F.col("ts").desc())
+            batch_df = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            batch_df = batch_df.dropDuplicates(key_cols)
+        if _os.path.exists(dest):
+            upsert_parquet(batch_df.sparkSession, dest, batch_df, key_cols)
+        else:
+            write_parquet(batch_df, dest)
+
+    writer = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

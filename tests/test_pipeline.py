@@ -117,3 +117,28 @@ def test_engine_semantic_index(spark, tmp_path):
     eng.build_semantic_index("docs", "text", id_col="doc_id")
     res = eng.ask("who is gregory red loan applicant file")
     assert res.intents[res.sub_queries[0]] == "SEMANTIC_SEARCH"
+
+
+def test_validate_rules(spark):
+    from parquet_pipeline_spark.operators.quality import validate
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, -5.0), (2, "c", 2000.0)],
+        "id long, name string, amount double",
+    )
+    out = {
+        (r["rule"], r["column"]): (r["n_violations"], r["passed"])
+        for r in validate(
+            df,
+            [
+                ("not_null", "name"),
+                ("range", "amount", 0, 100),
+                ("unique", "id"),
+                ("in_set", "name", ["a", "c"]),
+            ],
+        ).collect()
+    }
+    assert out[("not_null", "name")] == (1, False)
+    assert out[("range", "amount")] == (2, False)   # -5 and 2000
+    assert out[("unique", "id")] == (2, False)      # id=2 twice
+    assert out[("in_set", "name")] == (1, False)    # the NULL

@@ -249,3 +249,34 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_stream_upsert_latest_wins(spark, tmp_path):
+    """CDC pattern: the same user_id arrives in two micro-batches —
+    the final table holds one row per key with the later value."""
+    import json as _json
+
+    from parquet_pipeline_spark.streaming.events import stream_upsert_to_parquet
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    b0 = [
+        {"event_id": 1, "ts": "2024-01-01 00:00:00", "user_id": 7,
+         "event_type": "signup", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01 00:05:00", "user_id": 8,
+         "event_type": "signup", "value": 1.0, "props": "{}"},
+    ]
+    b1 = [
+        {"event_id": 3, "ts": "2024-01-01 01:00:00", "user_id": 7,
+         "event_type": "upgrade", "value": 9.0, "props": "{}"},
+    ]
+    (src / "b0.jsonl").write_text("\n".join(_json.dumps(r) for r in b0))
+    (src / "b1.jsonl").write_text("\n".join(_json.dumps(r) for r in b1))
+
+    stream = read_event_stream(spark, str(src), fmt="json", max_files=1)
+    dest = str(tmp_path / "users.parquet")
+    q = stream_upsert_to_parquet(stream, dest, str(tmp_path / "ckpt"), ["user_id"])
+    q.awaitTermination(180)
+
+    rows = {r["user_id"]: r["event_type"] for r in spark.read.parquet(dest).collect()}
+    assert rows == {7: "upgrade", 8: "signup"}
