@@ -301,3 +301,73 @@ def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# transitive dedup: near-dup PAIRS → connected-component clusters →
+# one survivor per cluster. (Pairs alone can't deduplicate: if a~b
+# and b~c, dropping per-pair keeps either a or c twice.)
+# ---------------------------------------------------------------------------
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Min-label propagation over the similarity graph: every node
+    starts as its own label; each iteration every node adopts the
+    smallest label among itself and its neighbors; converged when no
+    label changes. Iterations are join+aggregate rounds — the
+    standard large-graph pattern (rounds ≈ graph diameter, which for
+    dedup clusters is tiny). Returns (node, component)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated.localCheckpoint(eager=True)  # truncate lineage per round
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_transitive(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row per near-dup cluster (the min id — deterministic)
+    plus every row that appears in no pair."""
+    comp = connected_components(pairs)
+    survivors = comp.groupBy("component").agg(F.min("node").alias("keep_id"))
+    drop = (
+        comp.join(survivors, "component")
+        .filter(F.col("node") != F.col("keep_id"))
+        .select(F.col("node").alias(id_col))
+    )
+    return df.join(drop, id_col, "left_anti")

@@ -76,3 +76,53 @@ def test_simhash_close_for_near_identical(spark):
 
     assert hamming(sigs[0], sigs[1]) < hamming(sigs[0], sigs[2])
     assert hamming(sigs[0], sigs[1]) <= 6
+
+
+def test_connected_components_chain(spark):
+    """a~b, b~c, d~e → clusters {a,b,c} and {d,e}."""
+    from parquet_pipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_transitive_keeps_one_per_cluster(spark):
+    from parquet_pipeline_spark.operators.dedup import dedup_transitive
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    kept = sorted(r["doc_id"] for r in dedup_transitive(docs, pairs).collect())
+    # cluster {0,1,2} → keep 0; {4,5} → keep 4; 3 untouched
+    assert kept == [0, 3, 4]
+
+
+def test_transitive_dedup_on_minhash_pairs(spark, sf_dir):
+    """End-to-end: minhash pairs → clusters → deduped corpus is
+    smaller and contains no surviving near-dup pair."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.dedup import (
+        dedup_transitive,
+        minhash_near_dups,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
+    pairs = minhash_near_dups(docs, threshold=0.6)
+    if pairs.count() == 0:
+        return  # nothing to dedup at this threshold/SF
+    deduped = dedup_transitive(docs, pairs)
+    assert deduped.count() < docs.count()
+    kept = {r["doc_id"] for r in deduped.select("doc_id").collect()}
+    for r in pairs.collect():
+        assert not (r["id_a"] in kept and r["id_b"] in kept), "pair survived dedup"
