@@ -301,9 +301,10 @@ def x04_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     and session_window's merge rule is INCLUSIVE at the gap endpoint
     (an event exactly ``gap`` after the previous one extends the
     session), matching the oracle's "new session iff gap > 1800"."""
-    ev = _events(spark, sf_dir).withColumn(
-        "ts", F.timestamp_seconds(F.unix_timestamp("ts"))
-    )
+    # floor to whole seconds with date_trunc — unlike a unix_timestamp
+    # round-trip it PRESERVES the TIMESTAMP_NTZ type, so rendering
+    # stays session-timezone-independent
+    ev = _events(spark, sf_dir).withColumn("ts", F.date_trunc("second", F.col("ts")))
     return (
         ev.groupBy("user_id", F.session_window("ts", "1800 seconds").alias("w"))
         .agg(
