@@ -71,11 +71,12 @@ def main() -> None:
         .count()
     )
 
-    names = (
-        os.environ["BENCH_QUERIES"].split(",")
-        if os.environ.get("BENCH_QUERIES")
-        else HEADLINE
-    )
+    if os.environ.get("BENCH_QUERIES"):
+        names = os.environ["BENCH_QUERIES"].split(",")
+    elif os.environ.get("BENCH_ALL"):
+        names = sorted(registry.QUERIES)
+    else:
+        names = HEADLINE
     timings: dict[str, float] = {}
     for name in names:
         fn = registry.QUERIES[name]
