@@ -84,6 +84,17 @@ def random_query(rng: random.Random) -> tuple[str, list[str]]:
         if o_groups:
             sql += " GROUP BY " + ", ".join(o_groups)
         return sql, o_groups
+    if rng.random() < 0.15:
+        # top-k aggregate variant: ORDER BY agg LIMIT k with group
+        # tiebreak — both engines must select the same top groups
+        part = rng.choice(["l_returnflag", "l_linestatus", "l_suppkey % 10"])
+        alias = "grp"
+        sql = (
+            f"SELECT {part} AS {alias}, ROUND(SUM(l_extendedprice), 2) AS agg_val "
+            f"FROM lineitem WHERE {pred} GROUP BY {alias} "
+            f"ORDER BY SUM(l_extendedprice) DESC, {alias} LIMIT 3"
+        )
+        return sql, [alias]
     if rng.random() < 0.2:
         # window variant: deterministic full ordering → exact compare
         wfn = rng.choice(["ROW_NUMBER()", "RANK()", "DENSE_RANK()"])
