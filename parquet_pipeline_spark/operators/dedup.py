@@ -371,3 +371,27 @@ def dedup_transitive(
         .select(F.col("node").alias(id_col))
     )
     return df.join(drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# stratified / class-balanced sampling (training-data pipelines):
+# deterministic hash-based per-class fractions — reproducible across
+# runs and engines, unlike RNG TABLESAMPLE
+# ---------------------------------------------------------------------------
+def stratified_sample(
+    df: DataFrame,
+    label_col: str,
+    fractions: dict,
+    id_col: str,
+    salt: int = 0,
+) -> DataFrame:
+    """Keep ~fraction of each class, chosen by xxhash64(id, salt)
+    bucketing — membership is a pure function of the row id, so the
+    sample is stable under reruns, repartitioning, and incremental
+    appends (new rows don't reshuffle old members)."""
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(salt)), F.lit(10_000))
+    cond = None
+    for label, frac in fractions.items():
+        this = (F.col(label_col) == label) & (bucket < int(frac * 10_000))
+        cond = this if cond is None else (cond | this)
+    return df.filter(cond)

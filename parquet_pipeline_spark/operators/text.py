@@ -311,3 +311,40 @@ def t07_greedy_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("chunk_text").alias("chunk_len"),
         F.size("row_ids").alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t08 — corpus word-bigram counts (n-gram LM statistics)
+# ---------------------------------------------------------------------------
+@register(
+    "t08_word_bigrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '') AS ws
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, greatest(len(ws), 2))]) AS bigram
+      FROM toks
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bigrams
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def t08_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    ws = word_tokens("text")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )

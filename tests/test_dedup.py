@@ -126,3 +126,25 @@ def test_transitive_dedup_on_minhash_pairs(spark, sf_dir):
     kept = {r["doc_id"] for r in deduped.select("doc_id").collect()}
     for r in pairs.collect():
         assert not (r["id_a"] in kept and r["id_b"] in kept), "pair survived dedup"
+
+
+def test_stratified_sample_deterministic_and_proportional(spark, sf_dir):
+    from parquet_pipeline_spark.operators.dedup import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fractions = {"en": 0.5, "fr": 1.0, "de": 0.0}
+    s1 = stratified_sample(docs, "lang", fractions, "doc_id")
+    s2 = stratified_sample(docs, "lang", fractions, "doc_id")
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    assert ids1 == sorted(r["doc_id"] for r in s2.collect()), "deterministic"
+
+    by_lang = {r["lang"]: r["n"] for r in s1.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    assert by_lang.get("de", 0) == 0
+    assert by_lang["fr"] == totals["fr"]          # fraction 1.0 keeps all
+    # hash bucketing is approximate: en should be near half
+    assert 0.2 * totals["en"] < by_lang["en"] < 0.8 * totals["en"]
+    # appending new rows must not change old membership
+    s_small = stratified_sample(docs.filter("doc_id < 100"), "lang", fractions, "doc_id")
+    small_ids = {r["doc_id"] for r in s_small.collect()}
+    assert small_ids == {i for i in ids1 if i < 100}
