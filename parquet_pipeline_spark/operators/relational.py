@@ -1726,3 +1726,56 @@ def q55_group_by_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_customers") > 50)
     )
+
+
+# ---------------------------------------------------------------------------
+# q57/q58 — feature preparation: per-group standardization (z-score)
+# and min-max scaling — the numeric-normalization pass before model
+# training, as window expressions (one shuffle per grouping)
+# ---------------------------------------------------------------------------
+@register(
+    "q57_zscore_outliers",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, ROUND(z, 3) AS z
+    FROM (
+      SELECT o_orderkey, o_orderstatus,
+             (o_totalprice - AVG(o_totalprice) OVER (PARTITION BY o_orderstatus))
+               / STDDEV_SAMP(o_totalprice) OVER (PARTITION BY o_orderstatus) AS z
+      FROM orders
+    ) WHERE ABS(z) > 2.33
+    """,
+)
+def q57_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_orderstatus")
+    z = (F.col("o_totalprice") - F.avg("o_totalprice").over(w)) / F.stddev_samp(
+        "o_totalprice"
+    ).over(w)
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 2.33)
+        .select("o_orderkey", "o_orderstatus", F.round("z", 3).alias("z"))
+    )
+
+
+@register(
+    "q58_minmax_scale",
+    oracle="""
+    SELECT p_partkey, p_brand,
+           ROUND((p_retailprice - MIN(p_retailprice) OVER (PARTITION BY p_brand))
+                 / NULLIF(MAX(p_retailprice) OVER (PARTITION BY p_brand)
+                          - MIN(p_retailprice) OVER (PARTITION BY p_brand), 0), 4)
+             AS price_scaled
+    FROM part
+    WHERE p_partkey < 500
+    """,
+)
+def q58_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("p_brand")
+    lo, hi = F.min("p_retailprice").over(w), F.max("p_retailprice").over(w)
+    scaled = (F.col("p_retailprice") - lo) / F.nullif(hi - lo, F.lit(0))
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 500)
+        .select("p_partkey", "p_brand", F.round(scaled, 4).alias("price_scaled"))
+    )
