@@ -1779,3 +1779,31 @@ def q58_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_partkey") < 500)
         .select("p_partkey", "p_brand", F.round(scaled, 4).alias("price_scaled"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q59 — calendar functions (quarter / day-of-month / week-of-year-free
+# subset that both engines define identically)
+# ---------------------------------------------------------------------------
+@register(
+    "q59_calendar",
+    oracle='''
+    SELECT CAST(year(o_orderdate) AS INT)    AS y,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(COUNT(*) AS BIGINT)          AS n_orders,
+           CAST(MIN(day(o_orderdate)) AS INT) AS first_dom,
+           CAST(MAX(day(o_orderdate)) AS INT) AS last_dom
+    FROM orders
+    WHERE year(o_orderdate) IN (1997, 1998)
+    GROUP BY 1, 2
+    ''',
+)
+def q59_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate").isin(1997, 1998))
+    return o.groupBy(
+        F.year("o_orderdate").alias("y"), F.quarter("o_orderdate").alias("q")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min(F.dayofmonth("o_orderdate")).alias("first_dom"),
+        F.max(F.dayofmonth("o_orderdate")).alias("last_dom"),
+    )

@@ -85,6 +85,21 @@ def random_query(rng: random.Random) -> tuple[str, list[str]]:
             sql += " GROUP BY " + ", ".join(o_groups)
         return sql, o_groups
     if rng.random() < 0.15:
+        # string-expression grouping variant (dialect-shared string fns)
+        expr = rng.choice(
+            [
+                "upper(l_returnflag)",
+                "l_returnflag || '-' || l_linestatus",
+                "substring(l_returnflag, 1, 1)",
+                "CAST(length(l_returnflag || l_linestatus) AS INT)",
+            ]
+        )
+        sql = (
+            f"SELECT {expr} AS grp, CAST(COUNT(*) AS BIGINT) AS agg_val "
+            f"FROM lineitem WHERE {pred} GROUP BY 1"
+        )
+        return sql, ["grp"]
+    if rng.random() < 0.15:
         # top-k aggregate variant: ORDER BY agg LIMIT k with group
         # tiebreak — both engines must select the same top groups
         part = rng.choice(["l_returnflag", "l_linestatus", "l_suppkey % 10"])
