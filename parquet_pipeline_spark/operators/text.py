@@ -87,7 +87,14 @@ def assign_chunks(
     chunk floor(start_offset / max_chars), where start_offset is the
     cumulative serialized length of all prior rows (+1 per row for
     the '\\n' joiner). Integer-exact, order-preserving, windowed —
-    the distributed approximation of the reference's greedy packer."""
+    the distributed approximation of the reference's greedy packer.
+
+    ``partition_col`` is the distributed path: chunking runs per
+    partition value (per file/source — the same granularity the
+    reference chunks at, chroma_ingestion_util.py:190-331) and the
+    window shuffles on that key. ``partition_col=None`` builds a
+    GLOBAL ordered window — one task holds the whole table — and is
+    only acceptable for small/test-scale inputs."""
     w = W.orderBy(order_col) if partition_col is None else W.partitionBy(
         partition_col
     ).orderBy(order_col)
@@ -101,25 +108,30 @@ def assign_chunks(
 @register(
     "t02_chunk_assignment",
     oracle="""
-    SELECT chunk_id,
+    SELECT source, chunk_id,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(MIN(doc_id) AS BIGINT) AS first_doc,
            CAST(MAX(doc_id) AS BIGINT) AS last_doc
     FROM (
-      SELECT doc_id, n_chars,
-             CAST(FLOOR((SUM(n_chars + 1) OVER (ORDER BY doc_id
+      SELECT source, doc_id, n_chars,
+             CAST(FLOOR((SUM(n_chars + 1) OVER (PARTITION BY source ORDER BY doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   - (n_chars + 1)) / 2000) AS BIGINT) AS chunk_id
       FROM documents
     )
-    GROUP BY chunk_id
+    GROUP BY source, chunk_id
     """,
 )
 def t02_chunk_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
-    chunked = assign_chunks(docs, "doc_id", F.col("n_chars"), max_chars=2000)
-    return chunked.groupBy("chunk_id").agg(
+    """Chunk per ``source`` (per-file granularity, like the reference's
+    per-file ingestion) so the window shuffles on the partition key
+    instead of funnelling the whole table through one task."""
+    docs = _docs(spark, sf_dir).select("source", "doc_id", "n_chars")
+    chunked = assign_chunks(
+        docs, "doc_id", F.col("n_chars"), max_chars=2000, partition_col="source"
+    )
+    return chunked.groupBy("source", "chunk_id").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("n_chars").alias("total_chars"),
         F.min("doc_id").alias("first_doc"),
