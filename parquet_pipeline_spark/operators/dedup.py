@@ -22,8 +22,12 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import Column, DataFrame, SparkSession
+import logging
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 from parquet_pipeline_spark.functions import char_ngrams, jaccard, cosine_similarity
 from parquet_pipeline_spark.registry import register
@@ -45,7 +49,12 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     enough partitions, so a 100 TB scan is never gratuitously
     reshuffled."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    # file count is the partitioning proxy: one small parquet file
+    # scans as one task. (df.rdd.getNumPartitions() would answer
+    # exactly, but converting the plan to an RDD forces analysis and
+    # disables later pushdown reuse — too heavy for a heuristic.)
+    n_files = len(df.inputFiles())
+    if 0 < n_files < max(2, target // 2):
         return df.repartition(target)
     return df
 
@@ -154,12 +163,27 @@ def lsh_candidate_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     ngram: int = 3,
+    bucket_cap: int = 64,
+    log_overflow: bool = False,
 ) -> DataFrame:
     """Banded-LSH candidate pairs: shingle → minhash → split the
     signature into ``bands`` bands → hash each band → self-join on
     (band_id, band_hash). Only same-bucket docs ever meet, so the
     shuffle key is the bucket and the n² pair space is never built.
-    Returns distinct candidate (id_a < id_b) pairs."""
+    Returns distinct candidate (id_a < id_b) pairs.
+
+    Hot buckets are CAPPED at ``bucket_cap`` members: boilerplate
+    duplicates (license headers, templated pages) put thousands of
+    docs in one (band_id, band_hash) bucket, and an uncapped
+    ``collect_set`` would hold the whole mega-bucket in one task and
+    emit O(n²) pairs from it. The cap keeps the ``bucket_cap``
+    LOWEST ids per bucket (deterministic, rerun-stable) via a
+    row_number window partitioned on the bucket key — the same
+    shuffle partitioning the groupBy needs, so no extra exchange.
+    For transitive dedup the bias is harmless: capped members still
+    pair with the cluster's min id, which is the survivor anyway.
+    Normal buckets (≤ cap) are untouched. ``log_overflow=True`` runs
+    one extra small aggregate to count truncated buckets."""
     rows_per_band = num_hashes // bands
     df = _ensure_parallelism(df)
     sig = minhash_signature(char_ngrams(text_col, ngram), num_hashes)
@@ -177,14 +201,32 @@ def lsh_candidate_pairs(
         .select(id_col, F.explode(band_structs).alias("band"))
         .select(id_col, "band.band_id", "band.band_hash")
     )
+    if log_overflow:
+        n_hot = (
+            banded.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > bucket_cap)
+            .count()
+        )
+        if n_hot:
+            logger.warning(
+                "lsh_candidate_pairs: %d hot bucket(s) truncated to %d members",
+                n_hot,
+                bucket_cap,
+            )
     # bucket-then-enumerate instead of a self-join: one shuffle on the
     # bucket key, signatures computed once, and the n² pair space is
     # only ever enumerated *inside* a bucket. (A self-join would
-    # recompute the whole minhash pipeline for both sides.) At scale,
-    # pathologically hot buckets (boilerplate dups) should be capped/
-    # sampled — collect_set keeps a bucket in one task's memory.
+    # recompute the whole minhash pipeline for both sides.) The
+    # row_number cap below bounds what collect_set holds per task;
+    # its window partitions on the same key the groupBy shuffles on,
+    # so Catalyst reuses one exchange for both.
+    w_bucket = W.partitionBy("band_id", "band_hash").orderBy(id_col)
     buckets = (
-        banded.groupBy("band_id", "band_hash")
+        banded.withColumn("_rn", F.row_number().over(w_bucket))
+        .filter(F.col("_rn") <= bucket_cap)
+        .drop("_rn")
+        .groupBy("band_id", "band_hash")
         .agg(F.collect_set(id_col).alias("ids"))
         .filter(F.size("ids") > 1)
     )
@@ -214,11 +256,14 @@ def minhash_near_dups(
     num_hashes: int = 32,
     bands: int = 8,
     ngram: int = 3,
+    bucket_cap: int = 64,
 ) -> DataFrame:
     """MinHash-LSH near-dedup: candidates from banded LSH, then an
     exact Jaccard verify on just the candidate pairs."""
     df = _ensure_parallelism(df)
-    cands = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands, ngram)
+    cands = lsh_candidate_pairs(
+        df, id_col, text_col, num_hashes, bands, ngram, bucket_cap
+    )
     grams = df.select(
         F.col(id_col), char_ngrams(text_col, ngram).alias("gs")
     )
@@ -319,7 +364,12 @@ def connected_components(
     smallest label among itself and its neighbors; converged when no
     label changes. Iterations are join+aggregate rounds — the
     standard large-graph pattern (rounds ≈ graph diameter, which for
-    dedup clusters is tiny). Returns (node, component)."""
+    dedup clusters is tiny). Returns (node, component).
+
+    If the label propagation is still changing after
+    ``max_iterations`` (a near-dup chain longer than the cap), a
+    warning is logged — the returned labels would silently split
+    such a cluster otherwise."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -355,6 +405,12 @@ def connected_components(
         labels = updated.localCheckpoint(eager=True)  # truncate lineage per round
         if changed == 0:
             break
+    else:
+        logger.warning(
+            "connected_components: hit max_iterations=%d without converging; "
+            "labels may split long near-dup chains (raise max_iterations)",
+            max_iterations,
+        )
     return labels
 
 

@@ -148,3 +148,46 @@ def test_stratified_sample_deterministic_and_proportional(spark, sf_dir):
     s_small = stratified_sample(docs.filter("doc_id < 100"), "lang", fractions, "doc_id")
     small_ids = {r["doc_id"] for r in s_small.collect()}
     assert small_ids == {i for i in ids1 if i < 100}
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """A mega-bucket (many shingle-identical docs) must not explode
+    into O(n^2) candidates: capped at bucket_cap members, candidates
+    from the cluster stay <= cap*(cap-1)/2, and pairs among normal
+    docs are unchanged by the cap."""
+    from parquet_pipeline_spark.operators.dedup import lsh_candidate_pairs
+
+    boiler = (
+        "permission is hereby granted free of charge to any person "
+        "obtaining a copy of this software and associated files"
+    )
+    normal = [
+        (10_000, "the quick brown fox jumps over the lazy dog at dawn today"),
+        (10_001, "the quick brown fox jumps over the lazy dog at dusk today"),
+        (10_002, "adaptive query execution reoptimizes shuffle partitions at runtime"),
+    ]
+    rows = [(i, boiler) for i in range(2_000)] + normal
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+
+    cap = 16
+    cands = lsh_candidate_pairs(df, bucket_cap=cap).collect()
+    cluster_pairs = [
+        (r["id_a"], r["id_b"]) for r in cands if r["id_a"] < 2_000 and r["id_b"] < 2_000
+    ]
+    assert len(cluster_pairs) <= cap * (cap - 1) // 2
+    # deterministic: lowest ids survive the cap, so the min id (the
+    # transitive-dedup survivor) is still in every kept pair's reach
+    assert any(a == 0 for a, _ in cluster_pairs)
+
+    # normal buckets unaffected: the near-dup pair among normal docs
+    # is found with and without a tight cap
+    normal_pairs = {
+        (r["id_a"], r["id_b"]) for r in cands if r["id_a"] >= 10_000
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(df, bucket_cap=1_000_000).collect()
+        if r["id_a"] >= 10_000
+    }
+    assert normal_pairs == uncapped
+    assert (10_000, 10_001) in normal_pairs
