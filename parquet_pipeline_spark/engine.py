@@ -70,19 +70,31 @@ class Engine:
     ) -> None:
         """Embed one table's text column into the retrieval index
         (keyless hash embedder by default; swap via ``embed_text``
-        for a real model)."""
-        df = self.catalog.df(table)
-        if id_col is None:
-            from pyspark.sql import functions as F
+        for a real model).
 
-            df = df.withColumn("_row_id", F.monotonically_increasing_id())
-            id_col = "_row_id"
-        emb = embed_text(df, text_col, id_col, dim=dim)
+        Row ids default to ``xxhash64(text)`` — a pure function of
+        the row, so the embeddings job and the documents job derive
+        the SAME id independently (monotonically_increasing_id is
+        partition-layout-dependent and could diverge between the two
+        jobs). Ids are only unique per table; retrieval joins on
+        (source_table, vec_id)."""
         from pyspark.sql import functions as F
 
-        docs = df.select(F.col(id_col).alias("vec_id"), F.col(text_col).alias("text"))
-        emb = emb.withColumnRenamed(id_col, "vec_id").withColumn(
-            "source_table", F.lit(table)
+        df = self.catalog.df(table)
+        if id_col is None:
+            df = df.withColumn("_row_id", F.xxhash64(F.col(text_col)))
+            id_col = "_row_id"
+        emb = embed_text(df, text_col, id_col, dim=dim)
+
+        docs = (
+            df.select(F.col(id_col).alias("vec_id"), F.col(text_col).alias("text"))
+            .withColumn("source_table", F.lit(table))
+            .dropDuplicates(["source_table", "vec_id"])
+        )
+        emb = (
+            emb.withColumnRenamed(id_col, "vec_id")
+            .withColumn("source_table", F.lit(table))
+            .dropDuplicates(["source_table", "vec_id"])
         )
         self._embeddings = (
             emb if self._embeddings is None else self._embeddings.unionByName(emb)

@@ -109,10 +109,13 @@ def semantic_search(
     ]
     hits = s.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
     if documents is not None:
-        docs = documents.select(
-            F.col(id_col), F.col("text").alias("_chunk")
-        )
-        hits = hits.join(docs, id_col, "left")
+        # join on (table, id) when the documents side carries the
+        # table column — per-table ids (xxhash64 of the text, or
+        # caller-supplied) are only unique WITHIN a table, so an
+        # id-only join could attribute another table's text
+        keys = [table_col, id_col] if table_col in documents.columns else [id_col]
+        docs = documents.select(*keys, F.col("text").alias("_chunk"))
+        hits = hits.join(docs, keys, "left")
         rows = hits.collect()
         context = "\n\n".join(
             f"[Source: {r[table_col]}]\n{r['_chunk']}" for r in rows

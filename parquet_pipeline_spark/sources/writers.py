@@ -97,6 +97,39 @@ def write_sorted(
     write_parquet(arranged, path, partition_by=partition_cols, **kwargs)
 
 
+def _recover_and_clean(path: str, tmp_suffix: str) -> None:
+    """Make a rewrite-and-swap restartable. If a previous run crashed
+    between the two renames (table moved to '._old' but the new data
+    never moved in), restore the backup — it holds the only copy.
+    Then remove any stale backup/tmp dirs so the upcoming renames
+    cannot fail on existing targets."""
+    import os as _os
+    import shutil
+
+    base = path.rstrip("/")
+    backup, tmp = base + "._old", base + tmp_suffix
+    if not _os.path.exists(base) and _os.path.exists(backup):
+        _os.rename(backup, base)
+    for stale in (backup, tmp):
+        if _os.path.exists(stale):
+            shutil.rmtree(stale)
+
+
+def _swap(path: str, tmp: str) -> None:
+    """Replace ``path`` with ``tmp`` via double rename. NOT atomic:
+    readers between the two renames see no table at all (a
+    transactional table format is the real fix at scale); a crash
+    between them is recovered by ``_recover_and_clean`` on the next
+    run."""
+    import os as _os
+    import shutil
+
+    backup = path.rstrip("/") + "._old"
+    _os.rename(path, backup)
+    _os.rename(tmp, path)
+    shutil.rmtree(backup)
+
+
 def compact(
     spark,
     path: str,
@@ -107,12 +140,12 @@ def compact(
     ~target-size files (the standard lake-maintenance pass after many
     streaming/append micro-batches each left tiny part-files —
     unbounded small files destroy scan scheduling at scale).
-    Rewrites via a temp sibling dir then atomic-ish rename. Returns
-    the new file count."""
+    Rewrites via a temp sibling dir then rename swap (see ``_swap``
+    for the visibility caveat). Returns the new file count."""
     import math
     import os as _os
-    import shutil
 
+    _recover_and_clean(path, "._compacting")
     df = spark.read.parquet(path)
     total_bytes = sum(
         f.stat().st_size
@@ -123,10 +156,7 @@ def compact(
     tmp = path.rstrip("/") + "._compacting"
     arranged = df.repartitionByRange(n_files, *sort_cols) if sort_cols else df.coalesce(n_files)
     write_parquet(arranged, tmp)
-    backup = path.rstrip("/") + "._old"
-    _os.rename(path, backup)
-    _os.rename(tmp, path)
-    shutil.rmtree(backup)
+    _swap(path, tmp)
     return sum(1 for f in _os.scandir(path) if f.name.endswith(".parquet"))
 
 
@@ -140,19 +170,16 @@ def upsert_parquet(
     ``updates`` replace same-key rows in the target, new keys are
     inserted (delete-free MERGE INTO semantics without a table
     format). Implemented as target-anti-join-updates ∪ updates, then
-    the same tmp-dir + swap used by ``compact``. At real scale this
-    is what a transactional table format (Delta/Iceberg/Hudi) does
-    with metadata instead of a rewrite — the operator shape (anti
-    join on the key, union, atomic swap) is identical."""
-    import os as _os
-    import shutil
-
+    the same tmp-dir + rename swap used by ``compact`` (restartable
+    after a crash via ``_recover_and_clean``; see ``_swap`` for the
+    visibility caveat). At real scale this is what a transactional
+    table format (Delta/Iceberg/Hudi) does with metadata instead of
+    a rewrite — the operator shape (anti join on the key, union,
+    swap) is identical."""
+    _recover_and_clean(path, "._upserting")
     target = spark.read.parquet(path)
     kept = target.join(updates.select(*key_cols), key_cols, "left_anti")
     merged = kept.unionByName(updates.select(*target.columns))
     tmp = path.rstrip("/") + "._upserting"
     write_parquet(merged, tmp)
-    backup = path.rstrip("/") + "._old"
-    _os.rename(path, backup)
-    _os.rename(tmp, path)
-    shutil.rmtree(backup)
+    _swap(path, tmp)

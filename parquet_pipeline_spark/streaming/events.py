@@ -173,12 +173,21 @@ def streaming_dedup(
     stream: DataFrame, key_cols: list[str], watermark: str = "1 day"
 ) -> DataFrame:
     """Streaming exact dedup: keep the first arrival per key across
-    micro-batches. State = one entry per key within the watermark
-    horizon, so memory is bounded by the dedup-key cardinality per
-    watermark window — the streaming twin of the batch exact dedup
-    (operators/dedup.dedup_exact)."""
-    src = stream.withWatermark("ts", watermark) if "ts" in stream.columns else stream
-    return src.dropDuplicates(key_cols)
+    micro-batches — the streaming twin of the batch exact dedup
+    (operators/dedup.dedup_exact).
+
+    State bound: plain ``dropDuplicates(subset)`` only evicts state
+    when the event-time column is IN the subset; with keys like
+    (user_id, event_type) the watermark would be ignored and state
+    grows forever. ``dropDuplicatesWithinWatermark`` evicts by
+    watermark regardless of subset, so state = keys seen within the
+    watermark horizon. (Duplicates farther apart than the watermark
+    are re-emitted — the documented trade for bounded state.)"""
+    if stream.isStreaming and "ts" in stream.columns:
+        return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            key_cols
+        )
+    return stream.dropDuplicates(key_cols)
 
 
 def stream_stream_click_purchase_join(

@@ -299,3 +299,27 @@ def test_native_xlsx_reader_multisheet(spark, tmp_path):
     # and through the dispatcher
     out2 = read_any(spark, path)
     assert set(out2) == {"loan_data_data", "loan_data_notes"}
+
+
+def test_compact_recovers_from_crashed_swap(spark, tmp_path):
+    """A run that died between the two swap renames leaves the table
+    at '._old' and possibly a stale tmp dir; the next compact must
+    restore the data, clear the debris, and succeed."""
+    import os
+    import shutil
+
+    from parquet_pipeline_spark.sources.writers import compact, write_parquet
+
+    dest = str(tmp_path / "tbl")
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    write_parquet(df.repartition(8), dest)
+
+    # simulate the crash window: table moved aside, half-written tmp left
+    os.rename(dest, dest + "._old")
+    shutil.copytree(dest + "._old", dest + "._compacting")
+
+    n_files = compact(spark, dest, target_file_bytes=1024 * 1024 * 1024)
+    assert n_files == 1
+    assert not os.path.exists(dest + "._old")
+    assert not os.path.exists(dest + "._compacting")
+    assert spark.read.parquet(dest).count() == 1000
