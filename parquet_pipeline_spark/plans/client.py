@@ -47,3 +47,79 @@ class FakeClient:
             raise RuntimeError("FakeClient exhausted")
         r = self._responses.pop(0)
         return json.dumps(r) if isinstance(r, dict) else r
+
+
+class OpenAICompatibleClient:
+    """HTTP adapter for any OpenAI-compatible chat-completions
+    endpoint (the reference's client shape, minus the vendor SDK:
+    its five call sites all reduce to system+user → content, JSON
+    mode where the contract demands it — decomposition_util.py:5-22,
+    multi_file_util.py:8-31).
+
+    Config comes from args or environment:
+    ``LLM_BASE_URL`` (e.g. ``http://localhost:8080/v1``),
+    ``LLM_API_KEY`` (optional — omitted header when empty),
+    ``LLM_MODEL``. Stdlib-only (urllib), bounded retries with
+    exponential backoff on 429/5xx, hard timeout per request."""
+
+    def __init__(
+        self,
+        base_url: str | None = None,
+        api_key: str | None = None,
+        model: str | None = None,
+        timeout: float = 30.0,
+        max_retries: int = 2,
+        temperature: float = 0.0,
+    ):
+        import os
+
+        self.base_url = (base_url or os.environ.get("LLM_BASE_URL", "")).rstrip("/")
+        if not self.base_url:
+            raise ValueError("OpenAICompatibleClient needs base_url or $LLM_BASE_URL")
+        self.api_key = api_key if api_key is not None else os.environ.get("LLM_API_KEY", "")
+        self.model = model or os.environ.get("LLM_MODEL", "gpt-4o-mini")
+        self.timeout = timeout
+        self.max_retries = max_retries
+        self.temperature = temperature
+
+    def complete(self, system: str, user: str, json_mode: bool = False) -> str:
+        import time
+        import urllib.error
+        import urllib.request
+
+        payload: dict = {
+            "model": self.model,
+            "messages": [
+                {"role": "system", "content": system},
+                {"role": "user", "content": user},
+            ],
+            "temperature": self.temperature,
+        }
+        if json_mode:
+            payload["response_format"] = {"type": "json_object"}
+        headers = {"Content-Type": "application/json"}
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
+
+        url = f"{self.base_url}/chat/completions"
+        body = json.dumps(payload).encode()
+        last_err: Exception | None = None
+        for attempt in range(self.max_retries + 1):
+            req = urllib.request.Request(url, data=body, headers=headers)
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                    data = json.loads(resp.read().decode())
+                content = data["choices"][0]["message"]["content"]
+                if json_mode:
+                    json.loads(content)  # enforce the contract here, not at the caller
+                return content
+            except urllib.error.HTTPError as e:
+                last_err = e
+                if e.code not in (429, 500, 502, 503, 504) or attempt == self.max_retries:
+                    raise RuntimeError(f"LLM endpoint error {e.code}") from e
+            except (urllib.error.URLError, TimeoutError, KeyError, ValueError) as e:
+                last_err = e
+                if attempt == self.max_retries:
+                    raise RuntimeError(f"LLM request failed: {e}") from e
+            time.sleep(min(2.0, 0.2 * 2**attempt))
+        raise RuntimeError(f"LLM request failed: {last_err}")

@@ -1,0 +1,120 @@
+"""OpenAI-compatible HTTP adapter against a canned-response fake
+server (stdlib http.server) — the keyless-testable path for the one
+piece of the reference's LLM stack that needs a network client."""
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+
+from parquet_pipeline_spark.plans.client import OpenAICompatibleClient
+
+
+class _FakeOpenAI(BaseHTTPRequestHandler):
+    # class-level script: list of (status, body_dict_or_content)
+    script = []
+    requests = []
+
+    def do_POST(self):
+        n = int(self.headers["Content-Length"])
+        payload = json.loads(self.rfile.read(n).decode())
+        type(self).requests.append((self.path, dict(self.headers), payload))
+        status, content = (
+            type(self).script.pop(0) if type(self).script else (200, "ok")
+        )
+        if status != 200:
+            self.send_response(status)
+            self.end_headers()
+            return
+        body = json.dumps(
+            {"choices": [{"message": {"role": "assistant", "content": content}}]}
+        ).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):  # quiet
+        pass
+
+
+@pytest.fixture()
+def fake_server():
+    _FakeOpenAI.script = []
+    _FakeOpenAI.requests = []
+    srv = HTTPServer(("127.0.0.1", 0), _FakeOpenAI)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/v1", _FakeOpenAI
+    srv.shutdown()
+
+
+def test_complete_roundtrip(fake_server):
+    base, fake = fake_server
+    fake.script = [(200, "the answer")]
+    c = OpenAICompatibleClient(base_url=base, api_key="sk-test", model="m1")
+    assert c.complete("sys", "usr") == "the answer"
+    path, headers, payload = fake.requests[0]
+    assert path == "/v1/chat/completions"
+    assert headers["Authorization"] == "Bearer sk-test"
+    assert payload["model"] == "m1"
+    assert payload["messages"] == [
+        {"role": "system", "content": "sys"},
+        {"role": "user", "content": "usr"},
+    ]
+    assert "response_format" not in payload
+
+
+def test_json_mode_sets_response_format_and_validates(fake_server):
+    base, fake = fake_server
+    fake.script = [(200, '{"queries": ["a", "b"]}')]
+    c = OpenAICompatibleClient(base_url=base)
+    out = c.complete("sys", "usr", json_mode=True)
+    assert json.loads(out) == {"queries": ["a", "b"]}
+    assert fake.requests[0][2]["response_format"] == {"type": "json_object"}
+
+
+def test_retries_on_5xx_then_succeeds(fake_server):
+    base, fake = fake_server
+    fake.script = [(503, None), (200, "recovered")]
+    c = OpenAICompatibleClient(base_url=base, max_retries=2)
+    assert c.complete("s", "u") == "recovered"
+    assert len(fake.requests) == 2
+
+
+def test_non_retryable_error_raises(fake_server):
+    base, fake = fake_server
+    fake.script = [(401, None)]
+    c = OpenAICompatibleClient(base_url=base)
+    with pytest.raises(RuntimeError, match="401"):
+        c.complete("s", "u")
+
+
+def test_env_config(monkeypatch, fake_server):
+    base, fake = fake_server
+    fake.script = [(200, "from-env")]
+    monkeypatch.setenv("LLM_BASE_URL", base)
+    monkeypatch.setenv("LLM_API_KEY", "")
+    monkeypatch.setenv("LLM_MODEL", "env-model")
+    c = OpenAICompatibleClient()
+    assert c.complete("s", "u") == "from-env"
+    path, headers, payload = fake.requests[0]
+    assert payload["model"] == "env-model"
+    assert "Authorization" not in headers
+
+
+def test_planner_decompose_via_http_adapter(fake_server):
+    """The adapter satisfies the same LLMClient contract the planner
+    nodes consume (reference decomposition contract: JSON object with
+    a 'queries' list)."""
+    from parquet_pipeline_spark.plans import decompose_query
+
+    base, fake = fake_server
+    fake.script = [(200, '{"queries": ["max price?", "who is customer 5?"]}')]
+    c = OpenAICompatibleClient(base_url=base)
+    assert decompose_query("max price and who is customer 5", c) == [
+        "max price?",
+        "who is customer 5?",
+    ]
