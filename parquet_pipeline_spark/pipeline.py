@@ -215,16 +215,123 @@ def run_query_pipeline(
     return res
 
 
+def enrich_catalog_entry(df: DataFrame, name: str, client=None) -> dict:
+    """Rich catalog metadata in the reference's output shape
+    (ingestion_pipeline_langgraph.py:580-592): per-column
+    description/nullable/is_primary_key, table primary/foreign keys,
+    quality score, tags/language/topics/summary.
+
+    Every slot is filled DETERMINISTICALLY from one profiling
+    aggregate over the data (null counts, approx-distinct per column
+    and per row — a single scan, no per-column jobs); an ``LLMClient``
+    upgrades the free-text slots (descriptions, tags, topics,
+    summary) when configured, reference prompt contract
+    (ingestion_pipeline_langgraph.py:428-526). LLM failure falls back
+    to the deterministic values — error-as-degradation, never raise."""
+    from pyspark.sql import functions as F
+
+    cols = df.columns
+    dtypes = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(cols):
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nulls_{i}")
+        )
+        aggs.append(F.approx_count_distinct(c).alias(f"_dist_{i}"))
+    aggs.append(
+        F.approx_count_distinct(F.struct(*[F.col(c) for c in cols])).alias("_drows")
+    )
+    prof = df.agg(*aggs).first()
+    n = prof["_n"] or 0
+
+    column_metadata: dict[str, dict] = {}
+    pk = None
+    fks: list[str] = []
+    total_nulls = 0
+    for i, c in enumerate(cols):
+        nulls = prof[f"_nulls_{i}"] or 0
+        dist = prof[f"_dist_{i}"] or 0
+        total_nulls += nulls
+        # approx_count_distinct has ~2% default error — 0.95 margin
+        unique = n > 0 and nulls == 0 and dist >= 0.95 * n
+        keyish = c.lower().endswith(("id", "key")) or c.lower() == "id"
+        if keyish and unique and pk is None:
+            pk = c
+        elif keyish and not unique:
+            fks.append(c)
+        column_metadata[c] = {
+            "description": f"{dtypes[c]} column '{c}'",
+            "nullable": bool(nulls > 0),
+            "is_primary_key": False,
+        }
+    if pk:
+        column_metadata[pk]["is_primary_key"] = True
+    cells = n * len(cols)
+    null_pct = round(100.0 * total_nulls / cells, 2) if cells else 0.0
+    has_dups = bool(n > 0 and (prof["_drows"] or 0) < 0.95 * n)
+    tags = sorted(
+        {
+            "time-series" if any("timestamp" in t or t == "date" for t in dtypes.values()) else "tabular",
+            "text" if any(t == "string" for t in dtypes.values()) else "tabular",
+        }
+    )
+    entry = {
+        "column_metadata": column_metadata,
+        "table_metadata": {
+            "primary_key": pk,
+            "foreign_keys": fks,
+            "data_quality_score": round(1.0 - null_pct / 100.0, 4),
+            "has_duplicates": has_dups,
+            "null_percentage": null_pct,
+        },
+        "llm_tags": tags,
+        "language": "en",
+        "main_topics": [name.replace("_", "-")],
+        "summary": f"Table '{name}' with {n} rows and {len(cols)} columns.",
+    }
+
+    if client is not None:
+        try:
+            sample = df.limit(5).toPandas().to_string(index=False)[:2000]
+            col_info = "\n".join(f"- {c}: {dtypes[c]}" for c in cols)
+            raw = client.complete(
+                "You annotate dataset catalogs. Respond with JSON only.",
+                "Analyze this dataset and provide metadata as JSON with keys "
+                "'columns' ({name: {description, nullable, is_primary_key}}), "
+                "'table_metadata' ({primary_key, foreign_keys, "
+                "data_quality_score, has_duplicates, null_percentage}), "
+                "'tags' (3-7 lowercase strings), 'language' (ISO 639-1), "
+                "'main_topics' (2-4 keywords), 'summary' (one sentence).\n"
+                f"Table: {name}\nColumns:\n{col_info}\nSample rows:\n{sample}",
+                json_mode=True,
+            )
+            llm = json.loads(raw)
+            for c, meta in (llm.get("columns") or {}).items():
+                if c in column_metadata and isinstance(meta, dict):
+                    column_metadata[c].update(meta)
+            if isinstance(llm.get("table_metadata"), dict):
+                entry["table_metadata"].update(llm["table_metadata"])
+            for key, field_ in (("tags", "llm_tags"), ("language", "language"),
+                                ("main_topics", "main_topics"), ("summary", "summary")):
+                if llm.get(key):
+                    entry[field_] = llm[key]
+        except Exception:
+            pass  # deterministic profile stands
+    return entry
+
+
 def run_ingestion_pipeline(
     spark: SparkSession,
     input_paths: list[str],
     output_dir: str,
     max_workers: int = 4,
+    client=None,
 ) -> dict:
     """Convert heterogeneous inputs to cleaned zstd parquet + build
     the catalog JSON (reference output shape:
-    ingestion_pipeline_langgraph.py:913-1121, trimmed to the
-    deterministic fields — no LLM metadata fabrication)."""
+    ingestion_pipeline_langgraph.py:913-1121; rich metadata slots
+    via ``enrich_catalog_entry`` — deterministic profiling, LLM
+    overlay when a client is configured)."""
     os.makedirs(output_dir, exist_ok=True)
     catalog: dict[str, dict] = {}
     errors: list[dict] = []
@@ -260,6 +367,7 @@ def run_ingestion_pipeline(
                     default=str,
                 )
             ),
+            **enrich_catalog_entry(df, name, client=client),
         }
 
     return {

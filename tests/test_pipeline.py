@@ -142,3 +142,59 @@ def test_validate_rules(spark):
     assert out[("range", "amount")] == (2, False)   # -5 and 2000
     assert out[("unique", "id")] == (2, False)      # id=2 twice
     assert out[("in_set", "name")] == (1, False)    # the NULL
+
+
+def test_rich_catalog_metadata_shape(spark, tmp_path):
+    """Catalog entries carry the reference's rich-metadata slots
+    (column_metadata / table_metadata / llm_tags / language /
+    main_topics / summary), filled deterministically when keyless."""
+    csv = tmp_path / "loans.csv"
+    csv.write_text(
+        "loan_id,amount,borrower\n1,100.5,alice\n2,200.0,bob\n3,,carol\n"
+    )
+    result = run_ingestion_pipeline(spark, [str(csv)], str(tmp_path / "out"))
+    entry = result["tables"]["loans"]
+
+    cm = entry["column_metadata"]
+    assert set(cm) == {"loan_id", "amount", "borrower"}
+    assert cm["loan_id"]["is_primary_key"] is True
+    assert cm["amount"]["nullable"] is True
+    assert cm["loan_id"]["nullable"] is False
+    tm = entry["table_metadata"]
+    assert tm["primary_key"] == "loan_id"
+    assert tm["has_duplicates"] is False
+    assert 0 < tm["null_percentage"] < 100
+    assert 0.0 <= tm["data_quality_score"] <= 1.0
+    assert entry["language"] == "en"
+    assert entry["llm_tags"] and entry["main_topics"] and entry["summary"]
+
+
+def test_rich_catalog_llm_overlay(spark, tmp_path):
+    """An LLMClient upgrades the free-text slots; malformed fields
+    are ignored in favor of the deterministic profile."""
+    from parquet_pipeline_spark.plans import FakeClient
+
+    csv = tmp_path / "t.csv"
+    csv.write_text("id,v\n1,a\n2,b\n")
+    client = FakeClient(
+        [
+            {
+                "columns": {"id": {"description": "row identifier"}},
+                "table_metadata": {"data_quality_score": 0.9},
+                "tags": ["demo", "tiny"],
+                "language": "fr",
+                "main_topics": ["testing"],
+                "summary": "Two demo rows.",
+            }
+        ]
+    )
+    result = run_ingestion_pipeline(
+        spark, [str(csv)], str(tmp_path / "out2"), client=client
+    )
+    entry = result["tables"]["t"]
+    assert entry["column_metadata"]["id"]["description"] == "row identifier"
+    assert entry["column_metadata"]["id"]["is_primary_key"] is True  # kept
+    assert entry["table_metadata"]["data_quality_score"] == 0.9
+    assert entry["llm_tags"] == ["demo", "tiny"]
+    assert entry["language"] == "fr"
+    assert entry["summary"] == "Two demo rows."
