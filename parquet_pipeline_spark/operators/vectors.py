@@ -432,3 +432,102 @@ def kmeans_inertia(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> 
         F.transform(cent, lambda c: cosine_similarity(F.col("embedding"), c["cv"]))
     )
     return assigned.agg(F.avg(1 - best)).first()[0]
+
+
+# ---------------------------------------------------------------------------
+# a05 — BATCHED ANN: band equi-join over LSH signatures.
+# a01's single-query shape (broadcast crossJoin + bucket predicate)
+# degenerates to one full scan PER query when the query side grows;
+# banding the signature turns candidate generation for the whole
+# query set into ONE shuffle equi-join on (band_id, band_val) —
+# corpus side scans once, candidates per query ≈ bucket size, and
+# skew is bounded by the band width.
+# ---------------------------------------------------------------------------
+def _banded(df: DataFrame, emb_col: str, dim: int, n_planes: int, n_bands: int):
+    """Attach exploded (band_id, band_val) rows derived from the
+    random-hyperplane signature. band b = bits [b*w, (b+1)*w) of the
+    signature (w = n_planes // n_bands)."""
+    w = n_planes // n_bands
+    mask = (1 << w) - 1
+    sig = lsh_signature(F.col(emb_col), dim, n_planes)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(F.col("_sig"), b * w)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return (
+        df.withColumn("_sig", sig)
+        .withColumn("_band", F.explode(bands))
+        .select(*df.columns, "_band.band_id", "_band.band_val")
+    )
+
+
+def ann_knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 16,
+    n_bands: int = 2,
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_emb_col: str = "q_emb",
+) -> DataFrame:
+    """Approximate k-NN JOIN: for every query vector, top-k corpus
+    neighbors among band-collision candidates. Two vectors are
+    candidates iff they agree on at least one signature band — the
+    same recall knob as MinHash banding (more/narrower bands = higher
+    recall, more candidates). Returns (q_id, vec_id, score, rn).
+
+    Plan shape at scale: corpus and queries each scanned once,
+    signature is a pure expression, candidates come from a hash
+    equi-join on (band_id, band_val), dedup + per-query top-k via a
+    window partitioned by query id. No crossJoin anywhere.
+
+    Pruning depends on the data having angular structure: on
+    clustered embeddings (the real-corpus case) narrow bands prune
+    hard at high recall (tests/test_vectors.py planted-cluster
+    test); on isotropic random vectors — the synthetic testdata —
+    any parameters reaching high recall admit most of the corpus as
+    candidates, because true neighbors are barely closer than random
+    pairs. That's a property of the data, not the plan."""
+    c = _banded(corpus.select(id_col, "embedding"), "embedding", dim, n_planes, n_bands)
+    q = _banded(
+        queries.select(
+            F.col(q_id_col).alias(q_id_col), F.col(q_emb_col).alias(q_emb_col)
+        ),
+        q_emb_col,
+        dim,
+        n_planes,
+        n_bands,
+    )
+    cands = (
+        c.join(q, ["band_id", "band_val"])
+        .dropDuplicates([q_id_col, id_col])
+        .withColumn("score", cosine_similarity(F.col("embedding"), F.col(q_emb_col)))
+    )
+    w = W.partitionBy(q_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(q_id_col, id_col, F.round("score", 6).alias("score"), "rn")
+    )
+
+
+@register("a05_ann_batch_knn")  # rows-only: hash-derived buckets
+def a05_ann_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN over the same query/corpus split as v03's exact
+    k-NN join (queries = vec_id < 5, corpus = the rest) — the scale
+    path v03 needs; recall vs exact is asserted in tests."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return ann_knn_join(corpus, queries, dim=64, k=3, n_planes=16, n_bands=8)

@@ -54,3 +54,86 @@ def test_lsh_signature_deterministic_and_local(spark, sf_dir):
     assert {r["vec_id"]: r["s"] for r in a} == {r["vec_id"]: r["s"] for r in b}
     # 16-bit signatures
     assert all(0 <= r["s"] < 2**16 for r in a)
+
+
+def test_ann_batch_knn_recall_vs_exact(spark, sf_dir):
+    """Band equi-join ANN must recover most of the exact top-3
+    neighbors for a 5-query batch (v03's shape), with no crossJoin
+    in the plan."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.functions import cosine_similarity
+    from parquet_pipeline_spark.operators.vectors import ann_knn_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+
+    exact_pairs = {
+        (r["q_id"], r["vec_id"])
+        for r in corpus.crossJoin(F.broadcast(queries))
+        .withColumn("score", cosine_similarity(F.col("embedding"), F.col("q_emb")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql", fromlist=["Window"]).Window.partitionBy(
+                    "q_id"
+                ).orderBy(F.col("score").desc(), F.col("vec_id"))
+            ),
+        )
+        .filter(F.col("rn") <= 3)
+        .collect()
+    }
+
+    approx = ann_knn_join(corpus, queries, dim=64, k=3, n_planes=16, n_bands=8)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    approx_pairs = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+
+    recall = len(approx_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.8, f"batched-ANN recall too low: {recall}"
+    # every query got k candidates back (bands wide enough at this SF)
+    from collections import Counter
+
+    per_q = Counter(q for q, _ in approx_pairs)
+    assert all(per_q[q] == 3 for q in range(5))
+
+
+def test_ann_batch_knn_prunes_clustered_data(spark):
+    """On angularly-clustered embeddings (the real-corpus case) the
+    band join must PRUNE (candidate fraction well under 1) while
+    keeping near-perfect recall: every approximate neighbor comes
+    from the query's own cluster."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.vectors import _banded, ann_knn_join
+
+    rng = random.Random(7)
+    dim, per_cluster = 16, 40
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(8)]
+    rows = []
+    for cid, c in enumerate(centers):
+        for j in range(per_cluster):
+            rows.append(
+                (cid * per_cluster + j, [x + rng.gauss(0, 0.05) for x in c])
+            )
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(cid, c) for cid, c in enumerate(centers)], "q_id long, q_emb array<double>"
+    )
+
+    approx = ann_knn_join(corpus, queries, dim=dim, k=3, n_planes=16, n_bands=4)
+    got = approx.collect()
+    assert len(got) == 8 * 3
+    assert all(r["vec_id"] // per_cluster == r["q_id"] for r in got)
+    assert all(r["score"] > 0.99 for r in got)
+
+    c = _banded(corpus, "embedding", dim, 16, 4)
+    q = _banded(queries, "q_emb", dim, 16, 4)
+    n_cand = c.join(q, ["band_id", "band_val"]).select("q_id", "vec_id").distinct().count()
+    frac = n_cand / (len(centers) * len(rows))
+    assert frac < 0.6, f"band join did not prune: candidate fraction {frac}"
