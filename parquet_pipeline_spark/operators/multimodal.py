@@ -7,12 +7,13 @@ training-data lake uses (payloads inline for small media, or
 path-references for large; both shapes supported).
 
 The Spark-side plumbing (schema, partitioning, Arrow batch shape,
-UDF signatures) is real and tested; the actual codec work (decode,
-resize, frame-sample) requires image/audio libraries that are NOT in
-this container, so the decode kernel is stubbed: by default it
-raises NotImplementedError; with ``fake=True`` it produces a
-deterministic fake (payload-hash-seeded dimensions/features) so the
-distributed pipeline can be exercised end-to-end.
+UDF signatures) is real and tested. Decode kernels: formats with a
+stdlib-only parse are decoded FOR REAL — PPM (P6) images via header
+parse + numpy pixel stats, WAV audio via the ``wave`` module + numpy
+RMS bands. Formats that need codec libraries not in this container
+(JPEG/PNG/MP4/...) raise NotImplementedError by default, or run a
+deterministic fake (payload-hash-seeded) with ``fake=True`` so the
+distributed pipeline can be exercised end-to-end regardless.
 """
 
 from __future__ import annotations
@@ -67,6 +68,63 @@ def media_table(df: DataFrame, payload_col: str, modality: str, mime: str) -> Da
     )
 
 
+def _decode_ppm(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Real P6 PPM decode, stdlib+numpy only: header gives (width,
+    height), pixels give a 6-dim feature (per-channel mean and std,
+    0-1 scaled). Binary PPM is the one image format with a trivial
+    spec — proof the decode path is real, not just plumbing."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header = magic, width, height, maxval as whitespace-separated
+    # tokens; '#' comments allowed between tokens
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(payload):
+        c = payload[i : i + 1]
+        if c == b"#":
+            i = payload.index(b"\n", i)
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+    width, height, maxval = (int(t) for t in tokens)
+    i += 1  # single whitespace after maxval, then raw RGB
+    px = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=i)
+    px = px.reshape(-1, 3).astype(np.float64) / maxval
+    feature = [float(x) for x in px.mean(axis=0)] + [float(x) for x in px.std(axis=0)]
+    return width, height, 1, feature
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Real WAV decode via the stdlib ``wave`` module + numpy:
+    n_frames = PCM frame count, width/height carry (channels,
+    sample_rate_khz), feature = RMS over 8 equal time bands
+    (16-bit PCM)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload)) as w:
+        channels = w.getnchannels()
+        rate = w.getframerate()
+        n = w.getnframes()
+        sampwidth = w.getsampwidth()
+        raw = w.readframes(n)
+    if sampwidth != 2:
+        raise ValueError(f"only 16-bit PCM supported, got {8 * sampwidth}-bit")
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    bands = np.array_split(samples, 8) if samples.size else []
+    feature = [float(np.sqrt((b**2).mean())) if b.size else 0.0 for b in bands]
+    return channels, rate // 1000, n, feature
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
     """Deterministic fake decode: dimensions/features derived from
     the payload hash. CLEARLY A STUB — stands in for PIL/ffmpeg which
@@ -79,26 +137,38 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
     return width, height, n_frames, feature
 
 
+def _decode_any(payload: bytes, fake: bool) -> tuple[int, int, int, list[float]]:
+    """Dispatch on payload magic: PPM and WAV decode for real
+    (stdlib-only); other formats fall back to the deterministic fake
+    (``fake=True``) or raise — JPEG/PNG/MP4 need codec libraries not
+    installed here."""
+    if payload.startswith(b"P6"):
+        return _decode_ppm(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav(payload)
+    if fake:
+        return _fake_decode(payload)
+    raise NotImplementedError(
+        "only PPM/WAV decode is available without codec libraries; "
+        "pass fake=True to run the deterministic stub for other formats"
+    )
+
+
 def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode/feature-extract media payloads via mapInPandas (Arrow
     batches; one python worker per partition — the right shape for
-    CPU-bound codec work). Real decoding is NotImplemented in this
-    environment; ``fake=True`` runs the deterministic stub through
-    the identical distributed plumbing."""
+    CPU-bound codec work). PPM/WAV payloads decode for real;
+    ``fake=True`` additionally runs the deterministic stub for
+    formats whose codecs aren't installed, through the identical
+    distributed plumbing."""
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media decoding requires image/audio libraries not "
-                    "installed in this container; pass fake=True to run "
-                    "the deterministic stub"
-                )
             rows = []
             for mid, payload, meta in zip(
                 pdf["media_id"], pdf["payload"], pdf["meta"]
             ):
-                w, h, nf, feat = _fake_decode(bytes(payload or b""))
+                w, h, nf, feat = _decode_any(bytes(payload or b""), fake)
                 modality = meta["modality"] if meta is not None else None
                 rows.append((mid, modality, w, h, nf, feat))
             yield pd.DataFrame(
