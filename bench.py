@@ -85,6 +85,21 @@ def main() -> None:
         df.count()  # materialize fully (not collect: keep result distributed)
         timings[name] = round(time.time() - t0, 3)
 
+    # e2e migration-surface smoke: the keyless Engine.ask() loop
+    # (decompose → identify → route → SQL-gen → execute) over the
+    # attached sf tables — the reference's end-to-end unit, timed so
+    # the facade has a perf number alongside the engine queries
+    from parquet_pipeline_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.attach_dir(sf_dir)
+    t0 = time.time()
+    res = eng.ask("What is the total o_totalprice per o_orderpriority?")
+    ok = any(df.columns != ["Error"] for df in res.results.values())
+    timings["e2e_engine_ask"] = round(time.time() - t0, 3)
+    if not ok:
+        timings["e2e_engine_ask"] = -1.0  # surfaced, never hidden
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -105,7 +105,12 @@ class Catalog:
         """Register every ``*.parquet`` under a directory as its own
         logical table (the reference's glob-discovery, reference:
         config.py:103-109 — but one *table per file*, not one merged
-        relation)."""
+        relation). A table that fails to read (e.g. a parquet type
+        the session can't map, like TIMESTAMP(NANOS) without the
+        legacy flag) is skipped with a warning — discovery registers
+        what it can, error-as-data like the rest of the pipeline."""
+        import logging
+
         entries = []
         if names is None:
             names = sorted(
@@ -116,7 +121,12 @@ class Catalog:
         for n in names:
             p = os.path.join(directory, f"{n}.parquet")
             if os.path.exists(p):
-                entries.append(self.register_path(p, n, with_count=with_count))
+                try:
+                    entries.append(self.register_path(p, n, with_count=with_count))
+                except Exception as e:
+                    logging.getLogger(__name__).warning(
+                        "register_dir: skipping %s (%s)", p, str(e).split("\n")[0]
+                    )
         return entries
 
     # -- introspection -------------------------------------------------
