@@ -42,6 +42,7 @@ HEADLINE = [
     "t02_chunk_assignment",
     "x02_sessionize",
     "q33_shipping_priority",
+    "q63_local_supplier_volume",
 ]
 
 

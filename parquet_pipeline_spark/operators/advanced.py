@@ -1,0 +1,279 @@
+"""Advanced relational + training-data queries (round-2 widening).
+
+Classic warehouse shapes the base suite didn't cover yet: TPC-H Q5/Q10
+join trees, latest-row-per-key compaction (the batch shape of CDC
+upsert), exact median, scalar-subquery shares, windowed moving sums,
+and PII masking for training-data pipelines. All pure DataFrame plans:
+broadcast the true dimensions, one shuffle per agg/window, filters
+pushed to the scan.
+
+Reference parity note: the reference delegates all SQL to DuckDB
+(duckdb_util.py:execute_duckdb_query); these queries extend the same
+delegated surface Spark-first.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from parquet_pipeline_spark.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# q60 — latest order per customer (the batch twin of CDC upsert
+# compaction: keep the newest row per key; one window shuffle)
+# ---------------------------------------------------------------------------
+@register(
+    "q60_latest_per_key",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def q60_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q61 — exact median (interpolated) per group; Spark median() ==
+# DuckDB median() for numeric input
+# ---------------------------------------------------------------------------
+@register(
+    "q61_median",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(median(l_quantity), 4) AS med_qty,
+           ROUND(median(l_discount), 4) AS med_disc,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q61_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+        F.round(F.median("l_discount"), 4).alias("med_disc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q62 — scalar subquery: each nation's share of all customers
+# (the total is one scalar — broadcast cross join, no per-row subquery)
+# ---------------------------------------------------------------------------
+@register(
+    "q62_share_of_total",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(COUNT(*) / (SELECT COUNT(*)::DOUBLE FROM customer), 6) AS share
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q62_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    total = cust.agg(F.count(F.lit(1)).cast("double").alias("_total"))
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "n_name",
+            "n_customers",
+            F.round(F.col("n_customers") / F.col("_total"), 6).alias("share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q63 — TPC-H Q5 shape: local-supplier volume. Six-way join; the
+# classic scale test — facts shuffle once on their join keys,
+# nation/region broadcast, customer-nation == supplier-nation applied
+# as a join-time filter
+# ---------------------------------------------------------------------------
+@register(
+    "q63_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+)
+def q63_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q64 — moving window sum (3-order rolling spend per customer).
+# Frame sums of 2-decimal values round exactly at 2dp on both engines
+# (sum of cents is cents — no half-cent boundary exists)
+# ---------------------------------------------------------------------------
+@register(
+    "q64_moving_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS rolling_spend
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+)
+def q64_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rolling_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q65 — TPC-H Q10 shape: revenue lost to returned items, top-20
+# customers
+# ---------------------------------------------------------------------------
+@register(
+    "q65_returned_item_revenue",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q65_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# t09 — PII masking for training corpora: digit runs and @-handles
+# replaced before text ships to a training set. Pure regexp_replace
+# (codegen'd); DuckDB needs the 'g' flag for replace-all parity.
+# ---------------------------------------------------------------------------
+@register(
+    "t09_pii_mask",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, '[0-9]+', '#', 'g'),
+                          '@[A-Za-z0-9_]+', '@USER', 'g') AS masked,
+           CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT)
+             AS n_digits_masked
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def t09_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    masked = F.regexp_replace(
+        F.regexp_replace(F.col("text"), r"[0-9]+", "#"), r"@[A-Za-z0-9_]+", "@USER"
+    )
+    n_digits = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), r"[0-9]", "")
+    )
+    return docs.select(
+        "doc_id", masked.alias("masked"), n_digits.cast("int").alias("n_digits_masked")
+    )

@@ -52,4 +52,5 @@ def load_all() -> None:
         sketches,
         embedding,
         quality,
+        advanced,
     )
