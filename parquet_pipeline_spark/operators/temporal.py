@@ -36,19 +36,25 @@ def asof_join(
     value_col: str,
     by: list[str] | None = None,
     bucket: str = "1 day",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each probe row gets the most recent
-    ``value_col`` from ``quote`` with quote.ts <= probe.ts (ties
-    include equality), optionally per ``by`` keys. Probe rows with no
-    prior quote keep NULL (left semantics).
+    """As-of join: each probe row gets the nearest ``value_col`` from
+    ``quote`` at-or-before its timestamp (``direction="backward"``,
+    the default) or at-or-after it (``"forward"`` — pandas
+    merge_asof parity), optionally per ``by`` keys. Ties include
+    equality. Probe rows with no matching quote keep NULL (left
+    semantics).
 
     Two passes, both parallel:
     1. union probes+quotes, window *within* (by, time-bucket) to find
-       the last quote at-or-before each probe inside its bucket;
-    2. per-(by, bucket) last-quote summary (tiny), prefix-filled via a
-       window over buckets, joined back; the final value is
-       coalesce(within-bucket, previous-buckets).
+       the nearest qualifying quote inside each probe's bucket;
+    2. per-(by, bucket) boundary-quote summary (tiny), filled across
+       buckets via a window over buckets, joined back; the final
+       value is coalesce(within-bucket, other-buckets).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    back = direction == "backward"
     by = by or []
     q = quote.select(
         *by, F.col(ts_col).alias(ts_col), F.col(value_col).alias("_q_val")
@@ -58,41 +64,52 @@ def asof_join(
         "_bkt", F.window(F.col(ts_col), bucket)["start"]
     )
 
-    # pass 1: within-bucket backward fill (quotes sort before probes
-    # at equal ts → equality included)
-    w_in = (
-        W.partitionBy(*by, "_bkt")
-        .orderBy(ts_col, "_is_probe")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    u = u.withColumn("_within", F.last("_q_val", ignorenulls=True).over(w_in))
+    # pass 1: within-bucket fill. Tie order puts the quote on the
+    # probe's qualifying side at equal ts → equality included:
+    # backward scans the preceding frame (quotes sort first), forward
+    # scans the following frame (quotes sort last).
+    tie = F.col("_is_probe").asc() if back else F.col("_is_probe").desc()
+    w_in = W.partitionBy(*by, "_bkt").orderBy(F.col(ts_col).asc(), tie)
+    if back:
+        w_in = w_in.rowsBetween(W.unboundedPreceding, W.currentRow)
+        within = F.last("_q_val", ignorenulls=True).over(w_in)
+    else:
+        w_in = w_in.rowsBetween(W.currentRow, W.unboundedFollowing)
+        within = F.first("_q_val", ignorenulls=True).over(w_in)
+    u = u.withColumn("_within", within)
 
-    # pass 2: last quote per bucket (small: one row per bucket), then
-    # for each bucket the latest quote from any *earlier* bucket.
-    # The spine must include PROBE buckets too — a probe bucket with
-    # no quotes still needs the carry-forward value.
+    # pass 2: boundary quote per bucket (small: one row per bucket),
+    # then for each bucket the nearest quote from any earlier
+    # (backward) / later (forward) bucket. The spine must include
+    # PROBE buckets too — a probe bucket with no quotes still needs
+    # the carried value.
     spine = u.select(*by, "_bkt").distinct()
-    bucket_last = (
+    boundary_agg = F.max_by("_q_val", F.col(ts_col)) if back else F.min_by(
+        "_q_val", F.col(ts_col)
+    )
+    bucket_edge = (
         q.withColumn("_bkt", F.window(F.col(ts_col), bucket)["start"])
         .groupBy(*by, "_bkt")
-        .agg(F.max_by("_q_val", F.col(ts_col)).alias("_bkt_last"))
+        .agg(boundary_agg.alias("_bkt_edge"))
     )
-    w_prev = (
-        W.partitionBy(*by)
-        .orderBy("_bkt")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    prev = (
-        spine.join(bucket_last, [*by, "_bkt"], "left")
-        .withColumn("_prev_last", F.last("_bkt_last", ignorenulls=True).over(w_prev))
-        .select(*by, "_bkt", "_prev_last")
+    w_out = W.partitionBy(*by).orderBy("_bkt")
+    if back:
+        w_out = w_out.rowsBetween(W.unboundedPreceding, -1)
+        carried = F.last("_bkt_edge", ignorenulls=True).over(w_out)
+    else:
+        w_out = w_out.rowsBetween(1, W.unboundedFollowing)
+        carried = F.first("_bkt_edge", ignorenulls=True).over(w_out)
+    other = (
+        spine.join(bucket_edge, [*by, "_bkt"], "left")
+        .withColumn("_other_edge", carried)
+        .select(*by, "_bkt", "_other_edge")
     )
 
     out = (
         u.filter(F.col("_is_probe") == 1)
-        .join(F.broadcast(prev), [*by, "_bkt"], "left")
-        .withColumn(value_col, F.coalesce("_within", "_prev_last"))
-        .drop("_is_probe", "_bkt", "_within", "_prev_last", "_q_val")
+        .join(F.broadcast(other), [*by, "_bkt"], "left")
+        .withColumn(value_col, F.coalesce("_within", "_other_edge"))
+        .drop("_is_probe", "_bkt", "_within", "_other_edge", "_q_val")
     )
     return out
 
@@ -313,4 +330,48 @@ def x04_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         )
         .select("user_id", "n_events", "session_start", "session_end")
+    )
+
+
+@register(
+    "x05_asof_forward",
+    oracle="""
+    WITH quotes AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS qts,
+             AVG(value) AS rate
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    ),
+    probes AS (
+      SELECT event_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           ROUND(q.rate, 6) AS rate
+    FROM probes p LEFT JOIN LATERAL (
+      SELECT rate FROM quotes q WHERE q.qts >= p.ts
+      ORDER BY q.qts LIMIT 1
+    ) q ON true
+    """,
+)
+def x05_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each click gets the NEXT hourly purchase rate
+    at-or-after its timestamp (pandas merge_asof direction='forward'
+    parity; oracle via LATERAL nearest-next lookup)."""
+    ev = _events(spark, sf_dir)
+    quotes = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.window("ts", "1 hour")["start"].alias("ts"))
+        .agg(F.avg("value").alias("rate"))
+        .cache()
+    )
+    probes = ev.filter(F.col("event_type") == "click").select("event_id", "ts")
+    joined = asof_join(
+        probes, quotes, ts_col="ts", value_col="rate", bucket="6 hours",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round("rate", 6).alias("rate"),
     )

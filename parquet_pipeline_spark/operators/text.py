@@ -360,3 +360,47 @@ def t08_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# t10 — vocabulary coverage (tokenizer-budget analysis): top-50 words
+# by corpus frequency with cumulative share of all tokens. The
+# cumulative window is global but runs over the LIMIT-50 result —
+# bounded rows, never the corpus.
+# ---------------------------------------------------------------------------
+@register(
+    "t10_vocab_coverage",
+    oracle="""
+    WITH wc AS (
+      SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                      x -> x <> '')) AS w
+            FROM documents)
+      GROUP BY w
+    ),
+    top AS (SELECT word, cnt FROM wc ORDER BY cnt DESC, word LIMIT 50),
+    tot AS (SELECT SUM(cnt)::DOUBLE AS t FROM wc)
+    SELECT word, cnt,
+           ROUND(SUM(cnt) OVER (ORDER BY cnt DESC, word
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / t, 6) AS cum_share
+    FROM top, tot
+    """,
+)
+def t10_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    counts = (
+        docs.select(F.explode(word_tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").cast("double").alias("_t"))
+    top = counts.orderBy(F.col("cnt").desc(), "word").limit(50)
+    w = W.orderBy(F.col("cnt").desc(), "word").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("cum_share", F.round(F.sum("cnt").over(w) / F.col("_t"), 6))
+        .select("word", "cnt", "cum_share")
+    )

@@ -87,3 +87,29 @@ def test_range_join_bucket_boundary(spark):
         for r in range_join_within(ev, "user_id", "ts", "event_id", 300).collect()
     }
     assert pairs == {(1, 2): 20}
+
+
+def test_asof_join_forward_direction(spark):
+    probes = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:15:00")),  # next quote q1
+            (2, _ts("2024-01-01 01:00:00")),  # exactly at q1 → q1 (tie incl.)
+            (3, _ts("2024-01-01 12:00:00")),  # carry forward across buckets → q2
+            (4, _ts("2024-01-05 00:00:00")),  # after all quotes → NULL
+        ],
+        "id long, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [
+            (_ts("2024-01-01 01:00:00"), 10.0),
+            (_ts("2024-01-02 05:00:00"), 20.0),
+        ],
+        "ts timestamp, rate double",
+    )
+    out = {
+        r["id"]: r["rate"]
+        for r in asof_join(
+            probes, quotes, "ts", "rate", direction="forward"
+        ).collect()
+    }
+    assert out == {1: 10.0, 2: 10.0, 3: 20.0, 4: None}
