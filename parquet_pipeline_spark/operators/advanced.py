@@ -159,8 +159,12 @@ def q63_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
+        # supplier scales with SF (10k rows × sf) — forcing a broadcast
+        # OOMs at the 100-TB design point. Nation/region below are
+        # fixed-size dims, so those hints stay; supplier is left to
+        # AQE/statistics, which still broadcasts it when small.
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )

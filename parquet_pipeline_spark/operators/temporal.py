@@ -107,7 +107,12 @@ def asof_join(
 
     out = (
         u.filter(F.col("_is_probe") == 1)
-        .join(F.broadcast(other), [*by, "_bkt"], "left")
+        # No broadcast hint: the spine has one row per (by-key × active
+        # bucket), which grows linearly with distinct keys × time range —
+        # unbounded at scale. Both sides key on [*by, "_bkt"], so this is
+        # a co-partitioned shuffle join; AQE still converts it to a
+        # broadcast join at runtime when the spine is genuinely small.
+        .join(other, [*by, "_bkt"], "left")
         .withColumn(value_col, F.coalesce("_within", "_other_edge"))
         .drop("_is_probe", "_bkt", "_within", "_other_edge", "_q_val")
     )
