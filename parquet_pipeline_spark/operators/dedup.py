@@ -176,14 +176,19 @@ def lsh_candidate_pairs(
     duplicates (license headers, templated pages) put thousands of
     docs in one (band_id, band_hash) bucket, and an uncapped
     ``collect_set`` would hold the whole mega-bucket in one task and
-    emit O(n²) pairs from it. The cap keeps the ``bucket_cap``
-    LOWEST ids per bucket (deterministic, rerun-stable) via a
-    row_number window partitioned on the bucket key — the same
-    shuffle partitioning the groupBy needs, so no extra exchange.
-    For transitive dedup the bias is harmless: capped members still
-    pair with the cluster's min id, which is the survivor anyway.
-    Normal buckets (≤ cap) are untouched. ``log_overflow=True`` runs
-    one extra small aggregate to count truncated buckets."""
+    emit O(n²) pairs from it. The ``bucket_cap`` LOWEST ids per
+    bucket (deterministic, rerun-stable, ranked by a row_number
+    window on the bucket key — the same shuffle partitioning the
+    groupBy needs) pair all-with-all as usual; every member BEYOND
+    the cap emits exactly one pair ``(bucket_min_id, member)``
+    instead — O(overflow) rows, streamed with no buffering — so
+    capped-out docs stay transitively reachable from the bucket's
+    min id (the dedup survivor) and are never silently dropped.
+    The head and overflow branches shuffle on the same key, so
+    Spark's ReuseExchange computes the minhash pipeline and its
+    shuffle once. Normal buckets (≤ cap) are untouched.
+    ``log_overflow=True`` runs one extra small aggregate to count
+    truncated buckets."""
     rows_per_band = num_hashes // bands
     df = _ensure_parallelism(df)
     sig = minhash_signature(char_ngrams(text_col, ngram), num_hashes)
@@ -222,10 +227,13 @@ def lsh_candidate_pairs(
     # its window partitions on the same key the groupBy shuffles on,
     # so Catalyst reuses one exchange for both.
     w_bucket = W.partitionBy("band_id", "band_hash").orderBy(id_col)
+    # _min_id rides the same window (running first == partition min
+    # under this ordering) — one WindowExec computes both columns.
+    ranked = banded.withColumn("_rn", F.row_number().over(w_bucket)).withColumn(
+        "_min_id", F.first(id_col).over(w_bucket)
+    )
     buckets = (
-        banded.withColumn("_rn", F.row_number().over(w_bucket))
-        .filter(F.col("_rn") <= bucket_cap)
-        .drop("_rn")
+        ranked.filter(F.col("_rn") <= bucket_cap)
         .groupBy("band_id", "band_hash")
         .agg(F.collect_set(id_col).alias("ids"))
         .filter(F.size("ids") > 1)
@@ -241,11 +249,15 @@ def lsh_candidate_pairs(
         ),
         lambda p: p["id_a"] < p["id_b"],
     )
-    return (
-        buckets.select(F.explode(pairs_in_bucket).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
+    head_pairs = buckets.select(F.explode(pairs_in_bucket).alias("p")).select(
+        "p.id_a", "p.id_b"
     )
+    # Overflow rows (_rn > cap): one direct pair to the bucket's min
+    # id each. id_a < id_b holds by construction (the min sorts first).
+    overflow_pairs = ranked.filter(F.col("_rn") > bucket_cap).select(
+        F.col("_min_id").alias("id_a"), F.col(id_col).alias("id_b")
+    )
+    return head_pairs.unionByName(overflow_pairs).distinct()
 
 
 def minhash_near_dups(

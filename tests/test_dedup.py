@@ -170,14 +170,24 @@ def test_lsh_hot_bucket_cap(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
 
     cap = 16
+    n_cluster = 2_000
     cands = lsh_candidate_pairs(df, bucket_cap=cap).collect()
     cluster_pairs = [
-        (r["id_a"], r["id_b"]) for r in cands if r["id_a"] < 2_000 and r["id_b"] < 2_000
+        (r["id_a"], r["id_b"])
+        for r in cands
+        if r["id_a"] < n_cluster and r["id_b"] < n_cluster
     ]
-    assert len(cluster_pairs) <= cap * (cap - 1) // 2
+    # head pairs all-with-all + one (min_id, member) pair per capped-out
+    # member — never O(n^2)
+    assert len(cluster_pairs) <= cap * (cap - 1) // 2 + (n_cluster - cap)
     # deterministic: lowest ids survive the cap, so the min id (the
     # transitive-dedup survivor) is still in every kept pair's reach
     assert any(a == 0 for a, _ in cluster_pairs)
+    # NO member of the mega-cluster is dropped: every doc beyond the
+    # cap still appears in a pair (reachable from the survivor), so
+    # transitive dedup removes the whole boilerplate cluster
+    members = {a for a, _ in cluster_pairs} | {b for _, b in cluster_pairs}
+    assert members == set(range(n_cluster))
 
     # normal buckets unaffected: the near-dup pair among normal docs
     # is found with and without a tight cap
