@@ -53,10 +53,27 @@ def _verified_names() -> set[str]:
     return seen
 
 
+def _round_index() -> int:
+    here = os.path.dirname(os.path.abspath(__file__))
+    return len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+
+
 def _priority_order(mapping: dict) -> dict:
+    """Unverified queries first; then previously-verified queries in a
+    per-round ROTATED order, so the driver's fixed verification budget
+    re-checks a different slice of the green set every round and a
+    regression in an old query can't hide behind its stale green row
+    forever (each green query cycles back to the front within ~3
+    rounds)."""
     verified = _verified_names()
     names = list(registry.QUERIES)
-    ordered = [n for n in names if n not in verified] + [n for n in names if n in verified]
+    unverified = [n for n in names if n not in verified]
+    green = [n for n in names if n in verified]
+    if green:
+        step = max(1, len(green) // 3)
+        k = (_round_index() * step) % len(green)
+        green = green[k:] + green[:k]
+    ordered = unverified + green
     return {n: mapping[n] for n in ordered if n in mapping}
 
 
