@@ -54,6 +54,12 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     # exactly, but converting the plan to an RDD forces analysis and
     # disables later pushdown reuse — too heavy for a heuristic.)
     n_files = len(df.inputFiles())
+    if n_files == 0:
+        # not file-backed (createDataFrame, post-shuffle plan):
+        # inputFiles() can't answer, so fall back to the exact RDD
+        # partition count — these plans are already materialized, so
+        # the conversion costs no pushdown
+        n_files = df.rdd.getNumPartitions()
     if 0 < n_files < max(2, target // 2):
         return df.repartition(target)
     return df

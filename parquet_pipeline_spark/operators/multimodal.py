@@ -94,6 +94,11 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, int, list[float]]:
             tokens.append(payload[i:j])
             i = j
     width, height, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        # P6 with maxval > 255 stores 2 bytes per sample — a uint8
+        # read would silently mis-decode, so fail loudly (same policy
+        # as the 16-bit guard in _decode_wav)
+        raise ValueError(f"only 8-bit PPM supported, got maxval={maxval}")
     i += 1  # single whitespace after maxval, then raw RGB
     px = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=i)
     px = px.reshape(-1, 3).astype(np.float64) / maxval
