@@ -54,6 +54,21 @@ def hash_embedder(dim: int = 64) -> Embedder:
     return embed
 
 
+def default_embedder(dim: int = 64) -> Embedder:
+    """Env-driven embedder resolution (keyless-first): a configured
+    ``$EMBEDDINGS_BASE_URL`` selects the OpenAI-compatible HTTP
+    adapter (reference: chroma_ingestion_util.py:147-160 embeds via
+    exactly that endpoint shape); otherwise the deterministic hash
+    embedder, so everything runs with no network or keys."""
+    import os
+
+    if os.environ.get("EMBEDDINGS_BASE_URL"):
+        from parquet_pipeline_spark.plans.client import OpenAICompatibleEmbedder
+
+        return OpenAICompatibleEmbedder()
+    return hash_embedder(dim)
+
+
 def embed_text(
     df: DataFrame,
     text_col: str,
@@ -64,7 +79,7 @@ def embed_text(
 ) -> DataFrame:
     """(id, text) → (id, embedding array<float>). Batched per the
     reference's API-call unit; partition-parallel."""
-    embedder = embedder or hash_embedder(dim)
+    embedder = embedder or default_embedder(dim)
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -84,7 +99,7 @@ def embed_text(
 
 def embed_query(question: str, embedder: Embedder | None = None, dim: int = 64) -> list[float]:
     """Driver-side single-string embedding (A30)."""
-    embedder = embedder or hash_embedder(dim)
+    embedder = embedder or default_embedder(dim)
     return embedder([question])[0]
 
 

@@ -8,11 +8,22 @@ from http.server import BaseHTTPRequestHandler, HTTPServer
 
 import pytest
 
-from parquet_pipeline_spark.plans.client import OpenAICompatibleClient
+from parquet_pipeline_spark.plans.client import (
+    OpenAICompatibleClient,
+    OpenAICompatibleEmbedder,
+)
+
+
+def _fake_embedding(text: str, dim: int = 4) -> list[float]:
+    # deterministic per-text vector the tests can recompute
+    return [float((len(text) + j) % 7) for j in range(dim)]
 
 
 class _FakeOpenAI(BaseHTTPRequestHandler):
-    # class-level script: list of (status, body_dict_or_content)
+    # class-level script: list of (status, body_dict_or_content).
+    # /embeddings answers from _fake_embedding (reversed order, to
+    # prove the client reassembles by 'index') unless a scripted
+    # non-200 status is queued.
     script = []
     requests = []
 
@@ -27,9 +38,16 @@ class _FakeOpenAI(BaseHTTPRequestHandler):
             self.send_response(status)
             self.end_headers()
             return
-        body = json.dumps(
-            {"choices": [{"message": {"role": "assistant", "content": content}}]}
-        ).encode()
+        if self.path.endswith("/embeddings"):
+            data = [
+                {"index": i, "embedding": _fake_embedding(t)}
+                for i, t in enumerate(payload["input"])
+            ]
+            body = json.dumps({"data": list(reversed(data))}).encode()
+        else:
+            body = json.dumps(
+                {"choices": [{"message": {"role": "assistant", "content": content}}]}
+            ).encode()
         self.send_response(200)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
@@ -118,3 +136,67 @@ def test_planner_decompose_via_http_adapter(fake_server):
         "max price?",
         "who is customer 5?",
     ]
+
+
+def test_embedder_roundtrip_reassembles_by_index(fake_server):
+    base, fake = fake_server
+    e = OpenAICompatibleEmbedder(base_url=base, api_key="sk-emb", model="emb-1")
+    out = e(["alpha", "bee"])
+    # server answers in REVERSED order; client must restore by index
+    assert out == [_fake_embedding("alpha"), _fake_embedding("bee")]
+    path, headers, payload = fake.requests[0]
+    assert path == "/v1/embeddings"
+    assert headers["Authorization"] == "Bearer sk-emb"
+    assert payload == {"model": "emb-1", "input": ["alpha", "bee"]}
+    assert e([]) == []  # no HTTP call for an empty batch
+    assert len(fake.requests) == 1
+
+
+def test_embedder_retries_then_raises(fake_server):
+    base, fake = fake_server
+    fake.script = [(503, None)]
+    e = OpenAICompatibleEmbedder(base_url=base, max_retries=1)
+    assert e(["x"]) == [_fake_embedding("x")]
+    assert len(fake.requests) == 2  # 503 then success
+    fake.script = [(401, None)]
+    with pytest.raises(RuntimeError, match="401"):
+        e(["x"])
+
+
+def test_embedder_env_fallback_chain(monkeypatch, fake_server):
+    base, _ = fake_server
+    monkeypatch.delenv("EMBEDDINGS_BASE_URL", raising=False)
+    monkeypatch.setenv("LLM_BASE_URL", base)
+    e = OpenAICompatibleEmbedder()
+    assert e.base_url == base.rstrip("/")
+    monkeypatch.setenv("EMBEDDINGS_BASE_URL", "http://emb.example/v1")
+    assert OpenAICompatibleEmbedder().base_url == "http://emb.example/v1"
+
+
+def test_default_embedder_env_selection(monkeypatch, fake_server):
+    from parquet_pipeline_spark.operators.embedding import embed_query
+
+    base, _ = fake_server
+    monkeypatch.delenv("EMBEDDINGS_BASE_URL", raising=False)
+    assert len(embed_query("hi", dim=8)) == 8  # keyless hash path
+    monkeypatch.setenv("EMBEDDINGS_BASE_URL", base)
+    assert embed_query("hi") == _fake_embedding("hi")  # HTTP path
+
+
+def test_embed_text_with_http_embedder_end_to_end(fake_server, spark):
+    """The adapter plugs into the mapInPandas embed stage unchanged:
+    executors call the endpoint per text batch (closing A28 —
+    reference chroma_ingestion_util.py:147-160)."""
+    from parquet_pipeline_spark.operators.embedding import embed_text
+
+    base, _ = fake_server
+    df = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(6)], "doc_id long, text string"
+    )
+    e = OpenAICompatibleEmbedder(base_url=base)
+    rows = {
+        r["doc_id"]: r["embedding"]
+        for r in embed_text(df, "text", "doc_id", embedder=e, batch_size=2).collect()
+    }
+    assert len(rows) == 6
+    assert rows[3] == _fake_embedding("doc number 3")
