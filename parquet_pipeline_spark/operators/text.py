@@ -311,9 +311,44 @@ def t06_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# exact-greedy chunker exposed as a driver query too (rows-only:
-# applyInPandas output, no SQL analog — the judge sees the weaker check)
-@register("t07_greedy_chunks")
+# exact-greedy chunker exposed as a driver query. The oracle is a
+# recursive CTE that replays the same state machine row-by-row per
+# source: state = (chunk_id, cur_len, n_in_chunk); a chunk closes
+# when cur_len + len + 1 joiner would exceed max_chars. The final
+# row of each chunk carries the chunk's joined length and row count,
+# so MAX(cur_len)/MAX(n_in_chunk) per (source, chunk_id) recovers
+# the aggregate shape — a full hash-checked twin of the
+# applyInPandas packer (reference: chroma_ingestion_util.py:117-143).
+@register(
+    "t07_greedy_chunks",
+    oracle="""
+    WITH RECURSIVE rows_ord AS (
+      SELECT source, doc_id, length(COALESCE(text, '')) AS len,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, rn, CAST(0 AS BIGINT) AS chunk_id,
+             len AS cur_len, 1 AS n_in_chunk
+      FROM rows_ord WHERE rn = 1
+      UNION ALL
+      SELECT r.source, r.rn,
+             CASE WHEN p.cur_len + r.len + 1 > 1000
+                  THEN p.chunk_id + 1 ELSE p.chunk_id END,
+             CASE WHEN p.cur_len + r.len + 1 > 1000
+                  THEN r.len ELSE p.cur_len + r.len + 1 END,
+             CASE WHEN p.cur_len + r.len + 1 > 1000
+                  THEN 1 ELSE p.n_in_chunk + 1 END
+      FROM packed p
+      JOIN rows_ord r ON r.source = p.source AND r.rn = p.rn + 1
+    )
+    SELECT source, chunk_id,
+           CAST(MAX(cur_len) AS INT) AS chunk_len,
+           CAST(MAX(n_in_chunk) AS INT) AS n_rows
+    FROM packed
+    GROUP BY source, chunk_id
+    """,
+)
 def t07_greedy_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
     out = greedy_chunk(docs, "source", "doc_id", "text", max_chars=1000)
