@@ -70,6 +70,57 @@ def test_stream_to_parquet_exactly_once(spark, sf_dir, tmp_path):
     assert spark.read.parquet(dest).count() == batch_events.count()
 
 
+def test_stream_recovery_after_midstream_kill(spark, sf_dir, tmp_path):
+    """Kill a running file-sink query MID-STREAM (after ≥1 committed
+    micro-batch, before the input is drained), restart from the same
+    checkpoint, and assert exactly-once output: every input row
+    appears exactly once, none lost, none duplicated. The parquet
+    sink's _spark_metadata commit log is what excludes any part-files
+    a killed batch left behind — this is the recovery path
+    stream_to_parquet claims."""
+    import time
+
+    from parquet_pipeline_spark.operators.relational import _events
+
+    ev = _events(spark, sf_dir)
+    rows = ev.collect()
+    src = tmp_path / "stream_src8"
+    src.mkdir()
+    # 8 files → 8 micro-batches at max_files=1, so the kill lands
+    # between commits with high probability
+    n_per = max(1, len(rows) // 8)
+    for i in range(8):
+        chunk = rows[i * n_per : (i + 1) * n_per] if i < 7 else rows[7 * n_per :]
+        with open(src / f"batch_{i}.jsonl", "w") as f:
+            for r in chunk:
+                d = r.asDict()
+                d["ts"] = d["ts"].isoformat(sep=" ")
+                f.write(json.dumps(d) + "\n")
+
+    dest = str(tmp_path / "out_parquet8")
+    ckpt = str(tmp_path / "ckpt8")
+
+    # phase 1: continuous micro-batches; kill once ≥1 batch committed
+    stream = read_event_stream(spark, str(src), fmt="json", max_files=1)
+    q = stream_to_parquet(stream, dest, ckpt, trigger_once=False)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in q.recentProgress):
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+
+    # phase 2: recover from the checkpoint and drain what's left
+    stream2 = read_event_stream(spark, str(src), fmt="json", max_files=1)
+    q2 = stream_to_parquet(stream2, dest, ckpt)
+    q2.awaitTermination(120)
+
+    out = spark.read.parquet(dest)
+    assert out.count() == len(rows)  # nothing lost, nothing doubled
+    assert out.select("event_id").distinct().count() == len(rows)
+
+
 def test_streaming_sessionize_matches_batch_closed_sessions(spark, sf_dir, tmp_path):
     """The stateful streaming sessionizer must produce exactly the
     batch sessionizer's CLOSED sessions (the final open session per
