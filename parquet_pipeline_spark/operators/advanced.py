@@ -281,3 +281,133 @@ def t09_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", masked.alias("masked"), n_digits.cast("int").alias("n_digits_masked")
     )
+
+
+# ---------------------------------------------------------------------------
+# q66 — TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+# finished multi-supplier order. The two classic correlated predicates
+# — EXISTS (another supplier on the order) and NOT EXISTS (another
+# LATE supplier on the order) — become a left-semi and a left-anti
+# join in the DataFrame plan, both shuffling once on l_orderkey.
+# "Late" is l_shipdate > o_orderdate + 60 days (this corpus has no
+# receipt/commit dates; the join/subquery topology is what Q21 tests).
+# Supplier is NOT hint-broadcast (it scales with SF); nation would be,
+# but this corpus keys suppliers by s_nationkey directly.
+# ---------------------------------------------------------------------------
+@register(
+    "q66_waiting_supplier",
+    oracle="""
+    WITH l1 AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM l1 l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+    )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def q66_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    sole_late = (
+        l1.join(  # EXISTS: some other supplier shipped on this order
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .alias("l1")
+        .join(  # NOT EXISTS: no other supplier was late on it
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.join(supp, F.col("l1.l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q67 — TPC-H Q22 shape: customers with above-average balance and no
+# URGENT orders, grouped by a country-code stand-in (c_nationkey % 10;
+# this corpus has no c_phone, and every customer has ≥1 order so the
+# anti-join filters to urgent ones to stay non-trivial). The
+# correlated aggregate scalar subquery becomes a one-row broadcast
+# crossJoin; NOT EXISTS becomes a left-anti join on o_custkey.
+# ---------------------------------------------------------------------------
+@register(
+    "q67_global_sales_opportunity",
+    oracle="""
+    SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM (
+      SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode, c_acctbal
+      FROM customer c
+      WHERE c_nationkey % 10 IN (1, 3, 5, 7)
+        AND c_acctbal > (
+          SELECT AVG(c_acctbal) FROM customer
+          WHERE c_acctbal > 0 AND c_nationkey % 10 IN (1, 3, 5, 7)
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderpriority = '1-URGENT'
+        )
+    )
+    GROUP BY cntrycode
+    """,
+)
+def q67_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(
+        (F.col("c_nationkey") % 10).isin(1, 3, 5, 7)
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))  # one-row scalar, broadcast
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy((F.col("c_nationkey") % 10).cast("int").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
