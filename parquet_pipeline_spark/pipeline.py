@@ -320,34 +320,92 @@ def enrich_catalog_entry(df: DataFrame, name: str, client=None) -> dict:
     return entry
 
 
+MANIFEST_NAME = "_ingest_manifest.json"
+
+
+def _input_sig(path: str) -> dict | None:
+    """Staleness signature of a local input; None when unstattable
+    (remote URL) — such inputs are never skipped on resume."""
+    try:
+        st = os.stat(path)
+        return {"mtime": st.st_mtime, "size": st.st_size}
+    except OSError:
+        return None
+
+
 def run_ingestion_pipeline(
     spark: SparkSession,
     input_paths: list[str],
     output_dir: str,
     max_workers: int = 4,
     client=None,
+    resume: bool = True,
 ) -> dict:
     """Convert heterogeneous inputs to cleaned zstd parquet + build
     the catalog JSON (reference output shape:
     ingestion_pipeline_langgraph.py:913-1121; rich metadata slots
     via ``enrich_catalog_entry`` — deterministic profiling, LLM
-    overlay when a client is configured)."""
+    overlay when a client is configured).
+
+    Resumable: a per-file completion manifest (``_ingest_manifest
+    .json`` in ``output_dir``, updated as each conversion lands)
+    records input signature → produced tables, so a crashed or
+    re-run ingest skips inputs already converted whose mtime+size
+    are unchanged — the durable-checkpoint role the reference's
+    MemorySaver plays (ingestion_pipeline_langgraph.py:1222-1223),
+    without a process-lifetime-bound store."""
+    import threading
+
     os.makedirs(output_dir, exist_ok=True)
     catalog: dict[str, dict] = {}
     errors: list[dict] = []
 
+    manifest_path = os.path.join(output_dir, MANIFEST_NAME)
+    manifest: dict[str, dict] = {}
+    if resume and os.path.exists(manifest_path):
+        try:
+            with open(manifest_path) as fh:
+                manifest = json.load(fh)
+        except (OSError, ValueError):
+            manifest = {}
+    m_lock = threading.Lock()
+
+    produced: list[tuple[str, str]] = []
+    skipped: list[str] = []
+    to_convert: list[str] = []
+    for path in input_paths:
+        entry = manifest.get(path)
+        sig = _input_sig(path)
+        if (
+            entry
+            and sig is not None
+            and entry.get("sig") == sig
+            and all(os.path.exists(d) for _, d in entry.get("tables", []))
+        ):
+            produced.extend((n, d) for n, d in entry["tables"])
+            skipped.append(path)
+        else:
+            to_convert.append(path)
+
     def convert(path: str) -> list[tuple[str, str]]:
+        sig = _input_sig(path)
         tables = read_any(spark, path)
         out = []
         for name, df in tables.items():
             dest = os.path.join(output_dir, f"{name}.parquet")
             write_parquet(df, dest)
             out.append((name, dest))
+        # checkpoint this input as done the moment its outputs land
+        with m_lock:
+            manifest[path] = {"sig": sig, "tables": out}
+            tmp = manifest_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh, indent=1)
+            os.replace(tmp, manifest_path)
         return out
 
-    produced: list[tuple[str, str]] = []
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
-        futures = {pool.submit(convert, p): p for p in input_paths}
+        futures = {pool.submit(convert, p): p for p in to_convert}
         for fut, path in futures.items():
             try:
                 produced.extend(fut.result())
@@ -374,4 +432,5 @@ def run_ingestion_pipeline(
         "status": "completed" if not errors else ("partial" if catalog else "failed"),
         "tables": catalog,
         "errors": errors,
+        "skipped_inputs": skipped,
     }

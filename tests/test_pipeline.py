@@ -23,6 +23,41 @@ def test_ingestion_pipeline_end_to_end(spark, tmp_path):
     assert users["row_count"] == 2
 
 
+def test_ingestion_pipeline_resume_skips_converted(spark, tmp_path):
+    """Rerunning an ingest skips inputs already in the completion
+    manifest (unchanged mtime+size); a modified input is reconverted
+    and the catalog reflects its new content."""
+    import os
+
+    csv = tmp_path / "a.csv"
+    csv.write_text("x\n1\n2\n")
+    jl = tmp_path / "b.jsonl"
+    jl.write_text('{"y": 1}\n')
+    out_dir = str(tmp_path / "lake_resume")
+
+    r1 = run_ingestion_pipeline(spark, [str(csv), str(jl)], out_dir)
+    assert r1["status"] == "completed" and r1["skipped_inputs"] == []
+
+    # untouched rerun: both inputs skipped, outputs not rewritten
+    mtime_before = os.path.getmtime(os.path.join(out_dir, "a.parquet"))
+    r2 = run_ingestion_pipeline(spark, [str(csv), str(jl)], out_dir)
+    assert sorted(r2["skipped_inputs"]) == sorted([str(csv), str(jl)])
+    assert r2["status"] == "completed"
+    assert set(r2["tables"]) == {"a", "b"}  # catalog still complete
+    assert os.path.getmtime(os.path.join(out_dir, "a.parquet")) == mtime_before
+
+    # modify one input → only that one reconverts
+    os.utime(csv, None)
+    csv.write_text("x\n1\n2\n3\n")
+    r3 = run_ingestion_pipeline(spark, [str(csv), str(jl)], out_dir)
+    assert r3["skipped_inputs"] == [str(jl)]
+    assert r3["tables"]["a"]["row_count"] == 3
+
+    # resume=False forces full reconversion
+    r4 = run_ingestion_pipeline(spark, [str(csv), str(jl)], out_dir, resume=False)
+    assert r4["skipped_inputs"] == []
+
+
 def test_ingestion_pipeline_partial_on_bad_input(spark, tmp_path):
     good = tmp_path / "ok.csv"
     good.write_text("a\n1\n")
