@@ -50,6 +50,21 @@ def word_tokens(col: Column | str) -> Column:
     return F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != "")
 
 
+def word_shingles(col: Column | str, n: int = 2) -> Column:
+    """Distinct word n-gram shingles (space-joined) — the token-level
+    twin of ``char_ngrams`` for Jaccard/MinHash over words instead of
+    characters. Documents with fewer than ``n`` tokens yield an empty
+    array. Pure expression, no shuffle."""
+    ws = word_tokens(col)
+    idx = F.sequence(F.lit(0), F.size(ws) - n)  # 0-based start offsets
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.get(ws, i + j) for j in range(n)])
+    )
+    return F.when(F.size(ws) >= n, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Jaccard similarity of two (distinct-element) arrays."""
     inter = F.size(F.array_intersect(a, b)).cast("double")

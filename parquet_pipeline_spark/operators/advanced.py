@@ -411,3 +411,119 @@ def q67_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q68 — TPC-H Q8 shape: a nation's market share inside one region's
+# PROMO-part order volume, per year. Fact chain shuffles on its join
+# keys; nation/region are fixed-size dims (broadcast); part and
+# supplier scale with SF so they get NO hint (AQE decides). Ratio
+# discipline: both double sums rounded to 2dp (cents-exact) before
+# the division, then the share rounded at 6dp — accumulation-order
+# differences between engines cannot flip the hash.
+# ---------------------------------------------------------------------------
+@register(
+    "q68_market_share",
+    oracle="""
+    WITH vol AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o    ON l.l_orderkey = o.o_orderkey
+      JOIN customer c  ON o.o_custkey = c.c_custkey
+      JOIN nation n1   ON c.c_nationkey = n1.n_nationkey
+      JOIN region r    ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2   ON s.s_nationkey = n2.n_nationkey
+      JOIN part p      ON l.l_partkey = p.p_partkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO'
+    )
+    SELECT o_year,
+           ROUND(ROUND(SUM(CASE WHEN supp_nation = 'NATION_3'
+                                THEN volume ELSE 0 END), 2)
+                 / ROUND(SUM(volume), 2), 6) AS mkt_share
+    FROM vol
+    GROUP BY o_year
+    """,
+)
+def q68_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    vol = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == n1.n_nationkey)
+        .join(F.broadcast(region), n1.n_regionkey == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_nationkey"))
+        .join(part, li.l_partkey == part.p_partkey)
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    nat_vol = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0)
+    )
+    return vol.groupBy("o_year").agg(
+        F.round(F.round(nat_vol, 2) / F.round(F.sum("volume"), 2), 6).alias(
+            "mkt_share"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q69 — mode() aggregate with a deterministic tie-break (most frequent
+# order priority per market segment; ties resolve to the lexically
+# smallest priority). Mode isn't portable across engines when ties
+# are arbitrary, so both sides spell it as count + row_number — one
+# agg shuffle plus one tiny window over ≤ segments×priorities rows.
+# ---------------------------------------------------------------------------
+@register(
+    "q69_mode_priority",
+    oracle="""
+    SELECT c_mktsegment, o_orderpriority AS mode_priority,
+           CAST(cnt AS BIGINT) AS n_orders
+    FROM (
+      SELECT c_mktsegment, o_orderpriority, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_mktsegment, o_orderpriority
+    ) WHERE rn = 1
+    """,
+)
+def q69_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    counts = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("cnt").desc(), "o_orderpriority")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("cnt").alias("n_orders"),
+        )
+    )

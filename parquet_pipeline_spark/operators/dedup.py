@@ -469,3 +469,61 @@ def stratified_sample(
         this = (F.col(label_col) == label) & (bucket < int(frac * 10_000))
         cond = this if cond is None else (cond | this)
     return df.filter(cond)
+
+
+# ---------------------------------------------------------------------------
+# d06 — word-shingle (token-level) Jaccard pairs: the 2-word-shingle
+# twin of d02's character-3-gram baseline. Token shingles are what
+# production near-dedup pipelines typically minhash (robust to
+# whitespace/markup noise that char-grams absorb); this bounded
+# all-pairs form is the exact baseline, with d03's banded-LSH as the
+# scale path (swap char_ngrams → word_shingles in the signature).
+# ---------------------------------------------------------------------------
+def _register_word_shingle():
+    from parquet_pipeline_spark.registry import register
+    from parquet_pipeline_spark.functions import word_shingles
+
+    @register(
+        "d06_word_shingle_jaccard",
+        oracle="""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             w -> w <> '') AS ws
+          FROM documents WHERE doc_id < 200
+        ),
+        g AS (
+          SELECT doc_id,
+                 list_distinct([ws[i] || ' ' || ws[i+1]
+                                FOR i IN range(1, len(ws))]) AS gs
+          FROM t WHERE len(ws) >= 2
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               ROUND(len(list_intersect(a.gs, b.gs))::DOUBLE
+                     / len(list_distinct(list_concat(a.gs, b.gs))), 6) AS jac
+        FROM g a, g b
+        WHERE a.doc_id < b.doc_id
+          AND len(list_intersect(a.gs, b.gs))::DOUBLE
+              / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.3
+        """,
+    )
+    def d06_word_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from parquet_pipeline_spark.functions import jaccard as _jac
+
+        docs = (
+            _docs(spark, sf_dir)
+            .filter(F.col("doc_id") < 200)
+            .select("doc_id", word_shingles("text", 2).alias("gs"))
+            .filter(F.size("gs") > 0)
+        )
+        a = docs.select(F.col("doc_id").alias("doc_a"), F.col("gs").alias("gs_a"))
+        b = docs.select(F.col("doc_id").alias("doc_b"), F.col("gs").alias("gs_b"))
+        return (
+            a.join(b, F.col("doc_a") < F.col("doc_b"))
+            .withColumn("jac", _jac(F.col("gs_a"), F.col("gs_b")))
+            .filter(F.col("jac") >= 0.3)
+            .select("doc_a", "doc_b", F.round("jac", 6).alias("jac"))
+        )
+
+
+_register_word_shingle()
