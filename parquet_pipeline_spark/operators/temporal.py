@@ -380,3 +380,102 @@ def x05_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
         F.round("rate", 6).alias("rate"),
     )
+
+
+def interval_overlap_join(
+    iv: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    id_col: str,
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Self overlap-join: pairs (id_a < id_b) of same-key intervals
+    that overlap (half-open: a.start < b.end AND b.start < a.end).
+
+    Scale shape: each interval explodes to the time buckets it spans
+    and the join runs as an EQUI-join on (key, bucket) — two
+    intervals can only overlap if they share a bucket, so the pair
+    space is bounded by per-bucket density and the shuffle key is
+    (key, bucket), never a theta-join/crossJoin (which Spark would
+    plan as a broadcast nested loop — unusable at 100 TB). Work is
+    O(intervals × span/bucket + true_pairs); pick ``bucket`` near
+    the typical interval length. Exact overlap is re-checked after
+    the bucket match, and pairs spanning several shared buckets are
+    deduped by the final ``distinct`` on the id pair."""
+    b = (
+        iv.select(
+            F.col(key_col).alias("_k"),
+            F.col(id_col).alias("_id"),
+            F.col(start_col).alias("_s"),
+            F.col(end_col).alias("_e"),
+        )
+        # half-open interval: the bucket containing (end - 1µs) is the
+        # last one the interval truly touches
+        .withColumn(
+            "_bkt",
+            F.explode(
+                F.sequence(
+                    F.window(F.col("_s"), bucket)["start"],
+                    F.window(
+                        F.col("_e") - F.expr("INTERVAL 1 MICROSECOND"), bucket
+                    )["start"],
+                    F.expr(f"INTERVAL {bucket}"),
+                )
+            ),
+        )
+    )
+    a = b.select(
+        F.col("_k"), F.col("_bkt"),
+        F.col("_id").alias("id_a"), F.col("_s").alias("_s_a"), F.col("_e").alias("_e_a"),
+    )
+    c = b.select(
+        F.col("_k"), F.col("_bkt"),
+        F.col("_id").alias("id_b"), F.col("_s").alias("_s_b"), F.col("_e").alias("_e_b"),
+    )
+    return (
+        a.join(c, ["_k", "_bkt"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("_s_a") < F.col("_e_b"))
+            & (F.col("_s_b") < F.col("_e_a"))
+        )
+        .select(F.col("_k").alias(key_col), "id_a", "id_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# x06 — interval overlap join: pairs of a customer's orders whose
+# 7-day fulfillment windows overlap. DuckDB states the overlap
+# predicate directly (fine single-node); the Spark plan is the
+# bucketed equi-join above.
+# ---------------------------------------------------------------------------
+@register(
+    "x06_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT o_custkey, o_orderkey, o_orderdate AS s,
+             o_orderdate + INTERVAL 7 DAY AS e
+      FROM orders WHERE o_custkey < 200
+    )
+    SELECT a.o_custkey, a.o_orderkey AS id_a, b.o_orderkey AS id_b
+    FROM iv a JOIN iv b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+     AND a.s < b.e AND b.s < a.e
+    """,
+)
+def x06_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .filter(F.col("o_custkey") < 200)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").alias("s"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("e"),
+        )
+    )
+    return interval_overlap_join(
+        orders, "o_custkey", "s", "e", "o_orderkey", bucket="7 days"
+    )
