@@ -527,3 +527,68 @@ def q69_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("n_orders"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q70 — TPC-H Q11 shape: groups whose value exceeds a FRACTION OF THE
+# GLOBAL TOTAL (HAVING against a scalar subquery). The global total
+# is one row — broadcast crossJoin, so the plan is two aggregates
+# over one scan lineage plus a map-side filter; no per-group
+# re-aggregation. Both sides compare ROUNDED sums (cents) so
+# accumulation order can't flip a boundary group.
+# ---------------------------------------------------------------------------
+@register(
+    "q70_important_stock",
+    oracle="""
+    SELECT l_partkey, ROUND(SUM(l_extendedprice * l_quantity), 2) AS value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING ROUND(SUM(l_extendedprice * l_quantity), 2) >
+           (SELECT ROUND(SUM(l_extendedprice * l_quantity) * 0.0006, 2)
+            FROM lineitem)
+    """,
+)
+def q70_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", (F.col("l_extendedprice") * F.col("l_quantity")).alias("v")
+    )
+    per_part = li.groupBy("l_partkey").agg(F.round(F.sum("v"), 2).alias("value"))
+    threshold = li.agg(F.round(F.sum("v") * 0.0006, 2).alias("_thr"))
+    return (
+        per_part.crossJoin(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("_thr"))
+        .select("l_partkey", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q71 — per-row CORRELATED aggregate subquery (orders ≥ 1.1× their
+# own customer's average order value), decorrelated the way Catalyst
+# would: aggregate per key once, join back on the key, filter. One
+# agg shuffle + one equi-join on o_custkey — no per-row subquery
+# execution. Threshold rounded (4dp) on both sides so avg
+# accumulation order can't flip a boundary row.
+# ---------------------------------------------------------------------------
+@register(
+    "q71_above_customer_avg",
+    oracle="""
+    SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > (
+      SELECT ROUND(1.1 * AVG(o2.o_totalprice), 4)
+      FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+)
+def q71_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.round(1.1 * F.avg("o_totalprice"), 4).alias("_thr")
+    )
+    return (
+        orders.join(per_cust, "o_custkey")
+        .filter(F.col("o_totalprice") > F.col("_thr"))
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
