@@ -592,3 +592,62 @@ def q71_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > F.col("_thr"))
         .select("o_custkey", "o_orderkey", "o_totalprice")
     )
+
+
+# ---------------------------------------------------------------------------
+# q72 — time-based RANGE window frame (30-day rolling spend per
+# customer): the frame is defined by the ORDER-BY VALUE (seconds),
+# not row offsets — the shape rows-frames (q64) can't express when
+# events are unevenly spaced. Spark: rangeBetween over unix seconds;
+# DuckDB: RANGE BETWEEN INTERVAL. Both include equal-timestamp peers.
+# ---------------------------------------------------------------------------
+@register(
+    "q72_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2)
+             AS spend_30d
+    FROM orders WHERE o_custkey < 200
+    """,
+)
+def q72_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q73 — multiple COUNT(DISTINCT) in one aggregate: plans through
+# Spark's Expand operator (one row replicated per distinct column,
+# then two-phase aggregation) — the standard shuffle-heavy shape
+# worth pinning because naive rewrites (self-joins per distinct)
+# would scan the fact N times.
+# ---------------------------------------------------------------------------
+@register(
+    "q73_multi_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           CAST(COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) AS BIGINT) AS n_months,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q73_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct(F.date_format("o_orderdate", "yyyy-MM")).alias("n_months"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
