@@ -49,6 +49,8 @@ HEADLINE = [
     "x02_sessionize",
     "q33_shipping_priority",
     "q63_local_supplier_volume",
+    "q66_waiting_supplier",
+    "x06_interval_overlap",
 ]
 
 

@@ -45,6 +45,37 @@ def test_asof_join_spine_not_force_broadcast(spark):
     assert got["k7"] == 7.0 and len(got) == n_keys
 
 
+def test_flagship_plan_properties(spark, sf_dir):
+    """Regression guards for the plan features PLANS.md documents:
+    pushed scan filters, pruned ReadSchema, partial (map-side)
+    aggregation before the exchange, TakeOrderedAndProject for top-k
+    (O(k) per partition, no global sort)."""
+    from parquet_pipeline_spark import registry
+
+    registry.load_all()
+
+    def plan(name):
+        return (
+            registry.QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    p = plan("q01_pricing_summary")
+    assert "PushedFilters: [" in p and "PushedFilters: []" not in p
+    assert "partial_" in p  # map-side combine before the one shuffle
+
+    p = plan("q02_filter_project")
+    assert "PushedFilters: [" in p and "PushedFilters: []" not in p
+    # column pruning: the scan must not read all 11 lineitem columns
+    schema = p.split("ReadSchema: ")[1].splitlines()[0]
+    assert schema.count(",") < 10, schema
+
+    p = plan("q06_topk_orders")
+    assert "TakeOrderedAndProject" in p  # top-k without a global sort
+
+
 def test_q63_broadcasts_only_fixed_dims(spark, sf_dir):
     """q63 keeps broadcast hints on nation+region (fixed-size dims)
     and exactly those — supplier scales with SF and must not be
