@@ -50,3 +50,17 @@ def test_salted_join_left_semantics(spark):
     plain = left.join(right, "k", "left")
     salted = salted_join(left, right, "k", salt=4, how="left")
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_word_shingles_edges(spark):
+    from parquet_pipeline_spark.functions import word_shingles
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "solo"), (3, ""), (4, None),
+         (5, "  spaced   out  tokens ")],
+        "id int, text string",
+    )
+    out = {r["id"]: r["sh"] for r in df.select("id", word_shingles("text", 2).alias("sh")).collect()}
+    assert out[1] == ["the quick", "quick brown", "brown fox"]
+    assert out[2] == [] and out[3] == []  # fewer than n tokens
+    assert out[5] == ["spaced out", "out tokens"]  # whitespace-robust

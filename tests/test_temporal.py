@@ -113,3 +113,28 @@ def test_asof_join_forward_direction(spark):
         ).collect()
     }
     assert out == {1: 10.0, 2: 10.0, 3: 20.0, 4: None}
+
+
+def test_interval_overlap_join_half_open_boundary(spark):
+    """Touching intervals (a.end == b.start) do NOT overlap under
+    half-open semantics; containment and partial overlap do. Pairs
+    spanning several shared buckets appear exactly once."""
+    from parquet_pipeline_spark.operators.temporal import interval_overlap_join
+
+    rows = [
+        # k, id, start, end
+        ("u", 1, "2024-01-01 00:00:00", "2024-01-03 00:00:00"),
+        ("u", 2, "2024-01-03 00:00:00", "2024-01-04 00:00:00"),  # touches 1: no
+        ("u", 3, "2024-01-02 00:00:00", "2024-01-05 00:00:00"),  # overlaps 1,2
+        ("u", 4, "2024-01-02 06:00:00", "2024-01-02 07:00:00"),  # inside 1 and 3
+        ("v", 5, "2024-01-01 00:00:00", "2024-01-09 00:00:00"),  # other key
+    ]
+    iv = spark.createDataFrame(rows, "k string, id int, s string, e string").select(
+        "k", "id", F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in interval_overlap_join(iv, "k", "s", "e", "id", bucket="1 day").collect()
+    }
+    assert got == {(1, 3), (2, 3), (1, 4), (3, 4)}
