@@ -651,3 +651,40 @@ def q73_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.date_format("o_orderdate", "yyyy-MM")).alias("n_months"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q74 — RECURSIVE CTE (Spark 4 supports WITH RECURSIVE): generate a
+# date spine and LEFT-join facts onto it so zero-activity days
+# appear — the calendar-fill pattern windowed aggs can't express
+# (they only see days that exist). Recursion depth = spine length
+# (31), driver-bounded; the join is a broadcast of the tiny spine.
+# Both sides use their native date-increment dialect.
+# ---------------------------------------------------------------------------
+@register(
+    "q74_recursive_date_spine",
+    oracle="""
+    WITH RECURSIVE days(d) AS (
+      SELECT DATE '1996-01-01'
+      UNION ALL SELECT d + 1 FROM days WHERE d < DATE '1996-01-31'
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+    FROM days LEFT JOIN orders ON CAST(o_orderdate AS DATE) = d
+    GROUP BY d
+    """,
+)
+def q74_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE days(d) AS (
+          SELECT DATE '1996-01-01'
+          UNION ALL SELECT date_add(d, 1) FROM days WHERE d < DATE '1996-01-31'
+        )
+        SELECT date_format(d, 'yyyy-MM-dd') AS day,
+               CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+        FROM days LEFT JOIN orders_v ON to_date(o_orderdate) = d
+        GROUP BY d
+        """
+    )
