@@ -688,3 +688,61 @@ def q74_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q75 — sorted string aggregation (LISTAGG/STRING_AGG shape): the
+# group's members concatenated in a DETERMINISTIC order (collect_list
+# alone is partition-order-dependent — array_sort before concat is
+# what makes the result stable and hash-comparable).
+# ---------------------------------------------------------------------------
+@register(
+    "q75_string_agg",
+    oracle="""
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q75_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q76 — NTILE + PERCENT_RANK + CUME_DIST distribution windows (the
+# quantile-bucketing shape feature stores use for binning): one
+# window shuffle on the partition key.
+# ---------------------------------------------------------------------------
+@register(
+    "q76_ntile_buckets",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           NTILE(4) OVER w AS bal_quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+           ROUND(CUME_DIST() OVER w, 6) AS cd
+    FROM customer
+    WHERE c_custkey < 500
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q76_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
