@@ -527,3 +527,51 @@ def _register_word_shingle():
 
 
 _register_word_shingle()
+
+
+# ---------------------------------------------------------------------------
+# t11 — deterministic train/val/test split: assignment keyed on
+# md5(content) so it is (a) stable across reruns and engines, (b)
+# independent of row order/partitioning, (c) leakage-safe — exact
+# duplicate texts always land in the SAME split. Buckets by the
+# first hex nibble: 0-b train (12/16), c-d val (2/16), e-f test
+# (2/16). md5(utf8 bytes) is identical in Spark and DuckDB, so the
+# per-row assignment itself is hash-verified by the driver.
+# ---------------------------------------------------------------------------
+def deterministic_split(
+    df: DataFrame,
+    content_col: str = "text",
+    train_nibbles: str = "0123456789ab",
+    val_nibbles: str = "cd",
+) -> DataFrame:
+    """Adds a ``split`` column ('train'|'val'|'test') keyed on
+    md5(content). Pure expression — no shuffle, no RNG state."""
+    nib = F.substring(F.md5(F.col(content_col).cast("binary")), 1, 1)
+    return df.withColumn(
+        "split",
+        F.when(nib.isin(*list(train_nibbles)), "train")
+        .when(nib.isin(*list(val_nibbles)), "val")
+        .otherwise("test"),
+    )
+
+
+def _register_hash_split():
+    from parquet_pipeline_spark.registry import register
+
+    @register(
+        "t11_hash_split",
+        oracle="""
+        SELECT doc_id,
+               CASE WHEN substr(md5(text), 1, 1) BETWEEN '0' AND 'b' THEN 'train'
+                    WHEN substr(md5(text), 1, 1) BETWEEN 'c' AND 'd' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+        WHERE doc_id < 500
+        """,
+    )
+    def t11_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+        return deterministic_split(docs, "text").select("doc_id", "split")
+
+
+_register_hash_split()
