@@ -439,3 +439,69 @@ def t10_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cum_share", F.round(F.sum("cnt").over(w) / F.col("_t"), 6))
         .select("word", "cnt", "cum_share")
     )
+
+
+# ---------------------------------------------------------------------------
+# t12 — benchmark-contamination screening (training-data decontam):
+# flag corpus docs sharing ≥ min_hits distinct word n-gram shingles
+# with any benchmark/eval doc. The shingle string is the join key —
+# one shuffle, linear in corpus grams; the benchmark side is tiny by
+# construction (an eval set) so it broadcasts. At 100 TB this is the
+# standard decontamination pass run before training.
+# ---------------------------------------------------------------------------
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_words: int = 5,
+    min_hits: int = 3,
+) -> DataFrame:
+    """(corpus_doc, bench_doc, n_shared) for pairs sharing at least
+    ``min_hits`` distinct word ``ngram_words``-shingles."""
+    from parquet_pipeline_spark.functions import word_shingles
+
+    c = corpus.select(
+        F.col(id_col).alias("corpus_doc"),
+        F.explode(word_shingles(text_col, ngram_words)).alias("gram"),
+    )
+    b = benchmark.select(
+        F.col(id_col).alias("bench_doc"),
+        F.explode(word_shingles(text_col, ngram_words)).alias("gram"),
+    )
+    return (
+        c.join(F.broadcast(b), "gram")
+        .groupBy("corpus_doc", "bench_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))  # shingles are distinct per doc
+        .filter(F.col("n_shared") >= min_hits)
+    )
+
+
+@register(
+    "t12_contamination",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         w -> w <> '') AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                   FOR i IN range(1, len(ws) - 1)])) AS gram
+      FROM toks WHERE len(ws) >= 3
+    )
+    SELECT c.doc_id AS corpus_doc, b.doc_id AS bench_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM (SELECT * FROM grams WHERE doc_id >= 100) c
+    JOIN (SELECT * FROM grams WHERE doc_id < 20) b USING (gram)
+    GROUP BY c.doc_id, b.doc_id
+    HAVING COUNT(*) >= 3
+    """,
+)
+def t12_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") >= 100)
+    benchmark = docs.filter(F.col("doc_id") < 20)  # stand-in eval set
+    return contamination_hits(corpus, benchmark, ngram_words=3, min_hits=3)
