@@ -122,6 +122,28 @@ def main() -> None:
     timings["e2e_engine_ask"] = round(statistics.median(runs), 3)
     timings_min["e2e_engine_ask"] = round(min(runs), 3)
 
+    # multi-intent e2e: a 3-sub-query question through the same loop
+    # (decompose fans out to three plan→execute rounds). Reference
+    # baseline for complex/multi-part questions: 10-20 s
+    # (BASELINE.md / reference README.md:375), LLM-bound; this is the
+    # engine-side floor for the same shape.
+    multi_q = (
+        "What is the total o_totalprice per o_orderpriority? "
+        "How many orders per o_orderstatus? "
+        "What is the average c_acctbal per c_mktsegment?"
+    )
+    multi_ok = True
+    runs = []
+    for _ in range(repeat):
+        t0 = time.time()
+        res = eng.ask(multi_q)
+        runs.append(time.time() - t0)
+        multi_ok = multi_ok and len(res.results) == 3 and all(
+            df.columns != ["Error"] for df in res.results.values()
+        )
+    timings["e2e_engine_ask_multi"] = round(statistics.median(runs), 3)
+    timings_min["e2e_engine_ask_multi"] = round(min(runs), 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -133,6 +155,7 @@ def main() -> None:
                 "queries_min": timings_min,
                 "runs": repeat,
                 "e2e_engine_ask_ok": e2e_ok,
+                "e2e_engine_ask_multi_ok": multi_ok,
                 "sf": sf,
             }
         )

@@ -66,11 +66,18 @@ class Engine:
 
     # -- semantic layer (reference: vector ingestion + retrieval) ------
     def build_semantic_index(
-        self, table: str, text_col: str, id_col: str | None = None, dim: int = 64
+        self,
+        table: str,
+        text_col: str,
+        id_col: str | None = None,
+        dim: int = 64,
+        embedder=None,
     ) -> None:
-        """Embed one table's text column into the retrieval index
-        (keyless hash embedder by default; swap via ``embed_text``
-        for a real model).
+        """Embed one table's text column into the retrieval index.
+        ``embedder=None`` resolves via ``default_embedder`` (keyless
+        hash embedder, or the HTTP adapter when
+        ``$EMBEDDINGS_BASE_URL`` is set — dim-checked); pass an
+        explicit embedder to pin the behavior regardless of env.
 
         Row ids default to ``xxhash64(text)`` — a pure function of
         the row, so the embeddings job and the documents job derive
@@ -84,7 +91,7 @@ class Engine:
         if id_col is None:
             df = df.withColumn("_row_id", F.xxhash64(F.col(text_col)))
             id_col = "_row_id"
-        emb = embed_text(df, text_col, id_col, dim=dim)
+        emb = embed_text(df, text_col, id_col, embedder=embedder, dim=dim)
 
         docs = (
             df.select(F.col(id_col).alias("vec_id"), F.col(text_col).alias("text"))

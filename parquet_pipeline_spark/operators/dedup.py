@@ -171,6 +171,7 @@ def lsh_candidate_pairs(
     ngram: int = 3,
     bucket_cap: int = 64,
     log_overflow: bool = False,
+    grams_col: str | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs: shingle → minhash → split the
     signature into ``bands`` bands → hash each band → self-join on
@@ -194,10 +195,23 @@ def lsh_candidate_pairs(
     Spark's ReuseExchange computes the minhash pipeline and its
     shuffle once. Normal buckets (≤ cap) are untouched.
     ``log_overflow=True`` runs one extra small aggregate to count
-    truncated buckets."""
+    truncated buckets.
+
+    ``grams_col``: name of a precomputed shingle-array column on
+    ``df``. When given, the signature is built from that column
+    instead of re-shingling ``text_col`` — callers that also need
+    the grams downstream (``minhash_near_dups``'s Jaccard verify)
+    compute them once, persist, and share one projection across
+    candidate generation and verify. The caller owns parallelism in
+    that case (``_ensure_parallelism`` here would shuffle the
+    cached projection and defeat the reuse)."""
     rows_per_band = num_hashes // bands
-    df = _ensure_parallelism(df)
-    sig = minhash_signature(char_ngrams(text_col, ngram), num_hashes)
+    if grams_col is None:
+        df = _ensure_parallelism(df)
+        grams = char_ngrams(text_col, ngram)
+    else:
+        grams = F.col(grams_col)
+    sig = minhash_signature(grams, num_hashes)
     band_structs = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
@@ -277,13 +291,33 @@ def minhash_near_dups(
     bucket_cap: int = 64,
 ) -> DataFrame:
     """MinHash-LSH near-dedup: candidates from banded LSH, then an
-    exact Jaccard verify on just the candidate pairs."""
+    exact Jaccard verify on just the candidate pairs.
+
+    The shingle arrays are computed ONCE into a persisted
+    (id, grams) projection shared by candidate generation and both
+    sides of the verify join — previously three independent
+    ``char_ngrams`` pipelines (one per scan), the suite's single
+    most expensive redundancy at sf0.1 and 2 extra full scans +
+    large-array shuffles at 100 TB. MEMORY_AND_DISK so a corpus
+    partition that doesn't fit executor memory spills instead of
+    failing; the cache is populated by the first stage of the one
+    job that consumes this plan and evicted LRU afterwards (no
+    explicit unpersist — the returned DataFrame is lazy, and
+    unpersisting before the caller's action would defeat the
+    reuse)."""
+    from pyspark import StorageLevel
+
     df = _ensure_parallelism(df)
-    cands = lsh_candidate_pairs(
-        df, id_col, text_col, num_hashes, bands, ngram, bucket_cap
-    )
     grams = df.select(
         F.col(id_col), char_ngrams(text_col, ngram).alias("gs")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = lsh_candidate_pairs(
+        grams,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        bucket_cap=bucket_cap,
+        grams_col="gs",
     )
     ga = grams.select(F.col(id_col).alias("id_a"), F.col("gs").alias("gs_a"))
     gb = grams.select(F.col(id_col).alias("id_b"), F.col("gs").alias("gs_b"))

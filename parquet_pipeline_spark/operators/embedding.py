@@ -59,13 +59,35 @@ def default_embedder(dim: int = 64) -> Embedder:
     ``$EMBEDDINGS_BASE_URL`` selects the OpenAI-compatible HTTP
     adapter (reference: chroma_ingestion_util.py:147-160 embeds via
     exactly that endpoint shape); otherwise the deterministic hash
-    embedder, so everything runs with no network or keys."""
+    embedder, so everything runs with no network or keys.
+
+    The HTTP path is wrapped with a dimension check: the remote
+    model's dim is fixed server-side and silently ignoring the
+    requested ``dim`` would let query/document vector spaces drift
+    with the environment — a mismatch raises instead. Registered
+    driver-verified ops don't rely on this resolution at all; they
+    pass ``hash_embedder`` explicitly so their output shape is
+    environment-independent."""
     import os
 
     if os.environ.get("EMBEDDINGS_BASE_URL"):
         from parquet_pipeline_spark.plans.client import OpenAICompatibleEmbedder
 
-        return OpenAICompatibleEmbedder()
+        http = OpenAICompatibleEmbedder()
+
+        def checked(texts: list[str]) -> list[list[float]]:
+            vecs = http(texts)
+            if vecs and len(vecs[0]) != dim:
+                raise ValueError(
+                    f"EMBEDDINGS_BASE_URL embedder returned "
+                    f"{len(vecs[0])}-dim vectors but dim={dim} was "
+                    f"requested; pass dim={len(vecs[0])} (or an "
+                    f"explicit embedder) so query and document "
+                    f"vectors share one space"
+                )
+            return vecs
+
+        return checked
     return hash_embedder(dim)
 
 
@@ -119,7 +141,9 @@ def sanitize_collection_name(name: str) -> str:
 
 
 # rows-only driver query: the full A26→A27→A28 ingestion chain with
-# the hash embedder (no SQL analog for mapInPandas + sha-derived floats)
+# the hash embedder (no SQL analog for mapInPandas + sha-derived
+# floats). The embedder is passed EXPLICITLY — a configured
+# $EMBEDDINGS_BASE_URL must not reroute a driver-verified row shape.
 def _register():
     from parquet_pipeline_spark.registry import register
 
@@ -128,7 +152,7 @@ def _register():
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
             F.col("doc_id") < 100
         )
-        emb = embed_text(docs, "text", "doc_id", dim=16)
+        emb = embed_text(docs, "text", "doc_id", embedder=hash_embedder(16), dim=16)
         # project to a stable, hash-friendly shape: id + first
         # component + norm (floats are deterministic per text)
         first = F.round(F.element_at("embedding", 1).cast("double"), 6)

@@ -410,6 +410,12 @@ def interval_overlap_join(
             F.col(start_col).alias("_s"),
             F.col(end_col).alias("_e"),
         )
+        # Degenerate intervals (end <= start) are empty under
+        # half-open semantics and can overlap nothing — and their
+        # last-bucket expression (end - 1µs) would precede the first
+        # bucket, making F.sequence(start, stop, +step) throw with
+        # start > stop. Filter them out before the explode.
+        .filter(F.col("_s") < F.col("_e"))
         # half-open interval: the bucket containing (end - 1µs) is the
         # last one the interval truly touches
         .withColumn(

@@ -300,14 +300,27 @@ def t05_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # document fingerprinting (raw + whitespace-normalized)
 # ---------------------------------------------------------------------------
-@register("t06_fingerprint")  # rows-only: xxhash64-based, not SQL-portable
+# md5 (not xxhash64) so the fingerprint is portable across engines:
+# Spark's md5(binary) and DuckDB's md5(text) agree on utf8 bytes,
+# giving this op a full hash-checked oracle twin (the t11
+# deterministic-split pattern). md5 here is a content fingerprint,
+# not a security primitive.
+@register(
+    "t06_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS fp_raw,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp_normalized
+    FROM documents
+    """,
+)
 def t06_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     return docs.select(
         "doc_id",
-        F.xxhash64("text").alias("fp_raw"),
-        F.xxhash64(norm).alias("fp_normalized"),
+        F.md5(F.col("text").cast("binary")).alias("fp_raw"),
+        F.md5(norm.cast("binary")).alias("fp_normalized"),
     )
 
 
@@ -445,9 +458,10 @@ def t10_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # t12 — benchmark-contamination screening (training-data decontam):
 # flag corpus docs sharing ≥ min_hits distinct word n-gram shingles
 # with any benchmark/eval doc. The shingle string is the join key —
-# one shuffle, linear in corpus grams; the benchmark side is tiny by
-# construction (an eval set) so it broadcasts. At 100 TB this is the
-# standard decontamination pass run before training.
+# one shuffle, linear in corpus grams; the benchmark side is usually
+# small (an eval set) and AQE broadcasts it when its exploded gram
+# table actually fits. At 100 TB this is the standard
+# decontamination pass run before training.
 # ---------------------------------------------------------------------------
 def contamination_hits(
     corpus: DataFrame,
@@ -469,8 +483,14 @@ def contamination_hits(
         F.col(id_col).alias("bench_doc"),
         F.explode(word_shingles(text_col, ngram_words)).alias("gram"),
     )
+    # No forced broadcast hint: the benchmark side is usually tiny
+    # (an eval set), but its EXPLODED gram table is ~tokens-per-doc
+    # larger and a big eval suite would blow the broadcast limit
+    # under a forced hint. AQE sees the post-explode size at runtime
+    # and broadcasts exactly when it actually fits — the same
+    # no-forced-hint stance as asof_join/q63 (tests/test_plans.py).
     return (
-        c.join(F.broadcast(b), "gram")
+        c.join(b, "gram")
         .groupBy("corpus_doc", "bench_doc")
         .agg(F.count(F.lit(1)).alias("n_shared"))  # shingles are distinct per doc
         .filter(F.col("n_shared") >= min_hits)

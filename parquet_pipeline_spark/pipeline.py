@@ -323,12 +323,31 @@ def enrich_catalog_entry(df: DataFrame, name: str, client=None) -> dict:
 MANIFEST_NAME = "_ingest_manifest.json"
 
 
+_SIG_HASH_MAX_BYTES = 4 * 1024 * 1024
+
+
 def _input_sig(path: str) -> dict | None:
     """Staleness signature of a local input; None when unstattable
-    (remote URL) — such inputs are never skipped on resume."""
+    (remote URL) — such inputs are never skipped on resume.
+
+    mtime+size alone can miss an in-place rewrite of identical size
+    within one mtime tick (coarse-granularity filesystems, fast CI
+    writes), so inputs up to 4 MiB also carry a content md5 — cheap
+    relative to converting them. Larger inputs keep the make-style
+    mtime+size check; rewriting a big file byte-identical-in-size
+    inside one mtime tick is the documented residual limitation."""
     try:
         st = os.stat(path)
-        return {"mtime": st.st_mtime, "size": st.st_size}
+        sig: dict = {"mtime": st.st_mtime, "size": st.st_size}
+        if st.st_size <= _SIG_HASH_MAX_BYTES and os.path.isfile(path):
+            import hashlib
+
+            h = hashlib.md5()
+            with open(path, "rb") as fh:
+                for block in iter(lambda: fh.read(1 << 20), b""):
+                    h.update(block)
+            sig["md5"] = h.hexdigest()
+        return sig
     except OSError:
         return None
 

@@ -180,7 +180,26 @@ def test_default_embedder_env_selection(monkeypatch, fake_server):
     monkeypatch.delenv("EMBEDDINGS_BASE_URL", raising=False)
     assert len(embed_query("hi", dim=8)) == 8  # keyless hash path
     monkeypatch.setenv("EMBEDDINGS_BASE_URL", base)
-    assert embed_query("hi") == _fake_embedding("hi")  # HTTP path
+    assert embed_query("hi", dim=4) == _fake_embedding("hi")  # HTTP path
+    # requested dim ≠ the remote model's dim must raise, not silently
+    # drift the vector space with the environment
+    with pytest.raises(ValueError, match="4-dim vectors but dim=64"):
+        embed_query("hi")
+
+
+def test_registered_e01_ignores_embeddings_env(monkeypatch, fake_server, spark):
+    """The driver-verified e01 row shape is pinned to the explicit
+    hash embedder — a configured EMBEDDINGS_BASE_URL must not
+    reroute it."""
+    base, _ = fake_server
+    from parquet_pipeline_spark import registry
+
+    registry.load_all()
+    q = registry.QUERIES["e01_embed_documents"]
+    baseline = q(spark, "/root/testdata/sf0.001").orderBy("doc_id").limit(3).collect()
+    monkeypatch.setenv("EMBEDDINGS_BASE_URL", base)
+    rerun = q(spark, "/root/testdata/sf0.001").orderBy("doc_id").limit(3).collect()
+    assert rerun == baseline
 
 
 def test_embed_text_with_http_embedder_end_to_end(fake_server, spark):

@@ -57,6 +57,16 @@ def test_ingestion_pipeline_resume_skips_converted(spark, tmp_path):
     r4 = run_ingestion_pipeline(spark, [str(csv), str(jl)], out_dir, resume=False)
     assert r4["skipped_inputs"] == []
 
+    # in-place rewrite with IDENTICAL size and mtime (the coarse-
+    # filesystem/fast-CI case): the small-file content hash in the
+    # signature still catches it — no stale skip
+    st = os.stat(csv)
+    csv.write_text("x\n7\n8\n9\n")  # same byte length as "x\n1\n2\n3\n"
+    os.utime(csv, (st.st_atime, st.st_mtime))
+    r5 = run_ingestion_pipeline(spark, [str(csv), str(jl)], out_dir)
+    assert r5["skipped_inputs"] == [str(jl)]
+    assert r5["tables"]["a"]["row_count"] == 3
+
 
 def test_ingestion_pipeline_partial_on_bad_input(spark, tmp_path):
     good = tmp_path / "ok.csv"

@@ -82,3 +82,21 @@ def test_q63_broadcasts_only_fixed_dims(spark, sf_dir):
     hint-forced."""
     plan = _optimized_plan(q63_local_supplier_volume(spark, sf_dir))
     assert plan.count("strategy=broadcast") == 2, plan
+
+
+def test_contamination_join_not_force_broadcast(spark, sf_dir):
+    """t12's benchmark side explodes to one row per word-shingle —
+    ~tokens-per-doc larger than the eval set itself — so the join
+    must not carry a forced broadcast hint; AQE sees the
+    post-explode size at runtime and broadcasts only when it fits."""
+    from parquet_pipeline_spark.operators.text import contamination_hits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = contamination_hits(
+        docs.filter(F.col("doc_id") >= 100),
+        docs.filter(F.col("doc_id") < 20),
+        ngram_words=3,
+        min_hits=3,
+    )
+    plan = _optimized_plan(out)
+    assert "strategy=broadcast" not in plan, plan

@@ -1,0 +1,76 @@
+"""Session factory + cloud sink config surface (A13).
+
+The abfss/s3a round-trip itself can only run where the hadoop cloud
+jars and credentials exist (any managed Spark cluster; not this
+sandbox), so the integration test skips itself without creds — the
+unit tests pin the config surface that makes the round-trip a
+one-dict setup.
+"""
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from parquet_pipeline_spark.session import apply_cloud_conf, cloud_storage_conf
+
+
+def test_cloud_storage_conf_azure_and_s3(monkeypatch):
+    for var in (
+        "AZURE_STORAGE_ACCOUNT",
+        "AZURE_STORAGE_KEY",
+        "AWS_ACCESS_KEY_ID",
+        "AWS_SECRET_ACCESS_KEY",
+        "AWS_ENDPOINT_URL",
+    ):
+        monkeypatch.delenv(var, raising=False)
+
+    assert cloud_storage_conf() == {}  # keyless: empty, nothing forced
+
+    conf = cloud_storage_conf(azure_account="acct", azure_key="k1")
+    assert conf == {
+        "spark.hadoop.fs.azure.account.key.acct.dfs.core.windows.net": "k1"
+    }
+
+    conf = cloud_storage_conf(
+        s3_access_key="ak", s3_secret_key="sk", s3_endpoint="http://minio:9000"
+    )
+    assert conf["spark.hadoop.fs.s3a.access.key"] == "ak"
+    assert conf["spark.hadoop.fs.s3a.secret.key"] == "sk"
+    assert conf["spark.hadoop.fs.s3a.endpoint"] == "http://minio:9000"
+    assert conf["spark.hadoop.fs.s3a.path.style.access"] == "true"
+
+    # env-driven resolution (the no-code-change path)
+    monkeypatch.setenv("AZURE_STORAGE_ACCOUNT", "envacct")
+    monkeypatch.setenv("AZURE_STORAGE_KEY", "envkey")
+    conf = cloud_storage_conf()
+    assert (
+        conf["spark.hadoop.fs.azure.account.key.envacct.dfs.core.windows.net"]
+        == "envkey"
+    )
+
+
+def test_apply_cloud_conf_reaches_live_hadoop_conf(spark):
+    n = apply_cloud_conf(
+        spark, {"spark.hadoop.fs.s3a.endpoint": "http://example:9000"}
+    )
+    assert n == 1
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.endpoint") == "http://example:9000"
+
+
+@pytest.mark.skipif(
+    not os.environ.get("CLOUD_TEST_URI"),
+    reason="cloud round-trip needs CLOUD_TEST_URI (abfss://... or s3a://...) "
+    "plus matching credentials env vars and the hadoop cloud jars",
+)
+def test_cloud_parquet_roundtrip(spark):
+    """Green wherever creds exist: write partitioned parquet straight
+    to object storage and read it back (the A13 sink path)."""
+    from parquet_pipeline_spark.sources.writers import write_parquet
+
+    uri = os.environ["CLOUD_TEST_URI"].rstrip("/") + "/_a13_roundtrip.parquet"
+    apply_cloud_conf(spark)
+    df = spark.range(100).withColumnRenamed("id", "v")
+    write_parquet(df, uri)
+    assert spark.read.parquet(uri).count() == 100

@@ -138,3 +138,27 @@ def test_interval_overlap_join_half_open_boundary(spark):
         for r in interval_overlap_join(iv, "k", "s", "e", "id", bucket="1 day").collect()
     }
     assert got == {(1, 3), (2, 3), (1, 4), (3, 4)}
+
+
+def test_interval_overlap_join_degenerate_intervals(spark):
+    """Empty (end == start) and inverted (end < start) intervals are
+    dropped before the bucket explode — they can overlap nothing
+    under half-open semantics, and previously made F.sequence throw
+    (start > stop with a positive step), failing the whole job."""
+    from parquet_pipeline_spark.operators.temporal import interval_overlap_join
+
+    rows = [
+        ("u", 1, "2024-01-01 00:00:00", "2024-01-03 00:00:00"),
+        ("u", 2, "2024-01-02 00:00:00", "2024-01-02 00:00:00"),  # empty
+        ("u", 3, "2024-01-05 00:00:00", "2024-01-01 00:00:00"),  # inverted
+        ("u", 4, "2024-01-02 00:00:00", "2024-01-04 00:00:00"),  # overlaps 1
+    ]
+    iv = spark.createDataFrame(rows, "k string, id int, s string, e string").select(
+        "k", "id", F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in interval_overlap_join(iv, "k", "s", "e", "id", bucket="1 day").collect()
+    }
+    assert got == {(1, 4)}
