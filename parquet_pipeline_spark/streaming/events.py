@@ -229,6 +229,167 @@ def stream_stream_click_purchase_join(
     ).select("c_user", "click_id", "purchase_id", "purchase_value")
 
 
+def streaming_asof_join(
+    probes: DataFrame,
+    quotes: DataFrame,
+    by: str = "sym",
+    ts_col: str = "ts",
+    probe_id_col: str = "id",
+    value_col: str = "rate",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream AS-OF join (backward): each probe row gets the
+    value of the latest quote with ``quote.ts <= probe.ts`` for the
+    same key — the streaming twin of ``operators/temporal.asof_join``
+    (same semantics the batch x01 driver query verifies).
+
+    Structured Streaming's built-in stream-stream join can express
+    range bounds but not "latest prior row", so this is a custom
+    stateful operator: the two streams are tagged and UNIONED into
+    one keyed stream (``applyInPandasWithState`` folds one input),
+    and per-key state buffers (a) quotes still within the watermark
+    horizon and (b) probes not yet safe to emit.
+
+    Correctness under out-of-order arrival: a probe is emitted only
+    once the event-time watermark passes its timestamp — beyond that
+    point any still-unseen quote with ``qts <= pts`` would be late
+    beyond the watermark and dropped by Spark anyway, so the match
+    is final (exactly the argument append-mode windowed aggs make).
+    ``EventTimeTimeout`` re-invokes the fold when the watermark
+    advances past the earliest pending probe even if the key gets no
+    new rows.
+
+    State bound (the 100-TB property): per key, quotes older than
+    the newest quote at-or-below the watermark are evicted (that
+    newest one dominates them for every future probe), and emitted
+    probes leave state immediately — so state is O(quotes within
+    horizon + in-flight probes) per key, never history.
+    """
+    from typing import Iterator, Tuple
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if not probes.isStreaming:
+        from parquet_pipeline_spark.operators.temporal import asof_join
+
+        out = asof_join(probes, quotes, ts_col, value_col, by=[by])
+        return out.select(by, probe_id_col, ts_col, value_col)
+
+    p = probes.select(
+        F.col(by).alias("k"),
+        F.col(ts_col).alias("ts"),
+        F.lit("p").alias("kind"),
+        F.col(probe_id_col).cast("long").alias("probe_id"),
+        F.lit(None).cast("double").alias("val"),
+    )
+    q = quotes.select(
+        F.col(by).alias("k"),
+        F.col(ts_col).alias("ts"),
+        F.lit("q").alias("kind"),
+        F.lit(None).cast("long").alias("probe_id"),
+        F.col(value_col).cast("double").alias("val"),
+    )
+    unioned = p.unionByName(q).withWatermark("ts", watermark)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(by, T.StringType()),
+            T.StructField(probe_id_col, T.LongType()),
+            T.StructField(ts_col, T.TimestampType()),
+            T.StructField(value_col, T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("q_ts", T.ArrayType(T.LongType())),
+            T.StructField("q_val", T.ArrayType(T.DoubleType())),
+            T.StructField("p_ts", T.ArrayType(T.LongType())),
+            T.StructField("p_id", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def fold(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        if state.exists:
+            q_ts, q_val, p_ts, p_id = (list(x) for x in state.get)
+        else:
+            q_ts, q_val, p_ts, p_id = [], [], [], []
+        for pdf in pdfs:
+            ts_us = (pd.to_datetime(pdf["ts"]).astype("int64") // 1000).tolist()
+            for t_us, kind, pid, val in zip(
+                ts_us, pdf["kind"], pdf["probe_id"], pdf["val"]
+            ):
+                if kind == "q":
+                    q_ts.append(t_us)
+                    q_val.append(float(val))
+                else:
+                    p_ts.append(t_us)
+                    p_id.append(int(pid))
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        quotes_sorted = sorted(zip(q_ts, q_val))
+        emit, pending_ts, pending_id = [], [], []
+        for t_us, pid in sorted(zip(p_ts, p_id)):
+            if t_us <= wm_us:
+                # latest quote at-or-before the probe (binary scan is
+                # fine: buffers are horizon-bounded)
+                match = None
+                for qt, qv in quotes_sorted:
+                    if qt <= t_us:
+                        match = qv
+                    else:
+                        break
+                emit.append((k, pid, t_us, match))
+            else:
+                pending_ts.append(t_us)
+                pending_id.append(pid)
+
+        # evict dominated quotes: everything strictly older than the
+        # newest quote at-or-below the watermark
+        newest_covered = None
+        for qt, _ in quotes_sorted:
+            if qt <= wm_us:
+                newest_covered = qt
+            else:
+                break
+        if newest_covered is not None:
+            quotes_sorted = [x for x in quotes_sorted if x[0] >= newest_covered]
+
+        if not quotes_sorted and not pending_ts:
+            state.remove()
+        else:
+            state.update(
+                (
+                    [x[0] for x in quotes_sorted],
+                    [x[1] for x in quotes_sorted],
+                    pending_ts,
+                    pending_id,
+                )
+            )
+            if pending_ts:
+                # fire again when the watermark passes the earliest
+                # pending probe (min pending > wm by construction)
+                state.setTimeoutTimestamp(min(pending_ts) // 1000)
+
+        if emit:
+            out = pd.DataFrame(
+                emit, columns=[by, probe_id_col, "ts_us", value_col]
+            )
+            out[ts_col] = pd.to_datetime(out.pop("ts_us"), unit="us")
+            yield out[[by, probe_id_col, ts_col, value_col]]
+
+    return unioned.groupBy("k").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def stream_upsert_to_parquet(
     stream: DataFrame,
     dest: str,

@@ -302,6 +302,98 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
     assert len(got) > 0
 
 
+def test_streaming_asof_join_matches_batch(spark, tmp_path):
+    """The stateful streaming as-of join must agree with the batch
+    asof_join on every probe it emits (a probe is emitted once the
+    watermark passes its ts; the final batch's probes stay pending —
+    same partial-emission contract as the sessionize twin test)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.temporal import asof_join
+    from parquet_pipeline_spark.streaming.events import streaming_asof_join
+
+    # interleaved quotes/probes for two keys, out of order within
+    # batches, split across 3 micro-batches; watermark 10 minutes so
+    # later batches push the watermark past earlier probes
+    def ev(eid, ts, uid, kind, val):
+        return {"event_id": eid, "ts": ts, "user_id": uid,
+                "event_type": kind, "value": val, "props": "{}"}
+
+    batches = [
+        [
+            ev(1, "2024-01-01 00:00:00", 1, "quote", 10.0),
+            ev(2, "2024-01-01 00:05:00", 1, "probe", 0.0),
+            ev(3, "2024-01-01 00:02:00", 2, "quote", 20.0),
+        ],
+        [
+            ev(4, "2024-01-01 01:00:00", 1, "quote", 11.0),
+            ev(5, "2024-01-01 01:05:00", 1, "probe", 0.0),
+            ev(6, "2024-01-01 00:50:00", 2, "probe", 0.0),
+            ev(7, "2024-01-01 00:40:00", 2, "quote", 21.0),  # out of order
+        ],
+        [
+            # watermark pusher: far-future rows advance the watermark
+            # past every earlier probe so batches 1-2 all emit
+            ev(8, "2024-01-01 09:00:00", 1, "quote", 12.0),
+            ev(9, "2024-01-01 09:00:00", 2, "quote", 22.0),
+        ],
+    ]
+    src = tmp_path / "asof_src"
+    src.mkdir()
+    for i, b in enumerate(batches):
+        (src / f"b{i}.jsonl").write_text("\n".join(_json.dumps(r) for r in b))
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "probe").withColumnRenamed(
+                "event_id", "id"
+            ),
+            df.filter(F.col("event_type") == "quote").withColumnRenamed(
+                "value", "rate"
+            ),
+        )
+
+    s_probes, s_quotes = split(read_event_stream(spark, str(src), fmt="json", max_files=1))
+    joined = streaming_asof_join(
+        s_probes, s_quotes, by="user_id", ts_col="ts",
+        probe_id_col="id", value_col="rate", watermark="10 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("asof_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["id"]: r["rate"]
+        for r in spark.sql("SELECT * FROM asof_stream").collect()
+    }
+
+    all_rows = [r for b in batches for r in b]
+    batch_df = spark.createDataFrame(
+        [(r["event_id"], r["ts"], r["user_id"], r["event_type"], r["value"])
+         for r in all_rows],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b_probes, b_quotes = split(batch_df)
+    expected = {
+        r["id"]: r["rate"]
+        for r in asof_join(
+            b_probes, b_quotes, "ts", "rate", by=["user_id"]
+        ).collect()
+    }
+    # every emitted probe matches the batch result exactly
+    for pid, rate in got.items():
+        assert expected[pid] == rate, (pid, rate, expected)
+    # probes from batches 1-2 (ids 2, 5, 6) are all past the final
+    # watermark (08:50) and must have emitted
+    assert {2, 5, 6} <= set(got), got
+
+
 def test_stream_upsert_latest_wins(spark, tmp_path):
     """CDC pattern: the same user_id arrives in two micro-batches —
     the final table holds one row per key with the later value."""
