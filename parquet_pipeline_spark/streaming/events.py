@@ -264,6 +264,15 @@ def streaming_asof_join(
     newest one dominates them for every future probe), and emitted
     probes leave state immediately — so state is O(quotes within
     horizon + in-flight probes) per key, never history.
+
+    Types: the output key column carries ``probes.schema[by]``'s
+    exact type and ``probe_id_col`` its exact type (ids ride through
+    state as strings and are converted back on emit); ``value_col``
+    is coerced to double. Timestamps delivered to the fold are
+    session-timezone-naive; they are tz-localized to
+    ``spark.sql.session.timeZone`` and converted to UTC epoch before
+    comparison against ``getCurrentWatermarkMs()`` (UTC), so any
+    session timezone is safe, not just UTC.
     """
     from typing import Iterator, Tuple
 
@@ -276,26 +285,36 @@ def streaming_asof_join(
         out = asof_join(probes, quotes, ts_col, value_col, by=[by])
         return out.select(by, probe_id_col, ts_col, value_col)
 
+    key_type = probes.schema[by].dataType
+    id_type = probes.schema[probe_id_col].dataType
+    sess_tz = probes.sparkSession.conf.get("spark.sql.session.timeZone") or "UTC"
+    if isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        conv_id = int
+    elif isinstance(id_type, (T.FloatType, T.DoubleType)):
+        conv_id = float
+    else:
+        conv_id = str
+
     p = probes.select(
         F.col(by).alias("k"),
         F.col(ts_col).alias("ts"),
         F.lit("p").alias("kind"),
-        F.col(probe_id_col).cast("long").alias("probe_id"),
+        F.col(probe_id_col).cast("string").alias("probe_id"),
         F.lit(None).cast("double").alias("val"),
     )
     q = quotes.select(
         F.col(by).alias("k"),
         F.col(ts_col).alias("ts"),
         F.lit("q").alias("kind"),
-        F.lit(None).cast("long").alias("probe_id"),
+        F.lit(None).cast("string").alias("probe_id"),
         F.col(value_col).cast("double").alias("val"),
     )
     unioned = p.unionByName(q).withWatermark("ts", watermark)
 
     out_schema = T.StructType(
         [
-            T.StructField(by, T.StringType()),
-            T.StructField(probe_id_col, T.LongType()),
+            T.StructField(by, key_type),
+            T.StructField(probe_id_col, id_type),
             T.StructField(ts_col, T.TimestampType()),
             T.StructField(value_col, T.DoubleType()),
         ]
@@ -305,7 +324,7 @@ def streaming_asof_join(
             T.StructField("q_ts", T.ArrayType(T.LongType())),
             T.StructField("q_val", T.ArrayType(T.DoubleType())),
             T.StructField("p_ts", T.ArrayType(T.LongType())),
-            T.StructField("p_id", T.ArrayType(T.LongType())),
+            T.StructField("p_id", T.ArrayType(T.StringType())),
         ]
     )
 
@@ -318,7 +337,12 @@ def streaming_asof_join(
         else:
             q_ts, q_val, p_ts, p_id = [], [], [], []
         for pdf in pdfs:
-            ts_us = (pd.to_datetime(pdf["ts"]).astype("int64") // 1000).tolist()
+            ts = pd.to_datetime(pdf["ts"])
+            if ts.dt.tz is None:
+                # fold inputs arrive session-timezone-naive; anchor
+                # them so the epoch compares against the UTC watermark
+                ts = ts.dt.tz_localize(sess_tz)
+            ts_us = (ts.dt.tz_convert("UTC").astype("int64") // 1000).tolist()
             for t_us, kind, pid, val in zip(
                 ts_us, pdf["kind"], pdf["probe_id"], pdf["val"]
             ):
@@ -327,13 +351,17 @@ def streaming_asof_join(
                     q_val.append(float(val))
                 else:
                     p_ts.append(t_us)
-                    p_id.append(int(pid))
+                    p_id.append(str(pid))
 
-        wm_us = state.getCurrentWatermarkMs() * 1000
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
         quotes_sorted = sorted(zip(q_ts, q_val))
         emit, pending_ts, pending_id = [], [], []
         for t_us, pid in sorted(zip(p_ts, p_id)):
-            if t_us <= wm_us:
+            # strict <: Spark admits late rows with ts == watermark,
+            # so a quote at exactly the probe's ts could still arrive
+            # while wm == ts — only strictly-past probes are final
+            if t_us < wm_us:
                 # latest quote at-or-before the probe (binary scan is
                 # fine: buffers are horizon-bounded)
                 match = None
@@ -370,15 +398,28 @@ def streaming_asof_join(
                 )
             )
             if pending_ts:
-                # fire again when the watermark passes the earliest
-                # pending probe (min pending > wm by construction)
-                state.setTimeoutTimestamp(min(pending_ts) // 1000)
+                # fire again once the watermark passes the earliest
+                # pending probe (min pending >= wm by construction;
+                # timeout timestamps must exceed the current watermark)
+                state.setTimeoutTimestamp(max(min(pending_ts) // 1000, wm_ms + 1))
 
         if emit:
             out = pd.DataFrame(
-                emit, columns=[by, probe_id_col, "ts_us", value_col]
+                {
+                    by: [e[0] for e in emit],
+                    probe_id_col: [conv_id(e[1]) for e in emit],
+                    "ts_us": [e[2] for e in emit],
+                    # object dtype so unmatched probes stay None →
+                    # Arrow null, matching the batch twin's left-join
+                    # null (a float column would smuggle NaN instead)
+                    value_col: pd.Series([e[3] for e in emit], dtype=object),
+                }
             )
-            out[ts_col] = pd.to_datetime(out.pop("ts_us"), unit="us")
+            out[ts_col] = (
+                pd.to_datetime(out.pop("ts_us"), unit="us", utc=True)
+                .dt.tz_convert(sess_tz)
+                .dt.tz_localize(None)
+            )
             yield out[[by, probe_id_col, ts_col, value_col]]
 
     return unioned.groupBy("k").applyInPandasWithState(

@@ -394,6 +394,77 @@ def test_streaming_asof_join_matches_batch(spark, tmp_path):
     assert {2, 5, 6} <= set(got), got
 
 
+def test_streaming_asof_join_string_key_and_null(spark, tmp_path):
+    """Same stateful as-of join with a STRING key column (the r4 bug
+    class was a hardcoded key type — both key types must work), plus
+    a probe with no prior quote, which must emit a SQL null rate,
+    not NaN (batch left-join parity)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.streaming.events import streaming_asof_join
+
+    def ev(eid, ts, sym, kind, val):
+        return {"event_id": eid, "ts": ts, "sym": sym,
+                "event_type": kind, "value": val}
+
+    batches = [
+        [
+            ev(1, "2024-01-01 00:00:00", "AAA", "quote", 10.0),
+            ev(2, "2024-01-01 00:05:00", "AAA", "probe", 0.0),
+            # BBB probe has NO quote at or before its ts → null match
+            ev(3, "2024-01-01 00:06:00", "BBB", "probe", 0.0),
+        ],
+        [
+            ev(4, "2024-01-01 09:00:00", "AAA", "quote", 11.0),
+            ev(5, "2024-01-01 09:00:00", "BBB", "quote", 21.0),
+        ],
+    ]
+    src = tmp_path / "asof_str_src"
+    src.mkdir()
+    for i, b in enumerate(batches):
+        (src / f"b{i}.jsonl").write_text("\n".join(_json.dumps(r) for r in b))
+
+    schema = "event_id long, ts timestamp, sym string, event_type string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    s_probes = stream.filter(F.col("event_type") == "probe").withColumnRenamed(
+        "event_id", "id"
+    )
+    s_quotes = stream.filter(F.col("event_type") == "quote").withColumnRenamed(
+        "value", "rate"
+    )
+    joined = streaming_asof_join(
+        s_probes, s_quotes, by="sym", ts_col="ts",
+        probe_id_col="id", value_col="rate", watermark="10 minutes",
+    )
+    assert joined.schema["sym"].dataType.typeName() == "string"
+    assert joined.schema["id"].dataType.typeName() == "long"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("asof_str_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {
+        r["id"]: (r["sym"], r["rate"])
+        for r in spark.sql("SELECT * FROM asof_str_stream").collect()
+    }
+    assert rows[2] == ("AAA", 10.0), rows
+    # unmatched probe: key preserved, rate is a true SQL null
+    assert rows[3] == ("BBB", None), rows
+    n_null = spark.sql(
+        "SELECT count(*) AS n FROM asof_str_stream WHERE rate IS NULL"
+    ).collect()[0]["n"]
+    assert n_null == 1
+
+
 def test_stream_upsert_latest_wins(spark, tmp_path):
     """CDC pattern: the same user_id arrives in two micro-batches —
     the final table holds one row per key with the later value."""
