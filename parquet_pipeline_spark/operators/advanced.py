@@ -287,8 +287,16 @@ def t09_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q66 — TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
 # finished multi-supplier order. The two classic correlated predicates
 # — EXISTS (another supplier on the order) and NOT EXISTS (another
-# LATE supplier on the order) — become a left-semi and a left-anti
-# join in the DataFrame plan, both shuffling once on l_orderkey.
+# LATE supplier on the order) — are decorrelated into per-order
+# distinct-supplier counts computed by window functions over ONE
+# flagged lineitem⋈orders scan: a row qualifies iff it is late,
+# its order has ≥2 distinct suppliers, and exactly 1 distinct LATE
+# supplier. The r4 semi+anti formulation recomputed the late-join
+# subplan twice and scanned lineitem three times (Spark does not
+# dedupe common subplans); the sf1 sweep showed it going 15×
+# super-linear on 10× data from AQE broadcast-build churn. This form
+# shuffles lineitem ONCE on l_orderkey — the windows and the join
+# reuse the same exchange — which is the 100-TB plan.
 # "Late" is l_shipdate > o_orderdate + 60 days (this corpus has no
 # receipt/commit dates; the join/subquery topology is what Q21 tests).
 # Supplier is NOT hint-broadcast (it scales with SF); nation would be,
@@ -326,34 +334,43 @@ def q66_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_orderdate")
     )
-    late = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-        .select("l_orderkey", "l_suppkey")
+    # inner join is sufficient even though EXISTS ranges over ALL
+    # lineitem rows: a qualifying row's order is 'F' by construction,
+    # so every row the EXISTS could probe lives on an 'F' order too —
+    # non-'F' orders can contribute neither late rows nor witnesses,
+    # and the join prunes them before the shuffle
+    flagged = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias(
+            "is_late"
+        ),
     )
-    l1 = late.alias("l1")
-    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
-    l3 = late.alias("l3")
-    sole_late = (
-        l1.join(  # EXISTS: some other supplier shipped on this order
-            l2,
-            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-            "left_semi",
-        )
-        .alias("l1")
-        .join(  # NOT EXISTS: no other supplier was late on it
-            l3,
-            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
-            "left_anti",
-        )
+    # two-level aggregation, both satisfied by the join's
+    # l_orderkey partitioning (no further shuffle): per-(order,
+    # supplier) late-row counts, then per-order supplier counts.
+    # Partial (map-side) aggregation shrinks data before any
+    # exchange — unlike a collect_set window, which buffers whole
+    # partitions. A qualifying order has exactly one distinct late
+    # supplier, so MAX over the late suppliers IS that supplier and
+    # no join back to the detail rows is needed.
+    per_os = flagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("late_rows")
     )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum((F.col("late_rows") > 0).cast("int")).alias("n_late_supp"),
+        F.max(F.when(F.col("late_rows") > 0, F.col("l_suppkey"))).alias("l_suppkey"),
+        F.sum("late_rows").alias("n_late_rows"),
+    )
+    qual = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    ).select("l_suppkey", "n_late_rows")
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        sole_late.join(supp, F.col("l1.l_suppkey") == supp.s_suppkey)
+        qual.join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_rows").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )

@@ -30,6 +30,10 @@ def _default_parallelism() -> str:
     return os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def _default_driver_mem() -> str:
+    return os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+
+
 def get_spark(
     app_name: str = DEFAULT_APP_NAME,
     master: str | None = None,
@@ -58,6 +62,12 @@ def get_spark(
         # (reference: duckdb_util.py:316 COMPRESSION ZSTD).
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+        # local mode = one JVM: driver memory IS executor memory. The
+        # pip-pyspark default (1g) models no realistic deployment —
+        # a cluster executor gets 8-64g — and starves AQE-chosen
+        # broadcast builds once anything is cached (only effective if
+        # set before the JVM starts; ignored on getOrCreate reuse).
+        .config("spark.driver.memory", _default_driver_mem())
     )
     if master is not None:
         builder = builder.config("spark.master", master)

@@ -6,10 +6,20 @@ an sfN-equivalent dataset by REPLICATING sf0.1 k times with
 key-space offsets — every foreign key is shifted by the same
 replica offset, so join fan-outs, key cardinalities, selectivity
 ratios, and skew all match what the driver's generator would
-produce at that sf (each replica is a disjoint shard of the key
-space; fixed dims region/nation keep their 5/25 rows like real
-TPC-H). Deterministic: replica i is a pure column shift of the
-source — no RNG.
+produce at that sf for RELATIONAL/JOIN workloads (each replica is a
+disjoint shard of the key space; fixed dims region/nation keep
+their 5/25 rows like real TPC-H). Deterministic: no RNG anywhere.
+
+Content columns are SALTED per replica so dedup/LSH/contamination
+and ANN workloads don't see pathological k-fold duplicate structure:
+replica i>0 document text gets a replica token inserted between
+every word (changes nearly every char/word shingle, so cross-replica
+copies are neither exact nor near duplicates; n_chars is recomputed),
+and replica i>0 embeddings get a small deterministic sin-based
+perturbation keyed on (vec_id, dim). Residual fidelity caveat:
+within-replica duplicate structure repeats k times (the same planted
+near-dup pairs appear in every replica shard), which is what a real
+generator would also produce for a corpus with a constant dup rate.
 
 Usage:
     python tools/gen_scaled_data.py SF_OUT_DIR K
@@ -51,13 +61,49 @@ OFFSETS = {
 FIXED = ["region", "nation"]  # real dims don't grow with sf
 
 
-def replicate(df: DataFrame, offsets: dict[str, int], k: int) -> DataFrame:
+def _salt_documents(df: DataFrame) -> DataFrame:
+    """Replica i>0: insert ``rI`` between every word. Pervasive —
+    nearly every char n-gram and word shingle crosses an inserted
+    token, so cross-replica copies of a doc are not near-duplicates
+    under MinHash/SimHash/Jaccard. Replica 0 stays verbatim."""
+    salted = F.regexp_replace(
+        F.col("text"),
+        " ",
+        F.concat(F.lit(" r"), F.col("_rep").cast("string"), F.lit(" ")),
+    )
+    return df.withColumn(
+        "text", F.when(F.col("_rep") == 0, F.col("text")).otherwise(salted)
+    ).withColumn("n_chars", F.length("text").cast("long"))
+
+
+def _salt_embeddings(df: DataFrame) -> DataFrame:
+    """Replica i>0: deterministic small sin perturbation keyed on the
+    (already replica-offset) vec_id and the dimension index, so
+    cross-replica vectors are distinct but the overall geometry and
+    norm distribution are preserved."""
+    perturbed = F.expr(
+        "transform(embedding, (x, i) -> cast("
+        "x + 0.02 * sin(cast(vec_id as double) * 0.754 + cast(i as double) * 1.37)"
+        " as float))"
+    )
+    return df.withColumn(
+        "embedding",
+        F.when(F.col("_rep") == 0, F.col("embedding")).otherwise(perturbed),
+    )
+
+
+SALTS = {"documents": _salt_documents, "embeddings": _salt_embeddings}
+
+
+def replicate(df: DataFrame, offsets: dict[str, int], k: int, salt=None) -> DataFrame:
     reps = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_rep")
     out = df.select("*", reps)
     for col, stride in offsets.items():
         out = out.withColumn(
             col, (F.col(col) + F.col("_rep").cast("long") * stride).cast(df.schema[col].dataType)
         )
+    if salt is not None:
+        out = salt(out)
     return out.drop("_rep")
 
 
@@ -73,9 +119,9 @@ def main() -> None:
         )
     for name, offsets in OFFSETS.items():
         df = spark.read.parquet(f"{SRC}/{name}.parquet")
-        replicate(df, offsets, k).write.mode("overwrite").parquet(
-            f"{out_dir}/{name}.parquet"
-        )
+        replicate(df, offsets, k, salt=SALTS.get(name)).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{name}.parquet")
         print(f"{name}: x{k}", flush=True)
     print("done:", out_dir)
 
