@@ -54,15 +54,25 @@ def word_shingles(col: Column | str, n: int = 2) -> Column:
     """Distinct word n-gram shingles (space-joined) — the token-level
     twin of ``char_ngrams`` for Jaccard/MinHash over words instead of
     characters. Documents with fewer than ``n`` tokens yield an empty
-    array. Pure expression, no shuffle."""
-    ws = word_tokens(col)
-    idx = F.sequence(F.lit(0), F.size(ws) - n)  # 0-based start offsets
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.get(ws, i + j) for j in range(n)])
-    )
-    return F.when(F.size(ws) >= n, F.array_distinct(sh)).otherwise(
-        F.array().cast("array<string>")
-    )
+    array. Pure expression, no shuffle.
+
+    The token array is LET-BOUND via a one-element-array transform
+    before the per-shingle lambda runs. Referencing ``word_tokens``
+    directly inside the lambda re-evaluates the whole split+filter
+    for every ``F.get`` (Spark does no CSE across lambda scopes) —
+    O(words² · n) per document; the sf1 scaling sweep caught it as a
+    429 s explode of 4.8 M shingles that takes ~4 s in this form."""
+
+    def shingles_of(arr: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(arr) - n)  # 0-based start offsets
+        sh = F.transform(
+            idx, lambda i: F.concat_ws(" ", *[F.get(arr, i + j) for j in range(n)])
+        )
+        return F.when(F.size(arr) >= n, F.array_distinct(sh)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.element_at(F.transform(F.array(word_tokens(col)), shingles_of), 1)
 
 
 def jaccard(a: Column, b: Column) -> Column:

@@ -332,21 +332,33 @@ def _input_sig(path: str) -> dict | None:
 
     mtime+size alone can miss an in-place rewrite of identical size
     within one mtime tick (coarse-granularity filesystems, fast CI
-    writes), so inputs up to 4 MiB also carry a content md5 — cheap
-    relative to converting them. Larger inputs keep the make-style
-    mtime+size check; rewriting a big file byte-identical-in-size
-    inside one mtime tick is the documented residual limitation."""
+    writes), so inputs up to 4 MiB carry a full content md5 — cheap
+    relative to converting them. Larger inputs carry a SAMPLED md5
+    over the first/middle/last 1 MiB blocks: O(1) I/O regardless of
+    size, and an in-place rewrite that preserves size must now also
+    preserve all three sampled regions to be missed — the residual
+    blind spot is a same-size edit confined to unsampled middle
+    bytes within one mtime tick."""
     try:
         st = os.stat(path)
         sig: dict = {"mtime": st.st_mtime, "size": st.st_size}
-        if st.st_size <= _SIG_HASH_MAX_BYTES and os.path.isfile(path):
+        if os.path.isfile(path):
             import hashlib
 
             h = hashlib.md5()
-            with open(path, "rb") as fh:
-                for block in iter(lambda: fh.read(1 << 20), b""):
-                    h.update(block)
-            sig["md5"] = h.hexdigest()
+            if st.st_size <= _SIG_HASH_MAX_BYTES:
+                with open(path, "rb") as fh:
+                    for block in iter(lambda: fh.read(1 << 20), b""):
+                        h.update(block)
+                sig["md5"] = h.hexdigest()
+            else:
+                block = 1 << 20
+                with open(path, "rb") as fh:
+                    for off in (0, max(0, st.st_size // 2 - block // 2),
+                                max(0, st.st_size - block)):
+                        fh.seek(off)
+                        h.update(fh.read(block))
+                sig["md5_sampled"] = h.hexdigest()
         return sig
     except OSError:
         return None

@@ -68,6 +68,42 @@ def test_ingestion_pipeline_resume_skips_converted(spark, tmp_path):
     assert r5["tables"]["a"]["row_count"] == 3
 
 
+def test_ingestion_pipeline_resume_large_file_rewrite(spark, tmp_path):
+    """A >4 MiB input rewritten in place with identical size and
+    mtime must still reconvert: the signature's sampled head/middle/
+    tail md5 catches what mtime+size alone would miss."""
+    import os
+
+    from parquet_pipeline_spark.pipeline import _SIG_HASH_MAX_BYTES, _input_sig
+
+    rows = 900_000  # ~5.2 MB of csv — over the full-hash cutoff
+    big = tmp_path / "big.csv"
+    body = "\n".join(f"{i % 97},{i % 101}" for i in range(rows))
+    big.write_text("x,y\n" + body + "\n")
+    assert os.path.getsize(big) > _SIG_HASH_MAX_BYTES
+    out_dir = str(tmp_path / "lake_big")
+
+    r1 = run_ingestion_pipeline(spark, [str(big)], out_dir)
+    assert r1["status"] == "completed" and r1["skipped_inputs"] == []
+    n1 = r1["tables"]["big"]["row_count"]
+
+    # unchanged rerun skips
+    r2 = run_ingestion_pipeline(spark, [str(big)], out_dir)
+    assert r2["skipped_inputs"] == [str(big)]
+
+    # same-size same-mtime rewrite touching the tail block
+    st = os.stat(big)
+    with open(big, "r+b") as fh:
+        fh.seek(st.st_size - 4)
+        fh.write(b"9,9\n")
+    os.utime(big, (st.st_atime, st.st_mtime))
+    assert os.path.getsize(big) == st.st_size
+    assert "md5_sampled" in _input_sig(str(big))
+    r3 = run_ingestion_pipeline(spark, [str(big)], out_dir)
+    assert r3["skipped_inputs"] == []
+    assert r3["tables"]["big"]["row_count"] == n1
+
+
 def test_ingestion_pipeline_partial_on_bad_input(spark, tmp_path):
     good = tmp_path / "ok.csv"
     good.write_text("a\n1\n")

@@ -5,6 +5,15 @@ jars and credentials exist (any managed Spark cluster; not this
 sandbox), so the integration test skips itself without creds — the
 unit tests pin the config surface that makes the round-trip a
 one-dict setup.
+
+Why no self-contained MinIO-in-container alternative: pip pyspark
+ships no hadoop-aws/hadoop-azure jars (verified: pyspark/jars has no
+aws/azure artifact), no MinIO binary exists in this image, and the
+environment forbids network installs — so an s3a endpoint test
+cannot be made hermetic here. The round-trip test below is the
+ready-to-run form for any environment that has the jars: set
+CLOUD_TEST_URI (s3a://bucket/prefix against MinIO works with
+AWS_ENDPOINT_URL=http://minio:9000) and it goes green.
 """
 from __future__ import annotations
 

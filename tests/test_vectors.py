@@ -101,6 +101,84 @@ def test_ann_batch_knn_recall_vs_exact(spark, sf_dir):
     assert all(per_q[q] == 3 for q in range(5))
 
 
+def _clustered_corpus(rng, dim, n_clusters, per_cluster, noise):
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)]
+    rows = []
+    for cid, c in enumerate(centers):
+        for j in range(per_cluster):
+            rows.append((cid * per_cluster + j, [x + rng.gauss(0, noise) for x in c]))
+    return centers, rows
+
+
+def _exact_topk_pairs(spark, corpus, queries, k):
+    from pyspark.sql import Window
+
+    return {
+        (r["q_id"], r["vec_id"])
+        for r in corpus.crossJoin(F.broadcast(queries))
+        .withColumn("score", cosine_similarity(F.col("embedding"), F.col("q_emb")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.col("score").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= k)
+        .collect()
+    }
+
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "seed,n_clusters,noise", [(1, 4, 0.05), (13, 8, 0.1), (99, 6, 0.2)]
+)
+def test_ann_batch_knn_recall_generated_corpora(spark, seed, n_clusters, noise):
+    """The a05 recall floor must hold on corpora the fixture never
+    saw: clustered embeddings generated per-seed with varying
+    cluster counts and noise levels, recall measured against the
+    exact brute-force top-k on the same corpus."""
+    import random
+
+    from parquet_pipeline_spark.operators.vectors import ann_knn_join
+
+    rng = random.Random(seed)
+    dim, per_cluster, k = 16, 30, 3
+    centers, rows = _clustered_corpus(rng, dim, n_clusters, per_cluster, noise)
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(cid, [x + rng.gauss(0, noise) for x in c]) for cid, c in enumerate(centers)],
+        "q_id long, q_emb array<double>",
+    )
+
+    exact = _exact_topk_pairs(spark, corpus, queries, k)
+    approx = ann_knn_join(corpus, queries, dim=dim, k=k, n_planes=16, n_bands=4)
+    got = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.7, f"seed={seed}: recall {recall}"
+
+
+@pytest.mark.parametrize("qid", [0, 17, 42])
+def test_ivf_full_probe_exactness_any_query(spark, sf_dir, qid):
+    """IVF with every cell probed must equal exact top-k for ANY
+    query vector, not just the fixture-pinned vec_id=0 (a04's
+    exactness property is query-independent)."""
+    from parquet_pipeline_spark.operators.vectors import ivf_centroids, ivf_topk
+
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") != qid)
+    qv = _query_vector(spark, sf_dir, vec_id=qid)
+    exact = [r["vec_id"] for r in topk(emb, qv, k=10).collect()]
+    cents = ivf_centroids(emb, k=8)
+    full = [r["vec_id"] for r in ivf_topk(emb, cents, qv, k=10, nprobe=8).collect()]
+    assert full == exact
+    # half-probe keeps a nonzero share of the true top-k
+    half = [r["vec_id"] for r in ivf_topk(emb, cents, qv, k=10, nprobe=4).collect()]
+    assert len(set(half) & set(exact)) / 10 >= 0.2
+
+
 def test_ann_batch_knn_prunes_clustered_data(spark):
     """On angularly-clustered embeddings (the real-corpus case) the
     band join must PRUNE (candidate fraction well under 1) while

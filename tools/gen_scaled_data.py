@@ -61,19 +61,29 @@ OFFSETS = {
 FIXED = ["region", "nation"]  # real dims don't grow with sf
 
 
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
 def _salt_documents(df: DataFrame) -> DataFrame:
-    """Replica i>0: insert ``rI`` between every word. Pervasive —
-    nearly every char n-gram and word shingle crosses an inserted
-    token, so cross-replica copies of a doc are not near-duplicates
-    under MinHash/SimHash/Jaccard. Replica 0 stays verbatim."""
-    salted = F.regexp_replace(
-        F.col("text"),
-        " ",
-        F.concat(F.lit(" r"), F.col("_rep").cast("string"), F.lit(" ")),
-    )
-    return df.withColumn(
-        "text", F.when(F.col("_rep") == 0, F.col("text")).otherwise(salted)
-    ).withColumn("n_chars", F.length("text").cast("long"))
+    """Replica i>0: per-replica alphabet substitution cipher
+    (rotation by ``_rep % 25``; replicas hitting rotation 0 get the
+    reversed alphabet). Length-, token-count- and structure-
+    PRESERVING — per-doc work in text operators is identical across
+    replicas, so scaling exponents measure data volume, not salt
+    artifacts — while every char n-gram and word shingle differs
+    from replica 0, so cross-replica copies are not near-dups. The
+    cipher is bijective, so WITHIN-replica planted near-dup
+    structure is preserved exactly. Period 25: at k>25, replicas i
+    and i+25 share a cipher and are mutual exact duplicates (a
+    realistic cross-shard duplication rate for web-scale corpora;
+    documented, not hidden)."""
+    rot = F.col("_rep") % 25
+    cases = F.when(F.col("_rep") == 0, F.col("text"))
+    for r in range(1, 25):
+        mapped = _ALPHA[r:] + _ALPHA[:r]
+        cases = cases.when(rot == r, F.translate(F.col("text"), _ALPHA, mapped))
+    cases = cases.otherwise(F.translate(F.col("text"), _ALPHA, _ALPHA[::-1]))
+    return df.withColumn("text", cases)  # length-preserving: n_chars stays valid
 
 
 def _salt_embeddings(df: DataFrame) -> DataFrame:
