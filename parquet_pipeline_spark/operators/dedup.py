@@ -347,18 +347,22 @@ def simhash(text_col: str, bits: int = 32) -> Column:
     the PySpark ``shiftleft``/``shiftright`` wrappers only accept
     Python-int bit counts, while the underlying SQL functions accept
     any integral expression. One expression, no Python in the row
-    path, token array appears twice (majority test + count)."""
+    path. The HASHED token array is let-bound (one-element-array
+    transform) before the per-bit loop: inlining the tokenize+hash
+    expression inside the per-bit lambda re-ran it ``bits`` times
+    per document (no CSE across lambda scopes — the word_shingles
+    bug class, 32× wasted work here)."""
     toks = f"filter(split(trim({text_col}), '\\\\s+'), w -> w != '')"
     return F.expr(
         f"""
-        aggregate(
-          transform(sequence(0, {bits - 1}), j ->
-            CASE WHEN size(filter(transform({toks}, t -> xxhash64(t)),
-                                  h -> (shiftright(h, j) & 1) = 1)) * 2
-                      >= size({toks})
-                 THEN shiftleft(CAST(1 AS BIGINT), j)
-                 ELSE CAST(0 AS BIGINT) END),
-          CAST(0 AS BIGINT), (acc, x) -> acc + x)
+        element_at(transform(array(transform({toks}, t -> xxhash64(t))), hs ->
+          aggregate(
+            transform(sequence(0, {bits - 1}), j ->
+              CASE WHEN size(filter(hs, h -> (shiftright(h, j) & 1) = 1)) * 2
+                        >= size(hs)
+                   THEN shiftleft(CAST(1 AS BIGINT), j)
+                   ELSE CAST(0 AS BIGINT) END),
+            CAST(0 AS BIGINT), (acc, x) -> acc + x)), 1)
         """
     )
 

@@ -396,11 +396,19 @@ def t07_greedy_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t08_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    ws = word_tokens("text")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(ws) - 1, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
-    )
+
+    # let-bind the token array (one-element-array transform) so the
+    # per-bigram lambda references a bound value, not the split
+    # expression — referencing word_tokens directly inside the lambda
+    # re-tokenizes per element (no CSE across lambda scopes, the
+    # word_shingles bug class): O(words²) per doc
+    def bigrams_of(ws):
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(ws) - 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+        )
+
+    bigrams = F.element_at(F.transform(F.array(word_tokens("text")), bigrams_of), 1)
     return (
         docs.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
