@@ -1598,7 +1598,17 @@ def q50_min_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q51 — LATERAL correlated subquery (top-N per outer row without a
-# window: the lateral form both engines optimize independently)
+# window: the lateral form both engines optimize independently).
+# Scale note (caught by the sf1 sweep): Spark decorrelates
+# LATERAL...LIMIT into a row_number window over the WHOLE inner
+# table, and the filter it infers from the outer bound is placed
+# ABOVE that window — it never reaches the inner scan, so a query
+# touching 1000 orders was double-sorting all of lineitem. The
+# outer key bound is therefore REPEATED inside the subquery: with it
+# the scan carries PushedFilters l_orderkey<1000 and the window runs
+# over only the matching rows (plan-asserted in test_plans.py). At
+# 100 TB this is the difference between reading a few row groups and
+# a full-table sort.
 # ---------------------------------------------------------------------------
 @register(
     "q51_lateral_topn",
@@ -1620,7 +1630,7 @@ def q51_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o.o_orderkey, l.l_linenumber, ROUND(l.l_extendedprice, 2) AS price
         FROM _lat_orders o JOIN LATERAL (
           SELECT l_linenumber, l_extendedprice FROM _lat_lineitem
-          WHERE l_orderkey = o.o_orderkey
+          WHERE l_orderkey = o.o_orderkey AND l_orderkey < 1000
           ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2
         ) l
         WHERE o.o_orderkey < 1000

@@ -100,3 +100,19 @@ def test_contamination_join_not_force_broadcast(spark, sf_dir):
     )
     plan = _optimized_plan(out)
     assert "strategy=broadcast" not in plan, plan
+
+
+def test_q51_lateral_bound_reaches_inner_scan(spark, sf_dir):
+    """Spark decorrelates LATERAL...LIMIT into a window over the
+    whole inner table and leaves the filter it infers from the outer
+    bound ABOVE the window — so q51 repeats the bound inside the
+    subquery. Guard: the lineitem scan must carry the pushed
+    l_orderkey bound (otherwise a 1000-order query sorts the whole
+    fact table; the sf1 sweep measured 9.6 s vs ~1 s)."""
+    from parquet_pipeline_spark.operators.relational import q51_lateral_topn
+
+    df = q51_lateral_topn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "FileScan" in l and "lineitem" in l]
+    assert scans, plan
+    assert any("LessThan(l_orderkey,1000)" in s for s in scans), scans[0]
