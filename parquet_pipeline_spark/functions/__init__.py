@@ -76,9 +76,14 @@ def word_shingles(col: Column | str, n: int = 2) -> Column:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Jaccard similarity of two (distinct-element) arrays."""
+    """Jaccard similarity of two (distinct-element) arrays.
+
+    Union size is computed arithmetically (|A|+|B|−|A∩B|) — exact
+    for distinct-element arrays and half the set-building cost of
+    ``array_union`` (measured on the d03 verify join, which runs
+    this over millions of candidate pairs)."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
-    union = F.size(F.array_union(a, b)).cast("double")
+    union = F.size(a).cast("double") + F.size(b).cast("double") - inter
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 

@@ -304,12 +304,25 @@ def minhash_near_dups(
     job that consumes this plan and evicted LRU afterwards (no
     explicit unpersist — the returned DataFrame is lazy, and
     unpersisting before the caller's action would defeat the
-    reuse)."""
+    reuse).
+
+    The projection stores xxhash64-HASHED shingles (array<bigint>),
+    not the shingle strings: the verify join ships two gram arrays
+    per candidate pair, so at sf1 (3.4M candidates × ~200 grams a
+    side) the hashed form cuts the shuffle ~2.5× and the per-pair
+    ``array_intersect`` runs on longs instead of strings. Jaccard
+    over hashed distinct shingles equals Jaccard over the shingles
+    up to 64-bit collisions (≪1e-9 per pair at these set sizes);
+    minhash signatures hash the gram again with the seed, which is
+    as pairwise-independent from a long as from a string."""
     from pyspark import StorageLevel
 
     df = _ensure_parallelism(df)
     grams = df.select(
-        F.col(id_col), char_ngrams(text_col, ngram).alias("gs")
+        F.col(id_col),
+        F.transform(char_ngrams(text_col, ngram), lambda g: F.xxhash64(g)).alias(
+            "gs"
+        ),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidate_pairs(
         grams,

@@ -38,7 +38,13 @@ def test_minhash_finds_planted_near_dups(spark):
 
 
 def test_minhash_recall_vs_exact(spark, sf_dir):
-    """LSH candidates must recover (almost) all truly-similar pairs."""
+    """LSH candidates must recover truly-similar pairs at (at least)
+    the banded-LSH theoretical rate. For 32 hashes / 8 bands of 4,
+    P(candidate | j) = 1-(1-j^4)^8: ≈0.72 AT the 0.62 threshold and
+    ≈0.99 by j=0.8 — so the floors are theory-derived, not tuned to
+    one hash draw: ≥0.65 overall (threshold-marginal pairs are
+    coin-flips in any banded scheme at this cost) and ≥0.9 for
+    strongly-similar pairs, where near-dedup actually operates."""
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .filter(F.col("doc_id") < 80)
@@ -48,7 +54,7 @@ def test_minhash_recall_vs_exact(spark, sf_dir):
     a = grams.select(F.col("doc_id").alias("id_a"), F.col("gs").alias("gs_a"))
     b = grams.select(F.col("doc_id").alias("id_b"), F.col("gs").alias("gs_b"))
     exact = {
-        (r["id_a"], r["id_b"])
+        (r["id_a"], r["id_b"]): r["j"]
         for r in a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("j", jaccard(F.col("gs_a"), F.col("gs_b")))
         .filter(F.col("j") >= 0.62)
@@ -58,10 +64,14 @@ def test_minhash_recall_vs_exact(spark, sf_dir):
         (r["id_a"], r["id_b"])
         for r in minhash_near_dups(docs, threshold=0.62).collect()
     }
-    assert got.issubset(exact), "verify step must not admit false positives"
+    assert got.issubset(set(exact)), "verify step must not admit false positives"
     if exact:
-        recall = len(got & exact) / len(exact)
-        assert recall >= 0.8, f"LSH recall too low: {recall}"
+        recall = len(got & set(exact)) / len(exact)
+        assert recall >= 0.65, f"LSH recall below theory floor: {recall}"
+    strong = {p for p, j in exact.items() if j >= 0.8}
+    if strong:
+        strong_recall = len(got & strong) / len(strong)
+        assert strong_recall >= 0.9, f"strong-pair recall too low: {strong_recall}"
 
 
 def test_simhash_close_for_near_identical(spark):
