@@ -1817,3 +1817,123 @@ def q59_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.dayofmonth("o_orderdate")).alias("first_dom"),
         F.max(F.dayofmonth("o_orderdate")).alias("last_dom"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q77 — ordered conversion funnel over events (view → click →
+# purchase): each stage's timestamp must strictly follow the previous
+# stage's FIRST occurrence for that user. The correlated "first event
+# after X" predicates decorrelate into three chained per-user
+# aggregations — each one shuffle on user_id, no window over the raw
+# event stream, no self-join fan-out; the product-analytics twin of
+# x02's sessionization. At 100 TB the three aggs are partial-agg
+# friendly and the chain reuses the user_id partitioning.
+# ---------------------------------------------------------------------------
+@register(
+    "q77_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS vt FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS ct
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.vt
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS pt
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.ct
+      GROUP BY e.user_id
+    )
+    SELECT 1 AS stage, 'view' AS name, CAST(COUNT(*) AS BIGINT) AS users FROM v
+    UNION ALL
+    SELECT 2, 'view>click', CAST(COUNT(*) AS BIGINT) FROM c
+    UNION ALL
+    SELECT 3, 'view>click>purchase', CAST(COUNT(*) AS BIGINT) FROM p
+    ORDER BY stage
+    """,
+)
+def q77_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+
+    def stage(df, n, name):
+        return df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(n).alias("stage"), F.lit(name).alias("name"), "users"
+        )
+
+    return (
+        stage(v, 1, "view")
+        .unionByName(stage(c, 2, "view>click"))
+        .unionByName(stage(p, 3, "view>click>purchase"))
+        .orderBy("stage")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q78 — weekly retention cohorts over events: users grouped by the
+# ISO week of their FIRST event; for each (cohort, weeks-since-
+# cohort) cell, distinct active users. Two shuffles total (first-seen
+# agg on user_id, then the cohort-cell distinct count); the fact
+# stream joins the per-user cohort on user_id — broadcastable when
+# the user dimension fits, AQE decides. Both engines truncate weeks
+# to ISO Monday, so the day difference is an exact multiple of 7.
+# ---------------------------------------------------------------------------
+@register(
+    "q78_retention_cohorts",
+    oracle="""
+    WITH fs AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+      FROM events GROUP BY user_id
+    )
+    SELECT strftime(fs.cohort, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', fs.cohort, date_trunc('week', e.ts)) / 7 AS INT) AS wk,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS users
+    FROM events e JOIN fs ON e.user_id = fs.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q78_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    fs = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    return (
+        ev.join(fs, "user_id")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                F.datediff(
+                    F.to_date(F.date_trunc("week", F.col("ts"))),
+                    F.to_date("cohort"),
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("wk"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "wk")
+        .agg(F.countDistinct("user_id").alias("users"))
+    )

@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from parquet_pipeline_spark.functions import word_tokens
+from parquet_pipeline_spark.functions import word_shingles, word_tokens
 from parquet_pipeline_spark.registry import register
 
 
@@ -533,3 +533,74 @@ def t12_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") >= 100)
     benchmark = docs.filter(F.col("doc_id") < 20)  # stand-in eval set
     return contamination_hits(corpus, benchmark, ngram_words=3, min_hits=3)
+
+
+# ---------------------------------------------------------------------------
+# t13 — repetition / quality stats per document (the Gopher-rules
+# family of LLM training-data filters: top-word share, duplicate-
+# bigram fraction, mean word length). One explode + two chained aggs
+# (map-side partial) plus pure-expression bigram stats — no windows,
+# no joins back to the text. All ratios are int/int divisions, so
+# both engines produce bit-identical doubles and no ROUND() is
+# needed (ROUND at a .5 boundary is where Spark/DuckDB diverge).
+# ---------------------------------------------------------------------------
+@register(
+    "t13_repetition_quality",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '') AS ws
+      FROM documents
+    ),
+    w AS (SELECT doc_id, unnest(ws) AS word FROM toks),
+    pw AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2),
+    pd AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, MAX(c) AS top_cnt,
+             SUM(c * length(word)) * 1.0 / SUM(c) AS mean_word_len
+      FROM pw GROUP BY doc_id
+    ),
+    bi AS (
+      SELECT doc_id, len(ws) AS nw,
+             len(list_distinct([ws[i] || ' ' || ws[i+1] FOR i IN range(1, greatest(len(ws), 2))])) AS d2
+      FROM toks
+    )
+    SELECT pd.doc_id, n_words,
+           top_cnt * 1.0 / n_words AS top_word_share,
+           CASE WHEN nw >= 2 THEN 1 - d2 * 1.0 / (nw - 1) ELSE 0.0 END AS dup_bigram_frac,
+           mean_word_len,
+           (top_cnt * 1.0 / n_words <= 0.2
+            AND CASE WHEN nw >= 2 THEN 1 - d2 * 1.0 / (nw - 1) ELSE 0.0 END <= 0.4) AS keep
+    FROM pd JOIN bi ON pd.doc_id = bi.doc_id
+    """,
+)
+def t13_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    w = docs.select("doc_id", F.explode(word_tokens("text")).alias("word"))
+    pw = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    pd_ = pw.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_words"),
+        F.max("c").alias("top_cnt"),
+        (
+            F.sum(F.col("c") * F.length("word")).cast("double") / F.sum("c")
+        ).alias("mean_word_len"),
+    )
+    bi = docs.select(
+        "doc_id",
+        F.size(word_tokens("text")).alias("nw"),
+        F.size(word_shingles("text", 2)).alias("d2"),
+    )
+    top_share = F.col("top_cnt").cast("double") / F.col("n_words")
+    dup_frac = F.when(
+        F.col("nw") >= 2,
+        F.lit(1.0) - F.col("d2").cast("double") / (F.col("nw") - 1),
+    ).otherwise(F.lit(0.0))
+    return (
+        pd_.join(bi, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            top_share.alias("top_word_share"),
+            dup_frac.alias("dup_bigram_frac"),
+            "mean_word_len",
+            ((top_share <= 0.2) & (dup_frac <= 0.4)).alias("keep"),
+        )
+    )
