@@ -116,3 +116,21 @@ def test_q51_lateral_bound_reaches_inner_scan(spark, sf_dir):
     scans = [l for l in plan.splitlines() if "FileScan" in l and "lineitem" in l]
     assert scans, plan
     assert any("LessThan(l_orderkey,1000)" in s for s in scans), scans[0]
+
+
+def test_funnel_and_cohorts_plan_shape(spark, sf_dir):
+    """q77/q78 guard: chained per-user aggregations must keep
+    map-side partial aggregation, use no window over the raw event
+    stream, and carry no FORCED broadcast (the per-user aggregates
+    grow with users — broadcast is AQE's runtime call, not a hint)."""
+    from parquet_pipeline_spark.operators.relational import (
+        q77_funnel,
+        q78_retention_cohorts,
+    )
+
+    for build in (q77_funnel, q78_retention_cohorts):
+        df = build(spark, sf_dir)
+        assert "strategy=broadcast" not in _optimized_plan(df)
+        phys = df._jdf.queryExecution().executedPlan().toString()
+        assert "partial_" in phys, phys
+        assert "WindowExec" not in phys, phys
