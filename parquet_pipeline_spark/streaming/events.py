@@ -431,6 +431,138 @@ def streaming_asof_join(
     )
 
 
+def streaming_funnel(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of the batch ``q77_funnel``: per user, emit a
+    row the first time the ordered funnel reaches stage k — stage 1
+    at the user's first ``stages[0]`` event, stage k at the first
+    ``stages[k-1]`` event STRICTLY AFTER the stage-(k-1) timestamp.
+    Output: (user, stage, ts) transitions in append mode; counting
+    rows per stage reproduces q77's per-stage user counts.
+
+    Stage decisions depend on event ORDER, and a late earlier-ts
+    stage-1 event can legitimize a previously-ignored stage-2 event
+    — so in-horizon events are BUFFERED per user and folded into the
+    finalized state machine in timestamp order only once the
+    watermark passes them (same finality argument as
+    ``streaming_asof_join``). State per key: the k-1 reached-stage
+    timestamps plus the events still inside the watermark horizon —
+    O(horizon), never history.
+
+    Requires batch ``events``? Use ``q77_funnel`` — this operator is
+    streaming-only by design (the batch twin IS the oracle)."""
+    from typing import Iterator, Tuple
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    sess_tz = events.sparkSession.conf.get("spark.sql.session.timeZone") or "UTC"
+    stage_of = {s: i + 1 for i, s in enumerate(stages)}
+    n_stages = len(stages)
+
+    src = (
+        events.filter(F.col(type_col).isin(*stages))
+        .select(
+            F.col(user_col).alias("k"),
+            F.col(ts_col).alias("ts"),
+            F.col(type_col).alias("etype"),
+        )
+        .withWatermark("ts", watermark)
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField(user_col, events.schema[user_col].dataType),
+            T.StructField("stage", T.IntegerType()),
+            T.StructField(ts_col, T.TimestampType()),
+        ]
+    )
+    # reached[i] = epoch-us when stage i+1 was reached (-1 = not yet);
+    # buf_ts/buf_stage = in-horizon events not yet final
+    state_schema = T.StructType(
+        [
+            T.StructField("reached", T.ArrayType(T.LongType())),
+            T.StructField("buf_ts", T.ArrayType(T.LongType())),
+            T.StructField("buf_stage", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def fold(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        if state.exists:
+            reached, buf_ts, buf_stage = (list(x) for x in state.get)
+        else:
+            reached, buf_ts, buf_stage = [-1] * n_stages, [], []
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf["ts"])
+            if ts.dt.tz is None:
+                ts = ts.dt.tz_localize(sess_tz)
+            ts_us = (ts.dt.tz_convert("UTC").astype("int64") // 1000).tolist()
+            for t_us, et in zip(ts_us, pdf["etype"]):
+                buf_ts.append(t_us)
+                buf_stage.append(stage_of[et])
+
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
+        final = sorted(
+            (t, s) for t, s in zip(buf_ts, buf_stage) if t < wm_us
+        )
+        pend_ts = [t for t in buf_ts if t >= wm_us]
+        pend_stage = [s for t, s in zip(buf_ts, buf_stage) if t >= wm_us]
+
+        emit = []
+        for t_us, s in final:
+            if reached[s - 1] != -1:
+                continue  # stage already reached earlier
+            if s == 1 or (reached[s - 2] != -1 and t_us > reached[s - 2]):
+                reached[s - 1] = t_us
+                emit.append((k, s, t_us))
+
+        if all(r != -1 for r in reached):
+            # funnel complete: no future or buffered event matters
+            state.remove()
+        elif pend_ts:
+            state.update((reached, pend_ts, pend_stage))
+            # fire again once the watermark passes the earliest
+            # buffered event (timeouts must exceed the watermark)
+            state.setTimeoutTimestamp(max(min(pend_ts) // 1000, wm_ms + 1))
+        elif any(r != -1 for r in reached):
+            state.update((reached, [], []))
+        else:
+            state.remove()
+
+        if emit:
+            out = pd.DataFrame(
+                {
+                    user_col: [e[0] for e in emit],
+                    "stage": pd.Series([e[1] for e in emit], dtype="int32"),
+                    "ts_us": [e[2] for e in emit],
+                }
+            )
+            out[ts_col] = (
+                pd.to_datetime(out.pop("ts_us"), unit="us", utc=True)
+                .dt.tz_convert(sess_tz)
+                .dt.tz_localize(None)
+            )
+            yield out[[user_col, "stage", ts_col]]
+
+    return src.groupBy("k").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def stream_upsert_to_parquet(
     stream: DataFrame,
     dest: str,

@@ -465,6 +465,67 @@ def test_streaming_asof_join_string_key_and_null(spark, tmp_path):
     assert n_null == 1
 
 
+def test_streaming_funnel_matches_batch_semantics(spark, tmp_path):
+    """The stateful streaming funnel must emit exactly the stage
+    transitions q77's batch logic derives — under out-of-order
+    arrival (a user's view lands a batch AFTER their later click,
+    while both are inside the watermark horizon)."""
+    import json as _json
+
+    from parquet_pipeline_spark.streaming.events import streaming_funnel
+
+    def ev(eid, ts, uid, kind):
+        return {"event_id": eid, "ts": ts, "user_id": uid,
+                "event_type": kind, "value": 0.0, "props": "{}"}
+
+    batches = [
+        [
+            ev(1, "2024-01-01 00:00:00", 1, "view"),
+            ev(2, "2024-01-01 00:10:00", 1, "click"),
+            ev(3, "2024-01-01 00:15:00", 2, "click"),   # click BEFORE its view arrives
+            ev(4, "2024-01-01 00:02:00", 3, "purchase"),  # purchase w/o view: no stage
+        ],
+        [
+            ev(5, "2024-01-01 00:05:00", 2, "view"),    # late view legitimizes click@15
+            ev(6, "2024-01-01 00:12:00", 2, "purchase"),  # before click-stage ts: invalid
+            ev(7, "2024-01-01 00:20:00", 1, "purchase"),
+            ev(8, "2024-01-01 00:01:00", 2, "click"),   # click before view: invalid
+        ],
+        [
+            # watermark pusher (stage-typed so it passes the filter);
+            # its own transition stays pending — never final
+            ev(9, "2024-01-01 09:00:00", 99, "view"),
+        ],
+    ]
+    src = tmp_path / "funnel_src"
+    src.mkdir()
+    for i, b in enumerate(batches):
+        (src / f"b{i}.jsonl").write_text("\n".join(_json.dumps(r) for r in b))
+
+    stream = read_event_stream(spark, str(src), fmt="json", max_files=1)
+    out = streaming_funnel(stream, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["stage"], str(r["ts"]))
+        for r in spark.sql("SELECT * FROM funnel_stream").collect()
+    }
+    expected = {
+        (1, 1, "2024-01-01 00:00:00"),
+        (1, 2, "2024-01-01 00:10:00"),
+        (1, 3, "2024-01-01 00:20:00"),
+        (2, 1, "2024-01-01 00:05:00"),
+        (2, 2, "2024-01-01 00:15:00"),  # the out-of-order pair resolved in ts order
+    }
+    assert got == expected, got
+
+
 def test_stream_upsert_latest_wins(spark, tmp_path):
     """CDC pattern: the same user_id arrives in two micro-batches —
     the final table holds one row per key with the later value."""
