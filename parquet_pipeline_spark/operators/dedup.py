@@ -626,3 +626,71 @@ def _register_hash_split():
 
 
 _register_hash_split()
+
+
+# ---------------------------------------------------------------------------
+# t14 — deterministic source-weighted resampling: the "mix your
+# training corpus at per-source rates" op (e.g. upweight curated
+# sources, downsample crawl). Keep probability is a pure function of
+# md5(text), so (a) reruns and engines agree row-for-row, (b) exact
+# duplicate texts are kept/dropped together (consistent with the t11
+# split, same hash key), (c) no RNG state, no sampleBy() seed
+# dependence. The hex-nibble comparison gives weights in 1/16
+# granularity, exactly the t11 mechanism; weight per source here is
+# a deterministic demo policy (even source index 12/16 = 0.75, odd
+# 4/16 = 0.25). Pure filter expression — no shuffle, trivially
+# linear at 100 TB, and composes with any downstream op.
+# ---------------------------------------------------------------------------
+def source_weighted_resample(
+    df: DataFrame,
+    weight_nibbles: dict[str, str] | None = None,
+    content_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Keeps a row iff the first hex nibble of md5(content) is
+    strictly below the source's threshold nibble (weight = idx/16).
+    ``weight_nibbles`` maps source -> threshold nibble char; missing
+    sources keep everything ('g' > 'f' sorts above every nibble)."""
+    nib = F.substring(F.md5(F.col(content_col).cast("binary")), 1, 1)
+    if weight_nibbles is None:
+        thresh = F.when(
+            F.substring(F.col(source_col), 4, 10).cast("int") % 2 == 0,
+            F.lit("c"),
+        ).otherwise(F.lit("4"))
+    else:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in weight_nibbles.items() for x in kv]
+        )
+        thresh = F.coalesce(mapping[F.col(source_col)], F.lit("g"))
+    return df.filter(nib < thresh)
+
+
+def _register_source_resample():
+    from parquet_pipeline_spark.registry import register
+
+    @register(
+        "t14_source_resample",
+        oracle="""
+        SELECT doc_id,
+               source,
+               CAST(CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                         THEN 0.75 ELSE 0.25 END AS DOUBLE) AS weight
+        FROM documents
+        WHERE substr(md5(text), 1, 1) <
+              CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                   THEN 'c' ELSE '4' END
+        """,
+    )
+    def t14_source_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _docs(spark, sf_dir)
+        even = F.substring("source", 4, 10).cast("int") % 2 == 0
+        return source_weighted_resample(docs).select(
+            "doc_id",
+            "source",
+            F.when(even, F.lit(0.75)).otherwise(F.lit(0.25)).alias("weight"),
+        )
+
+    return t14_source_resample
+
+
+_register_source_resample()

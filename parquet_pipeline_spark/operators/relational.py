@@ -1937,3 +1937,46 @@ def q78_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "wk")
         .agg(F.countDistinct("user_id").alias("users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q79 — SCD-2 history build from a change stream: each event is a
+# change record for its user; the validity interval of a record runs
+# from its timestamp to the NEXT change for the same user (NULL =
+# current). One window (lead over user_id ordered by ts, event_id for
+# a total order) — a single shuffle on the natural key, no self-join.
+# This is the standard "CDC change log -> slowly-changing dimension"
+# materialization; at 100 TB the window partitions by user_id so
+# state per partition is one row, and the shuffle is the same
+# exchange a downstream temporal join on user_id would reuse.
+# Complements q-CDC latest-per-key (which keeps only the tip);
+# reference parity: the NL engine answers "history of X" questions
+# with exactly this shape.
+# ---------------------------------------------------------------------------
+@register(
+    "q79_scd2_intervals",
+    oracle="""
+    SELECT user_id,
+           event_id,
+           event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    '%Y-%m-%d %H:%M:%S') AS valid_to,
+           CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                AS BOOLEAN) AS is_current
+    FROM events
+    WHERE user_id < 50
+    """,
+)
+def q79_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 50)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -243,33 +243,54 @@ def lsh_signature(emb_col, dim: int, n_planes: int = 16, seed: int = 42):
     return F.aggregate(bit_values, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
-@register("a01_ann_lsh_topk")  # rows-only check: hash-derived buckets
-def a01_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: restrict scoring to vectors whose LSH
-    signature is within hamming-distance-by-band of the query's.
-    Here: same 16-bit signature bucket OR same upper-8-bit band —
-    candidate set ≪ corpus at scale; exactness traded for a bucket
-    scan. Recall vs. v01 is asserted in tests/test_vectors.py."""
-    emb = _emb(spark, sf_dir)
-    dim = 64
-    sig = lsh_signature(F.col("embedding"), dim)
-    tagged = emb.withColumn("sig", sig).withColumn(
-        "band_hi", (F.col("sig") / 256).cast("int")
-    )
-    q = tagged.filter(F.col("vec_id") == 0).select(
+def lsh_bucket_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    dim: int,
+    k: int = 10,
+    extra_cols: tuple = ("label",),
+    n_bands: int = 4,
+    band_bits: int = 4,
+) -> DataFrame:
+    """Approximate top-k for one query id: restrict scoring to
+    vectors whose LSH signature matches the query's in AT LEAST ONE
+    band (n_bands bands of band_bits bits — standard banded LSH, the
+    single-query twin of a05's band equi-join). With per-bit
+    agreement p, candidate probability is 1-(1-p^band_bits)^n_bands —
+    near-1 for true neighbors, small for random vectors, so the
+    candidate set ≪ corpus at scale. Recall floors are asserted in
+    tests/test_vectors.py on both the fixture corpus and generated
+    corpora."""
+    sig = lsh_signature(F.col("embedding"), dim, n_planes=n_bands * band_bits)
+    tagged = emb.withColumn("sig", sig)
+    q = tagged.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("q_emb"),
         F.col("sig").alias("q_sig"),
-        F.col("band_hi").alias("q_band"),
     )
-    cands = tagged.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q)).filter(
-        (F.col("sig") == F.col("q_sig")) | (F.col("band_hi") == F.col("q_band"))
+    mask = (1 << band_bits) - 1
+    band_match = None
+    for j in range(n_bands):
+        m = (F.shiftright("sig", j * band_bits).bitwiseAND(F.lit(mask))) == (
+            F.shiftright("q_sig", j * band_bits).bitwiseAND(F.lit(mask))
+        )
+        band_match = m if band_match is None else (band_match | m)
+    cands = (
+        tagged.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .filter(band_match)
     )
     return (
         cands.withColumn("score", cosine_similarity(F.col("embedding"), F.col("q_emb")))
         .orderBy(F.col("score").desc(), F.col("vec_id"))
-        .limit(10)
-        .select("vec_id", "label", F.round("score", 6).alias("score"))
+        .limit(k)
+        .select("vec_id", *extra_cols, F.round("score", 6).alias("score"))
     )
+
+
+@register("a01_ann_lsh_topk")  # rows-only check: hash-derived buckets
+def a01_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via LSH bucket scan (see lsh_bucket_topk)."""
+    return lsh_bucket_topk(_emb(spark, sf_dir), query_vec_id=0, dim=64)
 
 
 # ---------------------------------------------------------------------------

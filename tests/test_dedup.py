@@ -211,3 +211,44 @@ def test_lsh_hot_bucket_cap(spark):
     }
     assert normal_pairs == uncapped
     assert (10_000, 10_001) in normal_pairs
+
+
+def test_source_resample_deterministic_and_duplicate_consistent(spark, sf_dir):
+    """t14: (a) rerun-stable, (b) exact duplicate texts are kept or
+    dropped together regardless of source (hash keyed on content),
+    (c) even-index sources survive at ~0.75 and odd at ~0.25."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.dedup import source_weighted_resample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept1 = source_weighted_resample(docs).select("doc_id")
+    kept2 = source_weighted_resample(docs).select("doc_id")
+    assert kept1.subtract(kept2).count() == 0
+    assert kept2.subtract(kept1).count() == 0
+
+    # duplicate-consistency: give the same text two sources; the pair
+    # must be kept together or dropped together when weights are equal
+    dup = spark.createDataFrame(
+        [(1, "same words here", "src0"), (2, "same words here", "src2")],
+        "doc_id long, text string, source string",
+    )
+    got = source_weighted_resample(dup).count()
+    assert got in (0, 2)
+
+    total = docs.groupBy("source").count().withColumnRenamed("count", "n")
+    kept = (
+        source_weighted_resample(docs)
+        .groupBy("source")
+        .count()
+        .withColumnRenamed("count", "k")
+    )
+    rates = (
+        total.join(kept, "source", "left")
+        .fillna(0, subset=["k"])
+        .withColumn("idx", F.substring("source", 4, 10).cast("int"))
+        .collect()
+    )
+    for r in rates:
+        expect = 0.75 if r["idx"] % 2 == 0 else 0.25
+        assert abs(r["k"] / r["n"] - expect) < 0.25, (r["source"], r["k"], r["n"])

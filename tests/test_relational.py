@@ -83,3 +83,24 @@ def test_partition_pruning(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(day" in plan
     n_days = ev.select("day").distinct().count()
     assert filtered.count() < ev.count() / max(n_days - 5, 1)
+
+
+def test_scd2_intervals_chain_and_current(spark, sf_dir):
+    """q79: per user, validity intervals must chain exactly (each
+    valid_to equals the next record's valid_from), exactly one
+    current (open-ended) record per user, and no interval inverted."""
+    from parquet_pipeline_spark.operators.relational import q79_scd2_intervals
+
+    rows = q79_scd2_intervals(spark, sf_dir).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user, "no SCD2 rows produced"
+    for uid, recs in by_user.items():
+        recs.sort(key=lambda r: (r["valid_from"], r["event_id"]))
+        open_ended = [r for r in recs if r["valid_to"] is None]
+        assert len(open_ended) == 1 and recs[-1]["valid_to"] is None, uid
+        assert all(r["is_current"] == (r["valid_to"] is None) for r in recs)
+        for a, b in zip(recs, recs[1:]):
+            assert a["valid_to"] == b["valid_from"], (uid, a, b)
+            assert a["valid_from"] <= a["valid_to"], (uid, a)

@@ -215,3 +215,39 @@ def test_ann_batch_knn_prunes_clustered_data(spark):
     n_cand = c.join(q, ["band_id", "band_val"]).select("q_id", "vec_id").distinct().count()
     frac = n_cand / (len(centers) * len(rows))
     assert frac < 0.6, f"band join did not prune: candidate fraction {frac}"
+
+
+@pytest.mark.parametrize("seed,n_clusters,noise", [(7, 5, 0.05), (23, 3, 0.15)])
+def test_lsh_bucket_topk_recall_generated_corpora(spark, seed, n_clusters, noise):
+    """a01's single-query bucket scan must keep a useful recall floor
+    on corpora the fixture never saw (stretch item 8: the floor must
+    not be fixture-tuned). Query = vector 0; recall of the bucketed
+    top-k measured against exact brute-force top-k over the same
+    corpus, excluding the query itself on both sides."""
+    import random
+
+    from parquet_pipeline_spark.operators.vectors import lsh_bucket_topk
+
+    rng = random.Random(seed)
+    dim, per_cluster, k = 16, 40, 10
+    _, rows = _clustered_corpus(rng, dim, n_clusters, per_cluster, noise)
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    q_emb = [r for r in rows if r[0] == 0][0][1]
+    queries = spark.createDataFrame([(0, q_emb)], "q_id long, q_emb array<double>")
+    exact = {
+        v
+        for (_, v) in _exact_topk_pairs(
+            spark, corpus.filter(F.col("vec_id") != 0), queries, k
+        )
+    }
+    got = {
+        r["vec_id"]
+        for r in lsh_bucket_topk(
+            corpus, query_vec_id=0, dim=dim, k=k, extra_cols=()
+        ).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    # same-cluster vectors share the query's signature band with high
+    # probability; 0.5 is a conservative floor that held across seeds
+    assert recall >= 0.5, f"seed={seed}: recall {recall}"
