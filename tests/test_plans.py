@@ -134,3 +134,18 @@ def test_funnel_and_cohorts_plan_shape(spark, sf_dir):
         phys = df._jdf.queryExecution().executedPlan().toString()
         assert "partial_" in phys, phys
         assert "WindowExec" not in phys, phys
+
+
+def test_scd2_single_exchange_pushed_filter(spark, sf_dir):
+    """q79 guard: the SCD-2 interval build must be ONE shuffle (a
+    single Exchange on user_id feeding the lead() window — the same
+    exchange a downstream temporal join would reuse) with the
+    user_id bound pushed into the parquet scan, and no join at all
+    (a self-join formulation would fan out)."""
+    from parquet_pipeline_spark.operators.relational import q79_scd2_intervals
+
+    df = q79_scd2_intervals(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Exchange hashpartitioning(user_id") == 1, phys
+    assert "Join" not in phys, phys
+    assert "PushedFilters: [" in phys and "LessThan(user_id,50)" in phys, phys
