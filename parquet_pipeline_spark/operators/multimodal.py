@@ -212,3 +212,84 @@ def dedup_media_exact(media: DataFrame) -> DataFrame:
         F.min("media_id").alias("media_id"),
         F.count(F.lit(1)).alias("n_copies"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def _resize_ppm(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Real nearest-neighbor resize for P6 PPM: decode, index-sample
+    rows/cols, re-encode. Same stdlib+numpy-only policy as
+    _decode_ppm."""
+    import numpy as np
+
+    w, h, _, _ = _decode_ppm(payload)  # validates header and maxval
+    # re-derive the pixel offset the same way _decode_ppm does
+    tokens = 0
+    i = 2
+    while tokens < 3 and i < len(payload):
+        c = payload[i : i + 1]
+        if c == b"#":
+            i = payload.index(b"\n", i)
+        elif c.isspace():
+            i += 1
+        else:
+            while i < len(payload) and not payload[i : i + 1].isspace():
+                i += 1
+            tokens += 1
+    i += 1
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    px = px.reshape(h, w, 3)
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    out = px[rows][:, cols]
+    header = f"P6\n{out_w} {out_h}\n255\n".encode()
+    return header + out.tobytes()
+
+
+def resize_media(
+    media: DataFrame, out_w: int, out_h: int, fake: bool = False
+) -> DataFrame:
+    """Resize image payloads via mapInPandas (Arrow batches, one
+    python worker per partition — the same distributed shape as
+    decode_media). P6 PPM resizes FOR REAL (nearest-neighbor);
+    other formats raise NotImplementedError, or with ``fake=True``
+    produce a deterministic payload-hash-seeded P6 of the target
+    size so the plumbing runs end-to-end without codec libraries."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload or b"")
+                if raw.startswith(b"P6"):
+                    out = _resize_ppm(raw, out_w, out_h)
+                elif fake:
+                    h = hashlib.sha256(raw).digest()
+                    body = bytes(
+                        h[(j * 3 + c) % len(h)]
+                        for j in range(out_w * out_h)
+                        for c in range(3)
+                    )
+                    out = f"P6\n{out_w} {out_h}\n255\n".encode() + body
+                else:
+                    raise NotImplementedError(
+                        "resize: only P6 PPM has a stdlib codec in this "
+                        "container; pass fake=True to exercise the "
+                        "distributed plumbing for other formats"
+                    )
+                rows.append((mid, out, out_w, out_h))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "payload", "width", "height"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        resize_batches, schema=RESIZED_SCHEMA
+    )

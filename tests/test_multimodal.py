@@ -108,3 +108,63 @@ def test_real_wav_decode_distributed(spark):
     assert len(row["feature"]) == 8
     # sine RMS = amp/sqrt(2) = (16000/32768)*0.707 ~= 0.345
     assert all(0.3 < f < 0.4 for f in row["feature"])
+
+
+def test_resize_ppm_real_distributed(spark):
+    """P6 PPM payloads resize FOR REAL via mapInPandas: a 4x4 image
+    with distinct quadrant colors downsamples to 2x2 keeping one
+    pixel per quadrant (nearest-neighbor picks the top-left sample
+    of each cell), and the output is itself a decodable P6."""
+    from parquet_pipeline_spark.operators.multimodal import (
+        _decode_ppm,
+        media_table,
+        resize_media,
+    )
+
+    # quadrants: red  | green
+    #            blue | white
+    rows_px = [
+        (255, 0, 0), (255, 0, 0), (0, 255, 0), (0, 255, 0),
+        (255, 0, 0), (255, 0, 0), (0, 255, 0), (0, 255, 0),
+        (0, 0, 255), (0, 0, 255), (255, 255, 255), (255, 255, 255),
+        (0, 0, 255), (0, 0, 255), (255, 255, 255), (255, 255, 255),
+    ]
+    payload = b"P6\n4 4\n255\n" + b"".join(bytes(p) for p in rows_px)
+    media = media_table(
+        spark.createDataFrame([(payload,)], "img binary"), "img", "image", "image/x-ppm"
+    )
+    out = resize_media(media, 2, 2).collect()
+    assert len(out) == 1 and out[0]["width"] == 2 and out[0]["height"] == 2
+    resized = bytes(out[0]["payload"])
+    w, h, _, _ = _decode_ppm(resized)
+    assert (w, h) == (2, 2)
+    body = resized[resized.index(b"255\n") + 4 :]
+    assert body == bytes((255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255))
+
+
+def test_resize_without_libs_raises_and_fake_path(spark):
+    """Non-PPM payloads: honest NotImplementedError by default; with
+    fake=True a deterministic target-size P6 flows through the same
+    distributed plumbing."""
+    import pytest as _pytest
+
+    from parquet_pipeline_spark.operators.multimodal import (
+        _decode_ppm,
+        media_table,
+        resize_media,
+    )
+
+    media = media_table(
+        spark.createDataFrame([(b"\xff\xd8\xff notjpeg",)], "img binary"),
+        "img",
+        "image",
+        "image/jpeg",
+    )
+    with _pytest.raises(Exception, match="NotImplementedError|resize"):
+        resize_media(media, 2, 2).collect()
+    got = resize_media(media, 3, 2, fake=True).collect()
+    assert len(got) == 1
+    w, h, _, _ = _decode_ppm(bytes(got[0]["payload"]))
+    assert (w, h) == (3, 2)
+    again = resize_media(media, 3, 2, fake=True).collect()
+    assert bytes(again[0]["payload"]) == bytes(got[0]["payload"])
