@@ -604,3 +604,56 @@ def t13_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((top_share <= 0.2) & (dup_frac <= 0.4)).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t15 — BPE-style regex tokenization (the GPT-2 pre-tokenizer shape,
+# ASCII-scoped): contractions | letter runs | digit runs | punct
+# runs. Complements t05's whitespace + chars/4 estimate with the
+# tokenizer-faithful count an LLM data pipeline actually budgets by.
+# Pure regexp_extract_all column expression — codegen'd, no shuffle
+# beyond the final projection, linear at 100 TB. The same pattern
+# compiles identically in Java regex (Spark) and RE2 (DuckDB), so
+# every per-doc count is hash-verified cross-engine.
+# ---------------------------------------------------------------------------
+BPE_REGEX = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_regex_tokens(col) -> "F.Column":
+    """Token array under the GPT-2-style pre-tokenizer regex."""
+    return F.regexp_extract_all(col, F.lit(BPE_REGEX), 0)
+
+
+def _register_bpe_regex_tokens():
+    from parquet_pipeline_spark.registry import register
+
+    @register(
+        "t15_bpe_regex_tokens",
+        oracle="""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))) AS BIGINT) AS n_unique,
+               ROUND(CAST(len(list_distinct(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))) AS DOUBLE)
+                     / NULLIF(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')), 0), 4) AS ttr
+        FROM documents
+        WHERE doc_id < 300
+        """,
+    )
+    def t15_bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+        toks = bpe_regex_tokens(F.col("text"))
+        n = F.size(toks)
+        u = F.size(F.array_distinct(toks))
+        return docs.select(
+            "doc_id",
+            n.cast("bigint").alias("n_tokens"),
+            u.cast("bigint").alias("n_unique"),
+            F.round(
+                u.cast("double") / F.nullif(n.cast("double"), F.lit(0.0)), 4
+            ).alias("ttr"),
+        )
+
+    return t15_bpe_regex_tokens
+
+
+_register_bpe_regex_tokens()

@@ -66,3 +66,16 @@ def test_stopword_ratio_bounds(spark, sf_dir):
         .first()
     )
     assert 0.0 <= vals[0] <= vals[1] <= 1.0
+
+
+def test_bpe_regex_tokenizer_contractions_and_runs(spark):
+    """t15's pre-tokenizer splits contractions ('ll), letter runs,
+    digit runs, and punctuation runs exactly like the GPT-2 pattern
+    on ASCII text — pinned on a hand-checked example."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.text import bpe_regex_tokens
+
+    df = spark.createDataFrame([("I'll say it`s 42 cats, dogs!",)], "text string")
+    got = df.select(bpe_regex_tokens(F.col("text")).alias("t")).collect()[0]["t"]
+    assert got == ["I", "'ll", "say", "it", "`", "s", "42", "cats", ",", "dogs", "!"]
