@@ -249,16 +249,19 @@ def lsh_bucket_topk(
     dim: int,
     k: int = 10,
     extra_cols: tuple = ("label",),
-    n_bands: int = 4,
-    band_bits: int = 4,
+    n_bands: int = 3,
+    band_bits: int = 8,
 ) -> DataFrame:
     """Approximate top-k for one query id: restrict scoring to
     vectors whose LSH signature matches the query's in AT LEAST ONE
     band (n_bands bands of band_bits bits — standard banded LSH, the
     single-query twin of a05's band equi-join). With per-bit
     agreement p, candidate probability is 1-(1-p^band_bits)^n_bands —
-    near-1 for true neighbors, small for random vectors, so the
-    candidate set ≪ corpus at scale. Recall floors are asserted in
+    near-1 for true neighbors, small for random vectors. The 3x8-bit
+    default keeps the random-candidate rate ~n_bands/2^band_bits ≈
+    1.2% of the corpus (a 4x4-bit split would admit ~23% — selective
+    enough at test scale but not at 100 TB), while true-neighbor
+    recall stays near 1. Recall floors are asserted in
     tests/test_vectors.py on both the fixture corpus and generated
     corpora."""
     sig = lsh_signature(F.col("embedding"), dim, n_planes=n_bands * band_bits)
