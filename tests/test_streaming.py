@@ -555,3 +555,36 @@ def test_stream_upsert_latest_wins(spark, tmp_path):
 
     rows = {r["user_id"]: r["event_type"] for r in spark.read.parquet(dest).collect()}
     assert rows == {7: "upgrade", 8: "signup"}
+
+
+def test_streaming_source_resample_matches_batch(spark, sf_dir, tmp_path):
+    """Corpus-curation filters are stateless pure expressions, so
+    they run unchanged under Structured Streaming: resampling a
+    document stream keeps exactly the rows the batch twin keeps
+    (same md5-keyed decision per row, no state, no watermark)."""
+    from parquet_pipeline_spark.operators.dedup import source_weighted_resample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = str(tmp_path / "docs_stream")
+    docs.coalesce(4).write.json(src)
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(src)
+    assert stream.isStreaming
+    q = (
+        source_weighted_resample(stream)
+        .select("doc_id")
+        .writeStream.format("memory")
+        .queryName("resampled_docs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r["doc_id"] for r in spark.sql("SELECT * FROM resampled_docs").collect()}
+    expected = {
+        r["doc_id"] for r in source_weighted_resample(docs).select("doc_id").collect()
+    }
+    assert got == expected and got
