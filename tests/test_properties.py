@@ -124,3 +124,25 @@ def test_fuzz_differential_vs_duckdb(spark):
     import tools.fuzz_oracle as fz
 
     assert fz.run(n=30, seed=123, quiet=True) == 0
+
+
+# ---------------------------------------------------------------------------
+# t15 BPE-regex pre-tokenizer: tokens tile the non-whitespace chars
+# exactly (no char lost, none duplicated, order preserved) — the
+# invariant that makes token counts a faithful budget of the text
+# ---------------------------------------------------------------------------
+@given(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=120,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_bpe_regex_tokens_tile_nonspace(text):
+    import re
+
+    from parquet_pipeline_spark.operators.text import BPE_REGEX
+
+    toks = re.findall(BPE_REGEX, text)
+    assert "".join(toks) == re.sub(r"\s+", "", text)
+    assert all(t for t in toks)
