@@ -40,6 +40,7 @@ FORMAT_EXTENSIONS = {
     ".json": "json",
     ".jsonl": "json",
     ".parquet": "parquet",
+    ".orc": "orc",
 }
 
 
@@ -165,4 +166,8 @@ def read_any(spark: SparkSession, path: str, clean: bool = True) -> dict[str, Da
     if fmt == "parquet":
         # passthrough (reference: ingestion_pipeline_langgraph.py:332-339)
         return {base: spark.read.parquet(path)}
+    if fmt == "orc":
+        # beyond-reference: ORC is Spark-native, columnar, and
+        # predicate-pushdown-capable like parquet — same passthrough
+        return {base: spark.read.orc(path)}
     raise ValueError(f"unsupported format for {path!r} (detected {fmt!r})")

@@ -323,3 +323,31 @@ def test_compact_recovers_from_crashed_swap(spark, tmp_path):
     assert not os.path.exists(dest + "._old")
     assert not os.path.exists(dest + "._compacting")
     assert spark.read.parquet(dest).count() == 1000
+
+
+def test_orc_roundtrip_and_dispatch(spark, sf_dir, tmp_path):
+    """ORC source: write nation as ORC, read it back through the
+    format dispatcher, and confirm a filter reaches the ORC scan as
+    a pushed filter (same scan-level guarantees as parquet)."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.sources.readers import detect_file_format, read_any
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    dest = str(tmp_path / "nation.orc")
+    nation.write.orc(dest)
+
+    assert detect_file_format(dest) == "orc"
+    got = read_any(spark, dest)
+    assert list(got) == ["nation"]
+    df = got["nation"]
+    assert df.count() == nation.count()
+    assert set(df.columns) == set(nation.columns)
+
+    phys = (
+        df.filter(F.col("n_regionkey") == 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in phys and "n_regionkey" in phys, phys
