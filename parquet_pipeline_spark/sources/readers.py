@@ -41,6 +41,7 @@ FORMAT_EXTENSIONS = {
     ".jsonl": "json",
     ".parquet": "parquet",
     ".orc": "orc",
+    ".avro": "avro",
 }
 
 
@@ -170,4 +171,9 @@ def read_any(spark: SparkSession, path: str, clean: bool = True) -> dict[str, Da
         # beyond-reference: ORC is Spark-native, columnar, and
         # predicate-pushdown-capable like parquet — same passthrough
         return {base: spark.read.orc(path)}
+    if fmt == "avro":
+        # spark-avro is an external module; if it isn't deployed,
+        # Spark raises a descriptive deployment error — surface it
+        # rather than pretending the format is unsupported
+        return {base: spark.read.format("avro").load(path)}
     raise ValueError(f"unsupported format for {path!r} (detected {fmt!r})")

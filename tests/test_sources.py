@@ -351,3 +351,24 @@ def test_orc_roundtrip_and_dispatch(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "PushedFilters: [" in phys and "n_regionkey" in phys, phys
+
+
+def test_avro_dispatch_and_roundtrip_if_available(spark, sf_dir, tmp_path):
+    """Avro dispatch: the extension is recognized; the read itself
+    needs the external spark-avro module — roundtrip when deployed,
+    skip (not fail) when it isn't."""
+    import pytest as _pytest
+
+    from parquet_pipeline_spark.sources.readers import detect_file_format, read_any
+
+    assert detect_file_format("/x/y.avro") == "avro"
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    dest = str(tmp_path / "nation.avro")
+    try:
+        nation.write.format("avro").save(dest)
+    except Exception as ex:
+        if "Failed to find data source: avro" in str(ex):
+            _pytest.skip("spark-avro module not deployed in this container")
+        raise
+    got = read_any(spark, dest)["nation"]
+    assert got.count() == nation.count()
