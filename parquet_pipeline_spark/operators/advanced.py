@@ -763,3 +763,61 @@ def q76_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q80 — TPC-H Q2 shape: the minimum-cost supplier per part. The
+# correlated "price = (SELECT MIN(price) ... WHERE same part)"
+# decorrelates into one aggregate per part + an equi-join back on
+# the part key (the same exchange), then broadcast joins to the
+# supplier→nation dimension chain. Equality against MIN is exact —
+# MIN returns one of the input doubles verbatim, no arithmetic — so
+# the cross-engine hash can't wobble. DISTINCT collapses multi-row
+# ties within a (part, supplier) pair. (The canonical Q2 runs on
+# partsupp, which this dataset lacks; lineitem supplies the same
+# topology: fact → correlated min → dimension chain.)
+# ---------------------------------------------------------------------------
+@register(
+    "q80_min_cost_supplier",
+    oracle="""
+    SELECT DISTINCT l.l_partkey,
+           s.s_name,
+           n.n_name,
+           l.l_extendedprice AS min_price
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE l.l_partkey < 500
+      AND l.l_extendedprice = (
+        SELECT MIN(l2.l_extendedprice)
+        FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def q80_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 500)
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+    )
+    min_per_part = li.groupBy("l_partkey").agg(
+        F.min("l_extendedprice").alias("_min_price")
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(min_per_part, "l_partkey")
+        .filter(F.col("l_extendedprice") == F.col("_min_price"))
+        # supplier grows with SF — broadcast is AQE's runtime call;
+        # nation is fixed 25 rows, safe to force
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select(
+            "l_partkey",
+            "s_name",
+            "n_name",
+            F.col("l_extendedprice").alias("min_price"),
+        )
+        .distinct()
+    )
