@@ -149,3 +149,20 @@ def test_scd2_single_exchange_pushed_filter(spark, sf_dir):
     assert phys.count("Exchange hashpartitioning(user_id") == 1, phys
     assert "Join" not in phys, phys
     assert "PushedFilters: [" in phys and "LessThan(user_id,50)" in phys, phys
+
+
+def test_q80_min_cost_supplier_plan_shape(spark, sf_dir):
+    """q80 guard: the decorrelated MIN must keep map-side partial
+    aggregation, the part-key bound must reach the scan, only the
+    fixed-size nation dim may carry a forced broadcast (supplier is
+    AQE's call), and there must be no correlated re-scan (exactly 2
+    lineitem scans: fact side + min side)."""
+    from parquet_pipeline_spark.operators.advanced import q80_min_cost_supplier
+
+    df = q80_min_cost_supplier(spark, sf_dir)
+    opt = _optimized_plan(df)
+    assert opt.count("strategy=broadcast") == 1, opt
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in phys, phys
+    assert "LessThan(l_partkey,500)" in phys, phys
+    assert phys.count("Location: InMemoryFileIndex") >= 2  # both lineitem sides scan
