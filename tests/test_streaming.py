@@ -588,3 +588,44 @@ def test_streaming_source_resample_matches_batch(spark, sf_dir, tmp_path):
         r["doc_id"] for r in source_weighted_resample(docs).select("doc_id").collect()
     }
     assert got == expected and got
+
+
+def test_streaming_contamination_screen_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static join: a streaming document corpus screened
+    against a STATIC benchmark eval set through the unchanged batch
+    operator (contamination_hits) flags exactly the batch pairs —
+    Structured Streaming handles the static side as a lookup and the
+    per-pair aggregation in complete mode."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.text import contamination_hits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") < 10).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") >= 10)
+
+    src = str(tmp_path / "corpus_stream")
+    corpus.coalesce(3).write.json(src)
+    stream = spark.readStream.schema(corpus.schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(src)
+
+    q = (
+        contamination_hits(stream, bench, min_hits=3)
+        .writeStream.format("memory")
+        .queryName("contam_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["corpus_doc"], r["bench_doc"], r["n_shared"])
+        for r in spark.sql("SELECT * FROM contam_stream").collect()
+    }
+    expected = {
+        (r["corpus_doc"], r["bench_doc"], r["n_shared"])
+        for r in contamination_hits(corpus, bench, min_hits=3).collect()
+    }
+    assert got == expected and got
