@@ -127,11 +127,19 @@ def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs character-3-gram Jaccard ≥ 0.62 on a bounded id
-    range — the exact baseline that d03's MinHash-LSH approximates."""
+    range — the exact baseline that d03's MinHash-LSH approximates.
+    Grams are xxhash64-hashed to bigints before the pairwise
+    intersect (the d03-verify trick): set sizes — and therefore the
+    Jaccard values the oracle checks — are preserved (distinct grams,
+    64-bit collisions negligible) while the per-pair intersect drops
+    from string compares to long compares."""
     docs = (
         _docs(spark, sf_dir)
         .filter(F.col("doc_id") < 200)
-        .select("doc_id", char_ngrams("text", 3).alias("gs"))
+        .select(
+            "doc_id",
+            F.transform(char_ngrams("text", 3), lambda g: F.xxhash64(g)).alias("gs"),
+        )
     )
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("gs").alias("gs_a"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("gs").alias("gs_b"))
@@ -564,7 +572,15 @@ def _register_word_shingle():
         docs = (
             _docs(spark, sf_dir)
             .filter(F.col("doc_id") < 200)
-            .select("doc_id", word_shingles("text", 2).alias("gs"))
+            # shingles hashed to bigints before the pairwise intersect
+            # (same size-preserving trick as d02) — Jaccard values and
+            # the oracle hash are unchanged, long compares are cheaper
+            .select(
+                "doc_id",
+                F.transform(
+                    word_shingles("text", 2), lambda g: F.xxhash64(g)
+                ).alias("gs"),
+            )
             .filter(F.size("gs") > 0)
         )
         a = docs.select(F.col("doc_id").alias("doc_a"), F.col("gs").alias("gs_a"))
