@@ -1,7 +1,7 @@
 """Scaling probes for the content-family operators whose DRIVER
 queries carry fixed id bounds (oracle comparability), and therefore
 do not grow with sf in bench.py: d03/d04 dedup, t12 contamination,
-e01 embedding, t07 chunking, a05 batched ANN. Each probe here runs
+e01 embedding, t07 chunking, a01/a05 ANN. Each probe here runs
 the underlying operator over the FULL table at each given sf dir,
 once cold-ish (first) and once warm; the warm time is reported.
 
@@ -63,6 +63,12 @@ def probes(spark, sf_dir):
         out = greedy_chunk(grouped, "g", "doc_id", "text", max_chars=1000)
         return out.agg(F.count(F.lit(1)), F.sum(F.length("chunk_text")))
 
+    def a01_full():
+        from parquet_pipeline_spark.operators.vectors import lsh_bucket_topk
+
+        out = lsh_bucket_topk(emb, query_vec_id=0, dim=64, extra_cols=())
+        return out.agg(F.count(F.lit(1)), F.sum("score"))
+
     def a05_full():
         queries = emb.filter(F.col("vec_id") < 20).select(
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
@@ -77,6 +83,7 @@ def probes(spark, sf_dir):
         "t12_full": t12_full,
         "e01_full": e01_full,
         "t07_full": t07_full,
+        "a01_full": a01_full,
         "a05_full": a05_full,
     }
 
