@@ -120,6 +120,32 @@ def random_query(rng: random.Random) -> tuple[str, list[str]]:
             f") AS agg_val FROM lineitem WHERE ({pred}) AND l_orderkey < 2000"
         )
         return sql, ["l_orderkey", "l_linenumber"]
+    if rng.random() < 0.15:
+        # frame-window variant: RANGE frames only — (l_orderkey,
+        # l_linenumber) is NOT unique in the synthetic lineitem, so a
+        # ROWS frame's content depends on tie order and both engines
+        # can disagree legitimately (the fuzzer itself caught this);
+        # a RANGE frame includes all peers of the boundary order
+        # value, making every row's aggregate order-insensitive
+        wagg = rng.choice(["SUM(l_quantity)", "MIN(l_extendedprice)", "COUNT(*)"])
+        part = rng.choice(["l_returnflag", "l_linestatus"])
+        nprec = rng.choice([1, 3, 9])
+        sql = (
+            f"SELECT l_orderkey, l_linenumber, ROUND({wagg} OVER ("
+            f"PARTITION BY {part} ORDER BY l_orderkey "
+            f"RANGE BETWEEN {nprec} PRECEDING AND CURRENT ROW), 4) AS agg_val "
+            f"FROM lineitem WHERE ({pred}) AND l_orderkey < 2000"
+        )
+        return sql, ["l_orderkey", "l_linenumber"]
+    if rng.random() < 0.15:
+        # rollup variant: super-aggregate rows included; NULL group
+        # keys from the rollup must match across engines
+        cols = rng.choice([["l_returnflag"], ["l_returnflag", "l_linestatus"]])
+        sql = (
+            f"SELECT {', '.join(cols)}, CAST(COUNT(*) AS BIGINT) AS agg_val "
+            f"FROM lineitem WHERE {pred} GROUP BY ROLLUP ({', '.join(cols)})"
+        )
+        return sql, cols
     groups = rng.choice(GROUP_CHOICES)
     sel = (", ".join(groups) + ", " if groups else "") + f"{agg} AS agg_val"
     sql = f"SELECT {sel} FROM lineitem WHERE {pred}"
@@ -129,6 +155,25 @@ def random_query(rng: random.Random) -> tuple[str, list[str]]:
 
 
 def compare(spark_rows, duck_rows, groups) -> str | None:
+    # Known dialect gap (verified directly, 2026-08): for GROUP BY
+    # ROLLUP/CUBE over EMPTY input, DuckDB follows the SQL standard
+    # and emits the () grouping-set grand-total row (NULL keys,
+    # COUNT 0) while Spark emits zero rows. Not a plan bug in either
+    # repo query (all rollup queries aggregate non-empty tables);
+    # recorded here so the fuzzer doesn't re-flag it every run.
+    if not spark_rows and len(duck_rows) == 1:
+        gt = duck_rows[0]
+        if all(gt[g] is None for g in groups):
+            return None
+
+    def _val(v):
+        # normalize numeric rendering for multiset compare: DuckDB's
+        # ROUND can deliver 5.0 where Spark delivers 5
+        try:
+            return f"{float(v):.6f}"
+        except (TypeError, ValueError):
+            return str(v)
+
     def keyed(rows):
         return {tuple(str(r[g]) for g in groups): r["agg_val"] for r in rows}
 
@@ -144,7 +189,7 @@ def compare(spark_rows, duck_rows, groups) -> str | None:
         # non-unique natural keys) → exact multiset comparison instead
         def multiset(rows):
             return sorted(
-                tuple(str(r[g]) for g in groups) + (str(r["agg_val"]),) for r in rows
+                tuple(str(r[g]) for g in groups) + (_val(r["agg_val"]),) for r in rows
             )
 
         if multiset(spark_rows) != multiset(duck_rows):
