@@ -657,3 +657,58 @@ def _register_bpe_regex_tokens():
 
 
 _register_bpe_regex_tokens()
+
+
+# ---------------------------------------------------------------------------
+# t16 — per-source quality-percentile filter: drop the bottom
+# quartile of each source by quality score (the "filter the worst X%
+# per domain" curation op — per-domain, not global, so a weak domain
+# can't be wiped out by a strong one's distribution). One window
+# shuffle on source; ordering uses the ROUNDED quality plus doc_id
+# so percent_rank is deterministic and engine-portable (raw float
+# ordering could disagree in sub-6dp bits). Composes with t14's
+# resampling — rank-then-sample is the standard curation chain.
+# ---------------------------------------------------------------------------
+def _register_quality_percentile_filter():
+    from parquet_pipeline_spark.registry import register
+
+    @register(
+        "t16_quality_percentile_filter",
+        oracle="""
+        WITH q AS (
+          SELECT doc_id, source,
+                 ROUND(0.5 * least(len(toks)::DOUBLE / 50.0, 1.0)
+                       + 0.5 * (CASE WHEN len(toks) > 0
+                                THEN len(list_distinct(toks))::DOUBLE / len(toks)
+                                ELSE 0.0 END), 6) AS quality
+          FROM (SELECT doc_id, source,
+                       list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                   w -> w <> '') AS toks
+                FROM documents)
+        )
+        SELECT doc_id, source, quality,
+               ROUND(PERCENT_RANK() OVER (PARTITION BY source
+                                          ORDER BY quality, doc_id), 6) AS pct
+        FROM q
+        QUALIFY PERCENT_RANK() OVER (PARTITION BY source
+                                     ORDER BY quality, doc_id) >= 0.25
+        """,
+    )
+    def t16_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _docs(spark, sf_dir)
+        q = docs.select(
+            "doc_id",
+            "source",
+            F.round(quality_features("text")["quality"], 6).alias("quality"),
+        )
+        w = W.partitionBy("source").orderBy("quality", "doc_id")
+        return (
+            q.withColumn("_pct", F.percent_rank().over(w))
+            .filter(F.col("_pct") >= 0.25)
+            .select("doc_id", "source", "quality", F.round("_pct", 6).alias("pct"))
+        )
+
+    return t16_quality_percentile_filter
+
+
+_register_quality_percentile_filter()

@@ -79,3 +79,25 @@ def test_bpe_regex_tokenizer_contractions_and_runs(spark):
     df = spark.createDataFrame([("I'll say it`s 42 cats, dogs!",)], "text string")
     got = df.select(bpe_regex_tokens(F.col("text")).alias("t")).collect()[0]["t"]
     assert got == ["I", "'ll", "say", "it", "`", "s", "42", "cats", ",", "dogs", "!"]
+
+
+def test_quality_percentile_filter_per_source_quartile(spark, sf_dir):
+    """t16: each source independently keeps ~75% of its docs (the
+    bottom quartile by quality is dropped per source, not globally),
+    and every kept row's pct is >= 0.25."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark import registry
+
+    registry.load_all()
+    t16 = registry.QUERIES["t16_quality_percentile_filter"]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    total = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    kept_rows = t16(spark, sf_dir).collect()
+    assert all(r["pct"] >= 0.25 for r in kept_rows)
+    kept: dict = {}
+    for r in kept_rows:
+        kept[r["source"]] = kept.get(r["source"], 0) + 1
+    for src, n in total.items():
+        frac = kept.get(src, 0) / n
+        assert 0.6 <= frac <= 0.8, (src, frac)
