@@ -555,3 +555,51 @@ def a05_ann_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.filter(F.col("vec_id") >= 5)
     return ann_knn_join(corpus, queries, dim=64, k=3, n_planes=16, n_bands=8)
+
+
+# ---------------------------------------------------------------------------
+# MMR re-ranking: diversify the retrieval context. The distributed
+# part (scoring + candidate top-N) is the same exact top-k plan as
+# v01; the greedy selection is inherently sequential in k, so it
+# runs on the DRIVER over the bounded candidate list (same bounded-
+# collect policy as the ≤20-row LLM contexts in context.py — N is
+# tens, never corpus-sized). Selection maximizes
+#   λ·sim(query, d) − (1−λ)·max_{s∈selected} sim(d, s)
+# with a vec_id tiebreak so the output is deterministic.
+# ---------------------------------------------------------------------------
+def mmr_rerank(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.7,
+) -> list[tuple]:
+    """Returns k (vec_id, score, mmr_score) tuples, diversity-aware.
+    ``pool`` caps the driver-side candidate list (top-``pool`` by
+    plain cosine, computed distributedly first)."""
+    cands = [
+        (r["vec_id"], r["score"], list(r["embedding"]))
+        for r in topk(df.select("vec_id", "embedding"), query_vec, k=pool).collect()
+    ]
+
+    def cos(a: list, b: list) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
+        return num / den if den else 0.0
+
+    selected: list[tuple] = []
+    chosen_vecs: list[list] = []
+    remaining = list(cands)
+    while remaining and len(selected) < k:
+        best = None
+        for vid, score, vec in remaining:
+            redundancy = max((cos(vec, s) for s in chosen_vecs), default=0.0)
+            mmr = lam * score - (1.0 - lam) * redundancy
+            key = (mmr, -vid)
+            if best is None or key > best[0]:
+                best = (key, vid, score, vec, mmr)
+        _, vid, score, vec, mmr = best
+        selected.append((vid, score, round(mmr, 6)))
+        chosen_vecs.append(vec)
+        remaining = [c for c in remaining if c[0] != vid]
+    return selected

@@ -251,3 +251,35 @@ def test_lsh_bucket_topk_recall_generated_corpora(spark, seed, n_clusters, noise
     # same-cluster vectors share the query's signature band with high
     # probability; 0.5 is a conservative floor that held across seeds
     assert recall >= 0.5, f"seed={seed}: recall {recall}"
+
+
+def test_mmr_rerank_diversifies_and_is_deterministic(spark):
+    """MMR: with a candidate pool of near-duplicate pairs, the
+    re-ranked top-k spreads across clusters instead of taking both
+    members of the closest pair; output is deterministic and the
+    first pick is always the plain cosine argmax."""
+    import random
+
+    rng = random.Random(3)
+    dim = 8
+    # 4 tight clusters of 2 near-identical vectors each
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(4)]
+    rows = []
+    for cid, c in enumerate(centers):
+        for j in range(2):
+            rows.append((cid * 2 + j, [x + rng.gauss(0, 0.01) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    query = centers[0]
+
+    from parquet_pipeline_spark.operators.vectors import mmr_rerank, topk
+
+    plain = [r["vec_id"] for r in topk(df, query, k=4).collect()]
+    got = mmr_rerank(df, query, k=4, pool=8, lam=0.5)
+    ids = [v for v, _, _ in got]
+    assert ids[0] == plain[0]  # first pick is the cosine argmax
+    # plain top-4 contains both members of clusters 0 and 1; MMR's
+    # top-4 must cover more clusters than plain top-4 does
+    clusters = {i // 2 for i in ids}
+    plain_clusters = {i // 2 for i in plain}
+    assert len(clusters) > len(plain_clusters), (ids, plain)
+    assert got == mmr_rerank(df, query, k=4, pool=8, lam=0.5)  # deterministic
