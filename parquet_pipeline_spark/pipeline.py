@@ -79,6 +79,8 @@ def semantic_search(
     k: int = 10,
     threshold: float = 0.2,
     top_tables: int = 10,
+    diversify: bool = False,
+    mmr_lambda: float = 0.7,
 ) -> tuple[list[str], str, DataFrame]:
     """The reference's semantic-search node (A30-A35, A49): embed the
     question, score each "collection" (``table_col``) by its max
@@ -107,7 +109,24 @@ def semantic_search(
         .limit(top_tables)
         .collect()
     ]
-    hits = s.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+    if diversify:
+        # MMR re-rank: distributed top-5k pool, bounded greedy
+        # driver-side selection — trades a little relevance for
+        # context diversity (near-duplicate chunks crowd out
+        # information in a fixed-k context)
+        from parquet_pipeline_spark.operators.vectors import mmr_rerank
+
+        picked = mmr_rerank(
+            embeddings.withColumnRenamed(id_col, "vec_id"),
+            qv,
+            k=k,
+            pool=5 * k,
+            lam=mmr_lambda,
+        )
+        ids = [v for v, _, _ in picked]
+        hits = s.filter(F.col(id_col).isin(ids))
+    else:
+        hits = s.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
     if documents is not None:
         # join on (table, id) when the documents side carries the
         # table column — per-table ids (xxhash64 of the text, or

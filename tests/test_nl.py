@@ -195,3 +195,39 @@ def test_join_mode_pipeline_keyless(spark):
     assert "joined_data" in sql
     df = list(res.results.values())[0]
     assert df.first()[0] == 250.0
+
+
+def test_semantic_search_diversify_uses_mmr(spark):
+    """diversify=True: the assembled context draws from more distinct
+    source tables than plain top-k when one table floods the top
+    scores with near-duplicates."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.embedding import hash_embedder
+    from parquet_pipeline_spark.pipeline import semantic_search
+
+    rng = random.Random(5)
+    dim = 16
+    embedder = hash_embedder(dim)
+    q = "what is the revenue"
+    qv = embedder([q])[0]
+    rows = []
+    # table A: 6 near-copies of the query vector; tables B, C: one
+    # moderately-close vector each
+    for i in range(6):
+        rows.append((i, [x + rng.gauss(0, 0.01) for x in qv], "tab_a"))
+    for j, t in enumerate(["tab_b", "tab_c"]):
+        rows.append((10 + j, [0.7 * x + rng.gauss(0, 0.05) for x in qv], t))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, source_table string"
+    )
+
+    _, _, plain = semantic_search(q, emb, embedder=embedder, k=3, threshold=0.0)
+    _, _, diverse = semantic_search(
+        q, emb, embedder=embedder, k=3, threshold=0.0, diversify=True, mmr_lambda=0.3
+    )
+    plain_tables = {r["source_table"] for r in plain.collect()}
+    diverse_tables = {r["source_table"] for r in diverse.collect()}
+    assert len(diverse_tables) > len(plain_tables), (plain_tables, diverse_tables)
