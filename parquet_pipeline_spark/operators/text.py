@@ -712,3 +712,61 @@ def _register_quality_percentile_filter():
 
 
 _register_quality_percentile_filter()
+
+
+# ---------------------------------------------------------------------------
+# t17 — per-source corpus report card: the summary a curation run
+# prints before/after filtering (docs, chars, whitespace tokens,
+# mean quality, exact-duplicate rate). One aggregation shuffle on
+# source; every input is a pure column expression, so the report
+# costs a single scan at any corpus size. Duplicate rate counts
+# docs whose md5(text) appears more than once WITHIN the source
+# (distinct-fingerprint deficit / docs).
+# ---------------------------------------------------------------------------
+def _register_corpus_report():
+    from parquet_pipeline_spark.registry import register
+
+    @register(
+        "t17_corpus_report",
+        oracle="""
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+               CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                        w -> w <> ''))) AS BIGINT) AS n_tokens,
+               ROUND(AVG(0.5 * least(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                                     w -> w <> ''))::DOUBLE / 50.0, 1.0)
+                         + 0.5 * (CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                                            w -> w <> '')) > 0
+                                  THEN len(list_distinct(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                                                     w -> w <> '')))::DOUBLE
+                                       / len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                                         w -> w <> ''))
+                                  ELSE 0.0 END)), 6) AS mean_quality,
+               ROUND((COUNT(*) - COUNT(DISTINCT md5(text)))::DOUBLE / COUNT(*), 6) AS dup_rate
+        FROM documents
+        GROUP BY source
+        """,
+    )
+    def t17_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _docs(spark, sf_dir)
+        feats = quality_features("text")
+        return docs.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+            F.sum(F.size(word_tokens("text"))).cast("bigint").alias("n_tokens"),
+            F.round(F.avg(feats["quality"]), 6).alias("mean_quality"),
+            F.round(
+                (
+                    F.count(F.lit(1))
+                    - F.countDistinct(F.md5(F.col("text").cast("binary")))
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_rate"),
+        )
+
+    return t17_corpus_report
+
+
+_register_corpus_report()
