@@ -14,8 +14,9 @@ Design for 100 TB:
   MinHash-LSH (d03), where cost is O(n·bands) + bucket-local joins,
   and buckets are the shuffle key so candidate generation never
   materializes the n² pair space;
-- every hash is ``xxhash64`` (JVM-side, deterministic), never a
-  Python UDF.
+- every hash is a JVM-side deterministic expression (``xxhash64``
+  for engine-internal bucketing, ``md5`` where the value must be
+  reproducible in the DuckDB oracle), never a Python UDF.
 """
 
 from __future__ import annotations
@@ -364,6 +365,13 @@ def simhash(text_col: str, bits: int = 32) -> Column:
     """SimHash over whitespace tokens of ``text_col``: bit j of the
     fingerprint is 1 iff the majority of token hashes have bit j set.
 
+    Token hash = first 8 hex chars of md5 (32 bits, so ``bits`` <=
+    32) rather than xxhash64: md5 is computable identically in
+    DuckDB, which graduates d04 from rows-only to a full
+    hash-checked oracle (the same portability move as t06's
+    fingerprint). md5 here is a mixing function, not a security
+    primitive.
+
     Written as a SQL expression because bit j is a lambda variable —
     the PySpark ``shiftleft``/``shiftright`` wrappers only accept
     Python-int bit counts, while the underlying SQL functions accept
@@ -373,10 +381,12 @@ def simhash(text_col: str, bits: int = 32) -> Column:
     expression inside the per-bit lambda re-ran it ``bits`` times
     per document (no CSE across lambda scopes — the word_shingles
     bug class, 32× wasted work here)."""
+    assert bits <= 32, "simhash bit source is 32 bits (md5 first 8 hex chars)"
     toks = f"filter(split(trim({text_col}), '\\\\s+'), w -> w != '')"
     return F.expr(
         f"""
-        element_at(transform(array(transform({toks}, t -> xxhash64(t))), hs ->
+        element_at(transform(array(transform({toks},
+          t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT))), hs ->
           aggregate(
             transform(sequence(0, {bits - 1}), j ->
               CASE WHEN size(filter(hs, h -> (shiftright(h, j) & 1) = 1)) * 2
@@ -388,7 +398,28 @@ def simhash(text_col: str, bits: int = 32) -> Column:
     )
 
 
-@register("d04_simhash")  # rows-only: xxhash64-based, not SQL-portable
+@register(
+    "d04_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '') AS ws
+      FROM documents WHERE doc_id < 200
+    ),
+    hs AS (
+      SELECT doc_id,
+             [CAST(list_sum([(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1)
+                              * 16 ** (8 - i) FOR i IN range(1, 9)]) AS BIGINT)
+              FOR t IN ws] AS hv
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(list_sum([CASE WHEN 2 * len(list_filter(hv,
+                               h -> CAST(floor(h / 2 ** j) AS BIGINT) % 2 = 1)) >= len(hv)
+                          THEN 2 ** j ELSE 0 END FOR j IN range(0, 32)]) AS BIGINT) AS simhash32
+    FROM hs
+    """,
+)
 def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
     return docs.select("doc_id", simhash("text", bits=32).alias("simhash32"))

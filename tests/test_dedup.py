@@ -85,7 +85,12 @@ def test_simhash_close_for_near_identical(spark):
         return bin((x ^ y) & 0xFFFFFFFF).count("1")
 
     assert hamming(sigs[0], sigs[1]) < hamming(sigs[0], sigs[2])
-    assert hamming(sigs[0], sigs[1]) <= 6
+    # one word changed out of 10: only bits with a thin majority
+    # margin can flip — at most a quarter of the 32 bits, far below
+    # the ~16 expected between unrelated docs (the exact count is a
+    # property of the hash; <= 6 was tuned to the old xxhash64 bits)
+    assert hamming(sigs[0], sigs[1]) <= 8
+    assert hamming(sigs[0], sigs[2]) >= 10
 
 
 def test_connected_components_chain(spark):
