@@ -42,11 +42,15 @@ def hash_embedder(dim: int = 64) -> Embedder:
     def embed(texts: list[str]) -> list[list[float]]:
         out = []
         for t in texts:
-            base = hashlib.sha256((t or "").encode("utf-8")).digest()
+            # hex-string chaining + 32-bit scaling keeps every step
+            # reproducible in DuckDB SQL (sha256 there is
+            # VARCHAR-only and u32 / 2^31 is exact in a double), so
+            # e01 carries a full value-hash oracle
+            base = hashlib.sha256((t or "").encode("utf-8")).hexdigest()
             vals = []
             for j in range(dim):
-                h = hashlib.sha256(base + j.to_bytes(4, "big")).digest()
-                vals.append(int.from_bytes(h[:8], "big") / 2**63 - 1.0)
+                h = hashlib.sha256(f"{base}_{j}".encode("utf-8")).hexdigest()
+                vals.append(int(h[:8], 16) / 2**31 - 1.0)
             norm = math.sqrt(sum(v * v for v in vals)) or 1.0
             out.append([v / norm for v in vals])
         return out
@@ -140,14 +144,45 @@ def sanitize_collection_name(name: str) -> str:
     return s[:512]
 
 
-# rows-only driver query: the full A26→A27→A28 ingestion chain with
-# the hash embedder (no SQL analog for mapInPandas + sha-derived
-# floats). The embedder is passed EXPLICITLY — a configured
+# Driver query for the full A26→A27→A28 ingestion chain with the
+# hash embedder. The embedder is passed EXPLICITLY — a configured
 # $EMBEDDINGS_BASE_URL must not reroute a driver-verified row shape.
+# FULL ORACLE (was rows-only): the embedder spec is hex-chained
+# sha256 with exact power-of-two scaling, so DuckDB recomputes every
+# component via list comprehensions; the REAL casts mirror the
+# float32 storage of the embedding column.
 def _register():
     from parquet_pipeline_spark.registry import register
 
-    @register("e01_embed_documents")
+    @register(
+        "e01_embed_documents",
+        oracle="""
+        WITH base AS (
+          SELECT doc_id, sha256(text) AS b FROM documents WHERE doc_id < 100
+        ),
+        vals AS (
+          SELECT doc_id,
+                 [CAST(list_sum([(strpos('0123456789abcdef',
+                                         substr(sha256(b || '_' || j), i, 1)) - 1)
+                                  * 16 ** (8 - i) FOR i IN range(1, 9)]) AS DOUBLE)
+                  / 2147483648.0 - 1.0
+                  FOR j IN range(0, 16)] AS v
+          FROM base
+        ),
+        n AS (
+          SELECT doc_id, v, sqrt(list_sum([x * x FOR x IN v])) AS nrm FROM vals
+        ),
+        f32 AS (
+          SELECT doc_id,
+                 [CAST(CAST(x / nrm AS REAL) AS DOUBLE) FOR x IN v] AS e
+          FROM n
+        )
+        SELECT doc_id,
+               ROUND(e[1], 6) AS e0,
+               ROUND(sqrt(list_sum([x * x FOR x IN e])), 3) AS norm
+        FROM f32
+        """,
+    )
     def e01_embed_documents(spark, sf_dir: str) -> DataFrame:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
             F.col("doc_id") < 100
