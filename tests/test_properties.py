@@ -146,3 +146,23 @@ def test_bpe_regex_tokens_tile_nonspace(text):
     toks = re.findall(BPE_REGEX, text)
     assert "".join(toks) == re.sub(r"\s+", "", text)
     assert all(t for t in toks)
+
+
+# ---------------------------------------------------------------------------
+# hash_embedder: unit-norm, deterministic, dim-correct on arbitrary
+# text (the spec the e01 oracle recomputes in SQL)
+# ---------------------------------------------------------------------------
+@given(st.text(max_size=200), st.sampled_from([4, 16, 64]))
+@settings(max_examples=40, deadline=None)
+def test_hash_embedder_unit_norm_deterministic(text, dim):
+    import math
+
+    from parquet_pipeline_spark.operators.embedding import hash_embedder
+
+    emb = hash_embedder(dim)
+    v1 = emb([text])[0]
+    v2 = emb([text])[0]
+    assert v1 == v2
+    assert len(v1) == dim
+    assert abs(math.sqrt(sum(x * x for x in v1)) - 1.0) < 1e-9
+    assert all(-1.5 <= x <= 1.5 for x in v1)
