@@ -65,3 +65,65 @@ def test_kmeans_refinement_reduces_inertia_and_preserves_exactness(spark, sf_dir
     exact = [r["vec_id"] for r in topk(emb, qv, k=10).collect()]
     full = [r["vec_id"] for r in ivf_topk(emb, refined, qv, k=10, nprobe=8).collect()]
     assert full == exact
+
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "seed,n,card",
+    [(2, 40_000, 997), (11, 40_000, 25_000), (29, 40_000, 39_999)],
+)
+def test_approx_distinct_generated_cardinalities(spark, seed, n, card):
+    """The HLL error bound must hold across cardinality regimes the
+    fixture never exercises — low (heavy repeats), medium, and
+    near-unique — on generated data, not just the lineitem column
+    (stretch: floors must not be fixture-tuned)."""
+    import random
+
+    rng = random.Random(seed)
+    rows = [(rng.randrange(card),) for _ in range(n)]
+    df = spark.createDataFrame(rows, "v long")
+    row = df.agg(
+        F.approx_count_distinct("v", rsd=0.02).alias("approx"),
+        F.countDistinct("v").alias("exact"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.06  # 3x rsd
+
+
+@pytest.mark.parametrize(
+    "seed,dist",
+    [(3, "uniform"), (17, "lognormal"), (41, "bimodal")],
+)
+def test_percentile_approx_generated_distributions(spark, seed, dist):
+    """percentile_approx must stay near exact across distribution
+    shapes — uniform, heavy-tailed lognormal, and bimodal — where
+    quantile sketches typically degrade, not just on lineitem
+    prices."""
+    import math
+    import random
+
+    rng = random.Random(seed)
+    if dist == "uniform":
+        vals = [rng.uniform(0, 1000) for _ in range(30_000)]
+    elif dist == "lognormal":
+        vals = [math.exp(rng.gauss(0, 2)) for _ in range(30_000)]
+    else:
+        vals = [
+            rng.gauss(10, 1) if rng.random() < 0.5 else rng.gauss(1000, 50)
+            for _ in range(30_000)
+        ]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    for q in (0.1, 0.5, 0.9):
+        row = df.agg(
+            F.percentile_approx("v", F.lit(q), F.lit(10000)).alias("ap"),
+            F.percentile("v", F.lit(q)).alias("ex"),
+        ).first()
+        # rank-error sketch: compare by rank displacement, robust to
+        # scale — the approx value must sit within 1% of n ranks of
+        # the exact quantile position
+        svals = sorted(vals)
+        import bisect
+
+        rank_ap = bisect.bisect_left(svals, row["ap"])
+        assert abs(rank_ap - q * len(svals)) <= 0.01 * len(svals) + 1, (dist, q)
