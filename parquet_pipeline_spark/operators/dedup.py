@@ -156,16 +156,39 @@ def d02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash + LSH (the scale path)
 # ---------------------------------------------------------------------------
-def minhash_signature(grams: Column, num_hashes: int = 32) -> Column:
+def _md5_long(col: Column) -> Column:
+    """First 8 md5 hex chars of a string column as a BIGINT — the
+    cross-engine-portable hash (DuckDB recomputes it exactly; same
+    construction as simhash/t06)."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signature(
+    grams: Column, num_hashes: int = 32, hash_fn: str = "xxhash64"
+) -> Column:
     """MinHash signature as an array<long>: element i is
-    min(xxhash64(gram, i)) over the document's shingle set.
+    min(hash(gram, i)) over the document's shingle set.
     Pure expression — per-row, no shuffle, codegen'd.
+
+    ``hash_fn``: 'xxhash64' (default — fastest, engine-internal) or
+    'md5' (first 8 hex chars as BIGINT — reproducible in DuckDB SQL,
+    used by the oracle-checked d07 twin).
 
     Built as one nested ``transform(sequence(...))`` so the (large)
     grams expression appears exactly once in the plan — an
     ``F.array(*[...])`` of per-seed mins would inline the shingle
     computation num_hashes times and blow up codegen."""
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    if hash_fn == "md5":
+        return F.transform(
+            seeds,
+            lambda i: F.array_min(
+                F.transform(
+                    grams,
+                    lambda g: _md5_long(F.concat_ws("_", g, i.cast("string"))),
+                )
+            ),
+        )
     return F.transform(
         seeds, lambda i: F.array_min(F.transform(grams, lambda g: F.xxhash64(g, i)))
     )
@@ -181,6 +204,7 @@ def lsh_candidate_pairs(
     bucket_cap: int = 64,
     log_overflow: bool = False,
     grams_col: str | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Banded-LSH candidate pairs: shingle → minhash → split the
     signature into ``bands`` bands → hash each band → self-join on
@@ -220,15 +244,21 @@ def lsh_candidate_pairs(
         grams = char_ngrams(text_col, ngram)
     else:
         grams = F.col(grams_col)
-    sig = minhash_signature(grams, num_hashes)
+    sig = minhash_signature(grams, num_hashes, hash_fn=hash_fn)
+
+    def band_hash(b):
+        sl = F.slice(F.col("sig"), b * rows_per_band + 1, F.lit(rows_per_band))
+        if hash_fn == "md5":
+            # hash the comma-joined decimal rendering — reproducible
+            # as array_to_string(...) in the DuckDB oracle
+            return _md5_long(
+                F.concat_ws(",", F.transform(sl, lambda x: x.cast("string")))
+            )
+        return F.xxhash64(sl)
+
     band_structs = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.alias("band_id"),
-            F.xxhash64(
-                F.slice(F.col("sig"), b * rows_per_band + 1, F.lit(rows_per_band))
-            ).alias("band_hash"),
-        ),
+        lambda b: F.struct(b.alias("band_id"), band_hash(b).alias("band_hash")),
     )
     banded = (
         df.select(F.col(id_col), sig.alias("sig"))
@@ -741,3 +771,76 @@ def _register_source_resample():
 
 
 _register_source_resample()
+
+
+# ---------------------------------------------------------------------------
+# d07 — oracle-checked LSH twin: the SAME banding / bucket-cap /
+# overflow-chain machinery as d03's candidate generation, run with
+# the md5-portable hash on a bounded id range so DuckDB can recompute
+# every candidate pair EXACTLY (signatures via nested list
+# comprehensions, banding via array_to_string+md5, the cap via the
+# identical row_number-by-doc_id rank, overflow pairs to the bucket
+# min). d03 itself keeps xxhash64 — fastest for the 100-TB hot path
+# — with this query pinning the shared pipeline logic against SQL.
+# bucket_cap=8 is deliberately small so the overflow branch is
+# exercised on the test corpus, not just in unit tests.
+# ---------------------------------------------------------------------------
+def _register_lsh_oracle_twin():
+    @register(
+        "d07_lsh_bucket_pairs",
+        oracle="""
+        WITH g AS (
+          SELECT doc_id,
+                 list_distinct([text[i:i+2] FOR i IN range(1, greatest(length(text)-1, 2))]) AS gs
+          FROM documents WHERE doc_id < 200
+        ),
+        sigs AS (
+          SELECT doc_id,
+                 [list_min([CAST(list_sum([(strpos('0123456789abcdef',
+                                                   substr(md5(gr || '_' || s), i, 1)) - 1)
+                                            * 16 ** (8 - i) FOR i IN range(1, 9)]) AS BIGINT)
+                            FOR gr IN gs]) FOR s IN range(0, 16)] AS sig
+          FROM g
+        ),
+        exploded AS (
+          SELECT doc_id, b AS band_id,
+                 CAST(list_sum([(strpos('0123456789abcdef',
+                                        substr(md5(array_to_string(sig[b*4+1 : b*4+4], ',')), i, 1)) - 1)
+                                 * 16 ** (8 - i) FOR i IN range(1, 9)]) AS BIGINT) AS band_val
+          FROM sigs, unnest(range(0, 4)) AS t(b)
+        ),
+        ranked AS (
+          SELECT doc_id, band_id, band_val,
+                 ROW_NUMBER() OVER (PARTITION BY band_id, band_val ORDER BY doc_id) AS rn,
+                 MIN(doc_id) OVER (PARTITION BY band_id, band_val) AS min_id
+          FROM exploded
+        ),
+        head AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM ranked a JOIN ranked b
+            ON a.band_id = b.band_id AND a.band_val = b.band_val
+          WHERE a.rn < b.rn AND b.rn <= 8
+        ),
+        overflow AS (
+          SELECT min_id AS doc_a, doc_id AS doc_b FROM ranked WHERE rn > 8
+        )
+        SELECT DISTINCT doc_a, doc_b FROM (
+          SELECT * FROM head UNION ALL SELECT * FROM overflow
+        )
+        """,
+    )
+    def d07_lsh_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+        return lsh_candidate_pairs(
+            docs,
+            num_hashes=16,
+            bands=4,
+            ngram=3,
+            bucket_cap=8,
+            hash_fn="md5",
+        ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+
+    return d07_lsh_bucket_pairs
+
+
+_register_lsh_oracle_twin()
