@@ -216,13 +216,36 @@ def v04_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # seed, so the signature is a pure column expression, deterministic,
 # and identical across executors with no fit/broadcast step.
 # ---------------------------------------------------------------------------
-def lsh_signature(emb_col, dim: int, n_planes: int = 16, seed: int = 42):
+def lsh_signature(
+    emb_col, dim: int, n_planes: int = 16, seed: int = 42, hash_fn: str = "xxhash64"
+):
     """n_planes-bit signature: bit j = sign(Σ_i h(i,j)·x_i) where
-    h(i,j) ∈ {-1,+1} comes from xxhash64(i, j, seed) — the
+    h(i,j) ∈ {-1,+1} comes from the parity of hash(i, j, seed) — the
     hyperplanes are pseudo-random in the dimension index and a fixed
     seed, so the signature is a pure deterministic expression with no
     fit/broadcast step. Single nested transform: the embedding
-    appears once in the plan regardless of n_planes."""
+    appears once in the plan regardless of n_planes.
+
+    ``hash_fn``: 'xxhash64' (default, fastest) or 'md5' — plane sign
+    from the parity of md5(i_j_seed)'s 8th hex digit, reproducible
+    in DuckDB SQL (used by the oracle-checked a06 twin)."""
+
+    def plane(i, j):
+        if hash_fn == "md5":
+            nib = F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_", i.cast("string"), j.cast("string"), F.lit(str(seed))
+                    ).cast("binary")
+                ),
+                8,
+                1,
+            )
+            even = F.conv(nib, 16, 10).cast("int") % 2 == 0
+        else:
+            even = F.xxhash64(i, j, F.lit(seed)) % 2 == 0
+        return F.when(even, 1.0).otherwise(-1.0)
+
     bit_values = F.transform(
         F.sequence(F.lit(0), F.lit(n_planes - 1)),
         lambda j: F.when(
@@ -230,8 +253,7 @@ def lsh_signature(emb_col, dim: int, n_planes: int = 16, seed: int = 42):
                 F.zip_with(
                     emb_col,
                     F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda x, i: x.cast("double")
-                    * F.when(F.xxhash64(i, j, F.lit(seed)) % 2 == 0, 1.0).otherwise(-1.0),
+                    lambda x, i: x.cast("double") * plane(i, j),
                 ),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
@@ -251,6 +273,7 @@ def lsh_bucket_topk(
     extra_cols: tuple = ("label",),
     n_bands: int = 3,
     band_bits: int = 8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Approximate top-k for one query id: restrict scoring to
     vectors whose LSH signature matches the query's in AT LEAST ONE
@@ -264,7 +287,9 @@ def lsh_bucket_topk(
     recall stays near 1. Recall floors are asserted in
     tests/test_vectors.py on both the fixture corpus and generated
     corpora."""
-    sig = lsh_signature(F.col("embedding"), dim, n_planes=n_bands * band_bits)
+    sig = lsh_signature(
+        F.col("embedding"), dim, n_planes=n_bands * band_bits, hash_fn=hash_fn
+    )
     tagged = emb.withColumn("sig", sig)
     q = tagged.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("q_emb"),
@@ -603,3 +628,54 @@ def mmr_rerank(
         chosen_vecs.append(vec)
         remaining = [c for c in remaining if c[0] != vid]
     return selected
+
+
+# ---------------------------------------------------------------------------
+# a06 — oracle-checked ANN twin: the SAME banded hyperplane-LSH
+# machinery as a01 (24-bit signature, 3x8-bit any-band candidacy,
+# exact cosine over candidates, top-10) run with the md5-portable
+# plane hash so DuckDB recomputes the WHOLE pipeline — signatures,
+# band membership, candidate set, and final ranking — exactly. a01
+# keeps xxhash64 for the hot path; this pins the shared logic, the
+# same trick as d07 for the dedup LSH.
+# ---------------------------------------------------------------------------
+def _register_ann_oracle_twin():
+    @register(
+        "a06_ann_lsh_topk_oracle",
+        oracle="""
+        WITH e AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        sigs AS (
+          SELECT vec_id, label, v,
+                 CAST(list_sum([
+                   CASE WHEN list_sum([
+                          v[i+1] * (CASE WHEN (strpos('0123456789abcdef',
+                                        substr(md5(i || '_' || j || '_42'), 8, 1)) - 1) % 2 = 0
+                                    THEN 1.0 ELSE -1.0 END)
+                          FOR i IN range(0, 64)]) >= 0
+                        THEN 2 ** j ELSE 0 END
+                   FOR j IN range(0, 24)]) AS BIGINT) AS sig
+          FROM e
+        ),
+        q AS (SELECT v AS qv, sig AS qsig FROM sigs WHERE vec_id = 0)
+        SELECT s.vec_id, s.label,
+               ROUND(list_cosine_similarity(s.v, q.qv), 6) AS score
+        FROM sigs s, q
+        WHERE s.vec_id <> 0
+          AND (CAST(floor(s.sig / 1.0) AS BIGINT) % 256 = CAST(floor(q.qsig / 1.0) AS BIGINT) % 256
+               OR CAST(floor(s.sig / 256.0) AS BIGINT) % 256 = CAST(floor(q.qsig / 256.0) AS BIGINT) % 256
+               OR CAST(floor(s.sig / 65536.0) AS BIGINT) % 256 = CAST(floor(q.qsig / 65536.0) AS BIGINT) % 256)
+        ORDER BY list_cosine_similarity(s.v, q.qv) DESC, s.vec_id
+        LIMIT 10
+        """,
+    )
+    def a06_ann_lsh_topk_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return lsh_bucket_topk(
+            _emb(spark, sf_dir), query_vec_id=0, dim=64, hash_fn="md5"
+        )
+
+    return a06_ann_lsh_topk_oracle
+
+
+_register_ann_oracle_twin()
