@@ -53,4 +53,5 @@ def load_all() -> None:
         embedding,
         quality,
         advanced,
+        tpch_extra,
     )

@@ -166,3 +166,45 @@ def test_q80_min_cost_supplier_plan_shape(spark, sf_dir):
     assert "partial_min" in phys, phys
     assert "LessThan(l_partkey,500)" in phys, phys
     assert phys.count("Location: InMemoryFileIndex") >= 2  # both lineitem sides scan
+
+def test_tpch_extra_plan_shapes(spark, sf_dir):
+    """q81-q91 guards: the EXISTS shapes decorrelate to semi joins
+    (never a correlated re-scan), scan-level predicates (date
+    windows, LIKE, brand/size) actually reach the parquet scans,
+    forced broadcasts cover only fixed-size dims (the two nation
+    aliases in q82, none of supplier/part/customer), and every
+    aggregate keeps its map-side partial phase."""
+    from parquet_pipeline_spark.operators import tpch_extra as tx
+
+    def phys(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # q81: EXISTS -> left-semi, orders date window pushed down
+    p = phys(tx.q81_priority_late_exists(spark, sf_dir))
+    assert "LeftSemi" in p, p
+    assert "GreaterThanOrEqual(o_orderdate" in p, p
+
+    # q82: both nation aliases broadcast-hinted, supplier left to AQE
+    opt = _optimized_plan(tx.q82_nation_pair_volume(spark, sf_dir))
+    assert opt.count("strategy=broadcast") == 2, opt
+
+    # q83: LIKE filter reaches the part scan; partial aggregation
+    p = phys(tx.q83_product_profit(spark, sf_dir))
+    assert "StringContains(p_name,red)" in p, p
+    assert "partial_" in p, p
+
+    # q85: LEFT OUTER preserved (zero-order customers survive)
+    p = phys(tx.q85_custdist(spark, sf_dir))
+    assert "LeftOuter" in p, p
+
+    # q89: decorrelated per-part average — exactly two lineitem
+    # scans (fact slice + average side), brand filter on part scan
+    df = tx.q89_small_quantity_revenue(spark, sf_dir)
+    p = phys(df)
+    assert p.count("lineitem.parquet") == 2, p
+    assert "EqualTo(p_brand,Brand#3)" in p, p
+
+    # q91: HAVING aggregate feeds a semi join; date window pushed
+    p = phys(tx.q91_excess_volume_suppliers(spark, sf_dir))
+    assert "LeftSemi" in p, p
+    assert "GreaterThanOrEqual(l_shipdate" in p, p
