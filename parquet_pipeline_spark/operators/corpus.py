@@ -1,0 +1,145 @@
+"""Corpus-curation operators (round-5 continuation).
+
+Large-scale training-data cleaning steps beyond the per-document
+filters in text.py / the pair-based dedup in dedup.py:
+
+- ``span_dedup`` — C4-style duplicate-span removal: the corpus is
+  cut into fixed-width word spans (C4 uses three-sentence windows;
+  this corpus has no sentence punctuation, so spans are N-word
+  windows) and every span that occurs anywhere else in the corpus is
+  removed EXCEPT its first occurrence in (doc_id, span_idx) order.
+  Unlike document-level dedup (d01/d03) this rewrites documents
+  in place, which is how C4 actually removed boilerplate.
+
+Scale design: spans are content-addressed by md5, so the
+first-occurrence decision is one shuffle on the span hash followed
+by a row_number window inside each hash group (group size = the
+duplication factor of that exact span, tiny). Reassembly is one
+groupBy on doc_id — the same key the scan is naturally clustered
+by. No crossJoin, no driver-side state; both shuffles are linear in
+corpus spans. At 100 TB the span-hash shuffle dominates and is the
+theoretical minimum for exact global dedup.
+
+Reference parity: the reference has no corpus-cleaning stage (it is
+a RAG ingestion pipeline); these operators extend the training-data
+surface the north-star calls for.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from parquet_pipeline_spark.registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def explode_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 15,
+) -> DataFrame:
+    """One row per N-word span: (id, span_idx, span).
+
+    The trailing partial span (< N words) is kept as its own span so
+    reassembly is lossless.
+    """
+    words = F.split(F.col(text_col), " ")
+    with_words = df.select(
+        F.col(id_col),
+        words.alias("_words"),
+        F.ceil(F.size(words) / F.lit(span_words)).cast("int").alias("_n"),
+    )
+    idx = F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("span_idx")
+    return with_words.select(F.col(id_col), F.col("_words"), idx).select(
+        F.col(id_col),
+        F.col("span_idx"),
+        F.array_join(
+            F.slice(
+                F.col("_words"),
+                F.col("span_idx") * span_words + 1,
+                span_words,
+            ),
+            " ",
+        ).alias("span"),
+    )
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 15,
+) -> DataFrame:
+    """Remove every duplicate span corpus-wide, keeping only the
+    first occurrence in (id, span_idx) order; rewrite each document
+    from its surviving spans.
+
+    Returns (id, n_spans, kept_spans, clean_text). Documents whose
+    spans were ALL removed stay in the output with clean_text = ''.
+    """
+    spans = explode_spans(df, text_col, id_col, span_words)
+    # content-address by md5 so the dedup shuffle key is fixed-width
+    # even for long spans; the window inside a hash group orders the
+    # (typically 1-3) occurrences of one exact span
+    w = W.partitionBy(F.md5("span")).orderBy(id_col, "span_idx")
+    flagged = spans.withColumn("kept", F.row_number().over(w) == 1)
+
+    def _is_kept(s: Column) -> Column:
+        return s["kept"]
+
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("kept").cast("int")).alias("kept_spans"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.sort_array(F.collect_list(F.struct("span_idx", "kept", "span"))),
+                    _is_kept,
+                ),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t18 — driver query: C4-style span dedup over the documents table.
+# Spans of 15 words; the synthetic corpus's planted near-duplicates
+# make ~4% of spans corpus-wide repeats, so the rewrite is
+# non-trivial and every byte of it is value-hash-checked.
+# ---------------------------------------------------------------------------
+@register(
+    "t18_span_dedup",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), spans AS (
+      SELECT doc_id, i AS span_idx,
+             array_to_string(w[(i*15+1):((i+1)*15)], ' ') AS span
+      FROM words, LATERAL (
+        SELECT unnest(range(0, CAST(ceil(len(w)/15.0) AS INT))) AS i)
+    ), flagged AS (
+      SELECT doc_id, span_idx, span,
+             ROW_NUMBER() OVER (PARTITION BY md5(span)
+                                ORDER BY doc_id, span_idx) = 1 AS kept
+      FROM spans
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_spans,
+           COALESCE(string_agg(span, ' ' ORDER BY span_idx)
+                      FILTER (WHERE kept), '') AS clean_text
+    FROM flagged
+    GROUP BY doc_id
+    """,
+)
+def t18_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return span_dedup(_docs(spark, sf_dir))

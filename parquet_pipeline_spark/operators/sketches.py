@@ -40,3 +40,154 @@ def a03_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
         F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)).alias("p99_approx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a07 — count-min-sketch heavy hitters. Unlike HLL/t-digest above,
+# the CMS arithmetic is fully deterministic given the hash family,
+# and the md5-derived hash here is portable to DuckDB — so this
+# sketch query IS value-hash-checked (no rows-only concession).
+#
+# Scale design: the counter table is d x w cells no matter how big
+# the corpus is; Spark's partial aggregation collapses each
+# partition's token stream to <= d*w rows before the one tiny
+# shuffle, so at 100 TB the network cost is d*w per partition, not
+# per token. The estimate join probes a broadcast of the 256-cell
+# counter table. The exact per-token count (for the top-k report
+# and overestimate audit) is the classic vocabulary-sized groupBy —
+# at real scale you would keep only the sketch and probe candidate
+# tokens; the exact column here doubles as the accuracy oracle.
+# ---------------------------------------------------------------------------
+_CMS_D = 4
+_CMS_W = 64
+
+
+def _cms_bucket(j, token_col):
+    """Row-j CMS bucket: first 8 md5 hex chars of 'j:token' mod w —
+    the same arithmetic DuckDB recomputes digit-by-digit."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(str(j)), F.lit(":"), token_col).cast("binary")), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % _CMS_W
+
+
+def cms_counters(tokens: DataFrame, token_col: str = "token") -> DataFrame:
+    """Build the d x w counter table from a token stream in one pass."""
+    rows = tokens.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("j"),
+        F.col(token_col).alias("_tok"),
+    )
+    buckets = rows.select(
+        "j",
+        F.when(F.col("j") == 0, _cms_bucket(0, F.col("_tok")))
+        .when(F.col("j") == 1, _cms_bucket(1, F.col("_tok")))
+        .when(F.col("j") == 2, _cms_bucket(2, F.col("_tok")))
+        .otherwise(_cms_bucket(3, F.col("_tok")))
+        .alias("bucket"),
+    )
+    return buckets.groupBy("j", "bucket").agg(F.count("*").alias("cell_count"))
+
+
+@register(
+    "a07_cms_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), cells AS (
+      SELECT j,
+             CAST(list_sum([(strpos('0123456789abcdef',
+                                    substr(md5(CAST(j AS VARCHAR) || ':' || token), i, 1)) - 1)
+                            * 16 ** (8 - i) FOR i IN range(1, 9)]) AS BIGINT) % 64 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cell_count
+      FROM toks, LATERAL (SELECT unnest(range(0, 4)) AS j)
+      GROUP BY 1, 2
+    ), vocab AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM toks GROUP BY token
+    ), probes AS (
+      SELECT v.token, v.exact_count, p.j,
+             CAST(list_sum([(strpos('0123456789abcdef',
+                                    substr(md5(CAST(p.j AS VARCHAR) || ':' || v.token), i, 1)) - 1)
+                            * 16 ** (8 - i) FOR i IN range(1, 9)]) AS BIGINT) % 64 AS bucket
+      FROM vocab v, LATERAL (SELECT unnest(range(0, 4)) AS j) p
+    ), est AS (
+      SELECT pr.token, pr.exact_count,
+             MIN(c.cell_count) AS cms_count
+      FROM probes pr JOIN cells c ON pr.j = c.j AND pr.bucket = c.bucket
+      GROUP BY 1, 2
+    )
+    SELECT token, cms_count, exact_count
+    FROM est ORDER BY cms_count DESC, token LIMIT 10
+    """,
+)
+def a07_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most frequent tokens by CMS estimate, with the exact
+    count beside it (CMS never underestimates; the driver hash pins
+    both columns)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    counters = cms_counters(toks)
+
+    vocab = toks.groupBy("token").agg(F.count("*").alias("exact_count"))
+    probes = vocab.select(
+        "token",
+        "exact_count",
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("j"),
+    ).withColumn(
+        "bucket",
+        F.when(F.col("j") == 0, _cms_bucket(0, F.col("token")))
+        .when(F.col("j") == 1, _cms_bucket(1, F.col("token")))
+        .when(F.col("j") == 2, _cms_bucket(2, F.col("token")))
+        .otherwise(_cms_bucket(3, F.col("token"))),
+    )
+    est = (
+        probes.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("cell_count").alias("cms_count"))
+    )
+    return est.select("token", "cms_count", "exact_count").orderBy(
+        F.col("cms_count").desc(), "token"
+    ).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# a08 — Bloom-filter join pre-filtering. The filter is built
+# distributed from the dim keys (one 8 KiB word-table collect), the
+# fact side probes it with codegen'd long arithmetic BEFORE its
+# join shuffle, and the exact join afterwards removes the bounded
+# false positives — so the result is bit-identical to the plain
+# join and the oracle below is just that plain join. See
+# functions/bloom.py for the 100-TB cost model.
+# ---------------------------------------------------------------------------
+@register(
+    "a08_bloom_prejoin",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def a08_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_pipeline_spark.functions.bloom import bloom_prejoin
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    joined = bloom_prejoin(orders, dim, "o_custkey", "c_custkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

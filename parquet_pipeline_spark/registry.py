@@ -54,4 +54,5 @@ def load_all() -> None:
         quality,
         advanced,
         tpch_extra,
+        corpus,
     )

@@ -64,3 +64,68 @@ def test_word_shingles_edges(spark):
     assert out[1] == ["the quick", "quick brown", "brown fox"]
     assert out[2] == [] and out[3] == []  # fewer than n tokens
     assert out[5] == ["spaced out", "out tokens"]  # whitespace-robust
+
+
+def test_bloom_prejoin_matches_plain_join(spark, sf_dir):
+    """No false negatives: the bloom-prefiltered join returns exactly
+    the plain join's rows."""
+    from parquet_pipeline_spark.functions.bloom import bloom_prejoin
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_mktsegment") == "MACHINERY")
+        .select("c_custkey")
+    )
+    plain = orders.join(dim, orders.o_custkey == dim.c_custkey)
+    pre = bloom_prejoin(orders, dim, "o_custkey", "c_custkey")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, pre.collect()))
+
+
+def test_bloom_probe_selectivity(spark):
+    """The probe actually sheds non-member rows: with 1k member keys
+    in a 2^16-bit filter, non-members pass at well under 5%."""
+    from parquet_pipeline_spark.functions.bloom import build_bloom, with_bloom_hit
+
+    members = spark.range(0, 1000).withColumnRenamed("id", "k")
+    probes = spark.range(1000, 21000).withColumnRenamed("id", "k")
+    bitmap = build_bloom(members, "k")
+    hits = with_bloom_hit(probes, bitmap, "k").filter(F.col("_bloom_hit")).count()
+    assert hits / 20000 < 0.05, hits
+    # ...and every member passes
+    mh = with_bloom_hit(members, bitmap, "k").filter(F.col("_bloom_hit")).count()
+    assert mh == 1000
+
+
+def test_span_dedup_first_occurrence_and_lossless(spark):
+    """Unique docs survive byte-identical; a doc that repeats an
+    earlier doc's span loses exactly that span, and the earlier
+    (lower doc_id) occurrence is the one kept."""
+    from parquet_pipeline_spark.operators.corpus import span_dedup
+
+    base = " ".join(f"w{i}" for i in range(30))        # 2 full spans
+    tail = " ".join(f"t{i}" for i in range(7))          # partial span
+    copier = " ".join(f"w{i}" for i in range(15)) + " " + tail
+    df = spark.createDataFrame(
+        [(1, base), (2, copier), (3, "solo words only")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in span_dedup(df, span_words=15).collect()}
+    assert out[1]["clean_text"] == base and out[1]["kept_spans"] == 2
+    # doc 2's first span duplicated doc 1's first span -> dropped
+    assert out[2]["clean_text"] == tail
+    assert out[2]["n_spans"] == 2 and out[2]["kept_spans"] == 1
+    assert out[3]["clean_text"] == "solo words only"
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """CMS guarantees estimate >= exact count, with equality for the
+    heavy tokens when collisions are light."""
+    from parquet_pipeline_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["a07_cms_heavy_hitters"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(r["cms_count"] >= r["exact_count"] for r in rows)
