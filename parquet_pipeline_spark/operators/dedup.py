@@ -844,3 +844,81 @@ def _register_lsh_oracle_twin():
 
 
 _register_lsh_oracle_twin()
+
+
+# ---------------------------------------------------------------------------
+# d08 — SemDeDup-shaped semantic dedup (Abbas et al. 2023): cluster
+# the embedding space, then do pairwise cosine ONLY within each
+# cluster. This is the standard way to make embedding-cosine dedup
+# (d05's bounded all-pairs baseline) scale: the quadratic term is
+# confined to one cluster, and the cluster count grows with the
+# corpus so cluster size stays bounded. Here the centroids are the
+# 8 lowest-vec_id vectors (deterministic, SQL-expressible — a04's
+# k-means would refine them; the pipeline shape is identical), so
+# the whole operator is value-hash-checked cross-engine.
+#
+# Scale path: assignment is a linear 8-way fan-out (broadcast
+# centroids, one row_number window per vector); the pair join
+# shuffles both sides once on cluster_id. No global crossJoin.
+# ---------------------------------------------------------------------------
+@register(
+    "d08_semdedup_pairs",
+    oracle="""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+      SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+                        c.cid) AS rn
+      FROM embeddings e, cents c
+    ), assign AS (
+      SELECT vec_id, cid AS cluster_id FROM scored WHERE rn = 1
+    )
+    SELECT a.cluster_id, a.vec_id AS keep_id, b.vec_id AS dup_id,
+           ROUND(list_cosine_similarity(x.embedding::DOUBLE[],
+                                        y.embedding::DOUBLE[]), 6) AS cos_sim
+    FROM assign a
+    JOIN embeddings x ON a.vec_id = x.vec_id
+    JOIN assign b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+    JOIN embeddings y ON b.vec_id = y.vec_id
+    WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.30
+    """,
+)
+def d08_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("_cos").desc(), "cid")
+    assign = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cents))
+        .withColumn("_cos", cosine_similarity("embedding", "cv"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cluster_id"))
+    )
+    x = assign.join(emb.select("vec_id", "embedding"), "vec_id").select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("keep_id"),
+        F.col("embedding").alias("x_emb"),
+    )
+    y = assign.join(emb.select("vec_id", "embedding"), "vec_id").select(
+        F.col("cluster_id").alias("y_cluster"),
+        F.col("vec_id").alias("dup_id"),
+        F.col("embedding").alias("y_emb"),
+    )
+    pairs = (
+        x.join(
+            y,
+            (x.cluster_id == y.y_cluster) & (x.keep_id < y.dup_id),
+        )
+        .withColumn("_cos", cosine_similarity("x_emb", "y_emb"))
+        .filter(F.col("_cos") >= 0.30)
+    )
+    return pairs.select(
+        "cluster_id", "keep_id", "dup_id", F.round("_cos", 6).alias("cos_sim")
+    )

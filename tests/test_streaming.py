@@ -629,3 +629,42 @@ def test_streaming_contamination_screen_matches_batch(spark, sf_dir, tmp_path):
         for r in contamination_hits(corpus, bench, min_hits=3).collect()
     }
     assert got == expected and got
+
+
+def test_streaming_cms_counters_match_batch(spark, sf_dir, tmp_path):
+    """The count-min sketch is a pure groupBy aggregate over (hash
+    row, bucket), so Structured Streaming maintains it incrementally
+    with bounded d x w state: streaming the corpus file-by-file in
+    complete mode converges to exactly the batch counter table."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.sketches import cms_counters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = str(tmp_path / "cms_stream")
+    docs.coalesce(3).write.json(src)
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(src)
+    toks = stream.select(F.explode(F.split("text", " ")).alias("token"))
+    q = (
+        cms_counters(toks)
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["j"], r["bucket"]): r["cell_count"]
+        for r in spark.sql("SELECT * FROM cms_stream").collect()
+    }
+    batch_toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    expected = {
+        (r["j"], r["bucket"]): r["cell_count"]
+        for r in cms_counters(batch_toks).collect()
+    }
+    assert got == expected and got
