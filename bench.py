@@ -51,6 +51,8 @@ HEADLINE = [
     "q63_local_supplier_volume",
     "q66_waiting_supplier",
     "x06_interval_overlap",
+    "t18_span_dedup",
+    "a08_bloom_prejoin",
 ]
 
 
