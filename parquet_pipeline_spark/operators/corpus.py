@@ -143,3 +143,66 @@ def span_dedup(
 )
 def t18_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# t20 — end-to-end curation pipeline: span-dedup -> quality gate ->
+# deterministic split, composed from the verified building blocks
+# (t18's rewrite, a token-count floor, t11's md5 split keyed on the
+# CLEANED text so near-identical docs that clean to the same bytes
+# land in the same split — leakage-safe after dedup). One query =
+# the full "raw corpus in, training shards out" path, value-hashed
+# end to end.
+#
+# Scale: t18's two linear shuffles dominate; the gate and split are
+# pure expressions fused into the reassembly output.
+# ---------------------------------------------------------------------------
+@register(
+    "t20_curation_pipeline",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), spans AS (
+      SELECT doc_id, i AS span_idx,
+             array_to_string(w[(i*15+1):((i+1)*15)], ' ') AS span
+      FROM words, LATERAL (
+        SELECT unnest(range(0, CAST(ceil(len(w)/15.0) AS INT))) AS i)
+    ), flagged AS (
+      SELECT doc_id, span_idx, span,
+             ROW_NUMBER() OVER (PARTITION BY md5(span)
+                                ORDER BY doc_id, span_idx) = 1 AS kept
+      FROM spans
+    ), cleaned AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_spans,
+             COALESCE(string_agg(span, ' ' ORDER BY span_idx)
+                        FILTER (WHERE kept), '') AS clean_text
+      FROM flagged GROUP BY doc_id
+    ), gated AS (
+      SELECT doc_id, kept_spans, clean_text,
+             CASE WHEN clean_text = '' THEN 0
+                  ELSE CAST(len(string_split(clean_text, ' ')) AS BIGINT)
+             END AS n_tokens
+      FROM cleaned
+    )
+    SELECT doc_id, n_tokens, kept_spans,
+           CASE WHEN substr(md5(clean_text), 1, 1) BETWEEN '0' AND 'b' THEN 'train'
+                WHEN substr(md5(clean_text), 1, 1) BETWEEN 'c' AND 'd' THEN 'val'
+                ELSE 'test' END AS split
+    FROM gated
+    WHERE n_tokens >= 30
+    """,
+)
+def t20_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_pipeline_spark.operators.dedup import deterministic_split
+
+    cleaned = span_dedup(_docs(spark, sf_dir))
+    gated = cleaned.withColumn(
+        "n_tokens",
+        F.when(F.col("clean_text") == "", F.lit(0).cast("long")).otherwise(
+            F.size(F.split("clean_text", " ")).cast("long")
+        ),
+    ).filter(F.col("n_tokens") >= 30)
+    return deterministic_split(gated, "clean_text").select(
+        "doc_id", "n_tokens", "kept_spans", "split"
+    )
