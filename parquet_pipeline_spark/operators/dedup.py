@@ -27,6 +27,7 @@ import logging
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 logger = logging.getLogger(__name__)
 
@@ -851,16 +852,109 @@ _register_lsh_oracle_twin()
 # the embedding space, then do pairwise cosine ONLY within each
 # cluster. This is the standard way to make embedding-cosine dedup
 # (d05's bounded all-pairs baseline) scale: the quadratic term is
-# confined to one cluster, and the cluster count grows with the
-# corpus so cluster size stays bounded. Here the centroids are the
-# 8 lowest-vec_id vectors (deterministic, SQL-expressible — a04's
+# confined to one cluster, and n_centroids GROWS with the corpus so
+# cluster size stays bounded (the sf1 sweep caught the fixed-k=8
+# version going quadratic: 400 s at 10x the vectors). Centroids are
+# the n lowest-id vectors (deterministic, SQL-expressible — a04's
 # k-means would refine them; the pipeline shape is identical), so
 # the whole operator is value-hash-checked cross-engine.
 #
-# Scale path: assignment is a linear 8-way fan-out (broadcast
-# centroids, one row_number window per vector); the pair join
-# shuffles both sides once on cluster_id. No global crossJoin.
+# Scale path: assignment is a linear broadcast fan-out (one
+# row_number window per vector); the within-cluster pairwise pass
+# is ONE applyInPandas per cluster doing a numpy float64 matmul —
+# dense linear algebra is the case the built-in expression layer
+# genuinely can't do efficiently (zip_with/aggregate lambdas are
+# interpreted, measured ~250 us per 64-dim cosine vs ~100 ns in
+# BLAS). State per task = one cluster's matrix.
 # ---------------------------------------------------------------------------
+def semdedup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    threshold: float = 0.30,
+) -> DataFrame:
+    """Near-duplicate pairs (cluster_id, keep_id, dup_id, cos_sim)
+    with keep_id < dup_id, cosine >= threshold, comparisons confined
+    to same-centroid clusters. Choose n_centroids ~ n_vectors/64 at
+    scale so per-cluster work stays constant."""
+    import numpy as np
+    import pandas as pd
+
+    # centroid matrix: bounded collect of n_centroids rows (same
+    # bounded-k pattern as a04's k-means), sorted by cid so numpy's
+    # first-max argmax == "ties to lowest cid"
+    cent_rows = (
+        emb.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .collect()
+    )
+    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+    cmat = np.array([list(r["cv"]) for r in cent_rows], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    cnorm[cnorm == 0.0] = 1.0
+    cmat = cmat / cnorm[:, None]
+
+    src = emb.select(id_col, vec_col)
+    assign_schema = T.StructType(
+        [
+            src.schema[id_col],
+            T.StructField("cluster_id", T.LongType()),
+            src.schema[vec_col],
+        ]
+    )
+
+    def assign_batches(batches):
+        for pdf in batches:
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.sqrt((m * m).sum(axis=1))
+            norms[norms == 0.0] = 1.0
+            sims = (m / norms[:, None]) @ cmat.T
+            best = sims.argmax(axis=1)  # first max -> lowest cid on ties
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cluster_id": cids[best],
+                    vec_col: pdf[vec_col],
+                }
+            )
+
+    assign = src.mapInPandas(assign_batches, assign_schema)
+
+    out_schema = (
+        "cluster_id bigint, keep_id bigint, dup_id bigint, cos_sim double"
+    )
+
+    def cluster_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"cluster_id": [], "keep_id": [], "dup_id": [], "cos_sim": []}
+            )
+        m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.sqrt((m * m).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        sims = (m / norms[:, None]) @ (m / norms[:, None]).T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = sims[iu, ju] >= threshold
+        return pd.DataFrame(
+            {
+                "cluster_id": np.full(int(hit.sum()), key[0], dtype=np.int64),
+                "keep_id": ids[iu[hit]],
+                "dup_id": ids[ju[hit]],
+                "cos_sim": sims[iu[hit], ju[hit]],
+            }
+        )
+
+    return (
+        assign.groupBy("cluster_id")
+        .applyInPandas(cluster_pairs, out_schema)
+        .select("cluster_id", "keep_id", "dup_id", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
 @register(
     "d08_semdedup_pairs",
     oracle="""
@@ -888,37 +982,8 @@ _register_lsh_oracle_twin()
     """,
 )
 def d08_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query pins n_centroids=8 for oracle comparability at
+    sf0.01 (the oracle's cents CTE is vec_id < 8 = the 8 lowest
+    ids); scale usage grows n_centroids with the corpus."""
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    cents = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
-    )
-    w = W.partitionBy("vec_id").orderBy(F.col("_cos").desc(), "cid")
-    assign = (
-        emb.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(cents))
-        .withColumn("_cos", cosine_similarity("embedding", "cv"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("cluster_id"))
-    )
-    x = assign.join(emb.select("vec_id", "embedding"), "vec_id").select(
-        F.col("cluster_id"),
-        F.col("vec_id").alias("keep_id"),
-        F.col("embedding").alias("x_emb"),
-    )
-    y = assign.join(emb.select("vec_id", "embedding"), "vec_id").select(
-        F.col("cluster_id").alias("y_cluster"),
-        F.col("vec_id").alias("dup_id"),
-        F.col("embedding").alias("y_emb"),
-    )
-    pairs = (
-        x.join(
-            y,
-            (x.cluster_id == y.y_cluster) & (x.keep_id < y.dup_id),
-        )
-        .withColumn("_cos", cosine_similarity("x_emb", "y_emb"))
-        .filter(F.col("_cos") >= 0.30)
-    )
-    return pairs.select(
-        "cluster_id", "keep_id", "dup_id", F.round("_cos", 6).alias("cos_sim")
-    )
+    return semdedup_pairs(emb, n_centroids=8, threshold=0.30)

@@ -77,6 +77,21 @@ def probes(spark, sf_dir):
         out = ann_knn_join(corpus, queries, dim=64, k=10, n_planes=16, n_bands=8)
         return out.agg(F.count(F.lit(1)), F.sum("score"))
 
+    def d08_full():
+        # the documented scale policy: centroids grow with the corpus
+        # so per-cluster pairwise work stays ~constant
+        from parquet_pipeline_spark.operators.dedup import semdedup_pairs
+
+        n = emb.count()
+        out = semdedup_pairs(emb, n_centroids=max(8, n // 64))
+        return out.agg(F.count(F.lit(1)), F.sum("cos_sim"))
+
+    def t18_full():
+        from parquet_pipeline_spark.operators.corpus import span_dedup
+
+        out = span_dedup(docs)
+        return out.agg(F.sum("kept_spans"), F.sum(F.length("clean_text")))
+
     return {
         "d03_full": d03_full,
         "d04_full": d04_full,
@@ -85,6 +100,8 @@ def probes(spark, sf_dir):
         "t07_full": t07_full,
         "a01_full": a01_full,
         "a05_full": a05_full,
+        "d08_full": d08_full,
+        "t18_full": t18_full,
     }
 
 
