@@ -62,34 +62,25 @@ _CMS_D = 4
 _CMS_W = 64
 
 
-def _cms_bucket(j, token_col):
-    """Row-j CMS bucket: first 8 md5 hex chars of 'j:token' mod w —
-    the same arithmetic DuckDB recomputes digit-by-digit."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(str(j)), F.lit(":"), token_col).cast("binary")), 1, 8
-        ),
-        16,
-        10,
-    ).cast("long")
-    return h % _CMS_W
+def _cms_buckets(token_col) -> list:
+    """The d CMS buckets from ONE md5 of the token: hash row j reads
+    hex window 8j+1..8j+8 of the 32-hex digest (one hash evaluation
+    per token instead of d; DuckDB recomputes the same slices
+    digit-by-digit)."""
+    digest = F.md5(token_col.cast("binary"))
+    return [
+        F.conv(F.substring(digest, 8 * j + 1, 8), 16, 10).cast("long") % _CMS_W
+        for j in range(_CMS_D)
+    ]
 
 
 def cms_counters(tokens: DataFrame, token_col: str = "token") -> DataFrame:
     """Build the d x w counter table from a token stream in one pass."""
+    bs = _cms_buckets(F.col(token_col))
     rows = tokens.select(
-        F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("j"),
-        F.col(token_col).alias("_tok"),
+        F.posexplode(F.array(*bs)).alias("j", "bucket")
     )
-    buckets = rows.select(
-        "j",
-        F.when(F.col("j") == 0, _cms_bucket(0, F.col("_tok")))
-        .when(F.col("j") == 1, _cms_bucket(1, F.col("_tok")))
-        .when(F.col("j") == 2, _cms_bucket(2, F.col("_tok")))
-        .otherwise(_cms_bucket(3, F.col("_tok")))
-        .alias("bucket"),
-    )
-    return buckets.groupBy("j", "bucket").agg(F.count("*").alias("cell_count"))
+    return rows.groupBy("j", "bucket").agg(F.count("*").alias("cell_count"))
 
 
 @register(
@@ -100,7 +91,7 @@ def cms_counters(tokens: DataFrame, token_col: str = "token") -> DataFrame:
     ), cells AS (
       SELECT j,
              CAST(list_sum([(strpos('0123456789abcdef',
-                                    substr(md5(CAST(j AS VARCHAR) || ':' || token), i, 1)) - 1)
+                                    substr(md5(token), 8 * j + i, 1)) - 1)
                             * 16 ** (8 - i) FOR i IN range(1, 9)]) AS BIGINT) % 64 AS bucket,
              CAST(COUNT(*) AS BIGINT) AS cell_count
       FROM toks, LATERAL (SELECT unnest(range(0, 4)) AS j)
@@ -111,7 +102,7 @@ def cms_counters(tokens: DataFrame, token_col: str = "token") -> DataFrame:
     ), probes AS (
       SELECT v.token, v.exact_count, p.j,
              CAST(list_sum([(strpos('0123456789abcdef',
-                                    substr(md5(CAST(p.j AS VARCHAR) || ':' || v.token), i, 1)) - 1)
+                                    substr(md5(v.token), 8 * p.j + i, 1)) - 1)
                             * 16 ** (8 - i) FOR i IN range(1, 9)]) AS BIGINT) % 64 AS bucket
       FROM vocab v, LATERAL (SELECT unnest(range(0, 4)) AS j) p
     ), est AS (
@@ -136,13 +127,7 @@ def a07_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = vocab.select(
         "token",
         "exact_count",
-        F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("j"),
-    ).withColumn(
-        "bucket",
-        F.when(F.col("j") == 0, _cms_bucket(0, F.col("token")))
-        .when(F.col("j") == 1, _cms_bucket(1, F.col("token")))
-        .when(F.col("j") == 2, _cms_bucket(2, F.col("token")))
-        .otherwise(_cms_bucket(3, F.col("token"))),
+        F.posexplode(F.array(*_cms_buckets(F.col("token")))).alias("j", "bucket"),
     )
     est = (
         probes.join(F.broadcast(counters), ["j", "bucket"])
