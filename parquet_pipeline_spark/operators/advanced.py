@@ -821,3 +821,95 @@ def q80_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# q92 — gaps & islands: per-user streaks of consecutive active DAYS
+# (the classic sequential-analytics shape: date minus row_number is
+# constant within a consecutive run). One dedup aggregate + one
+# window + one grouped aggregate, all partitioned by user_id — a
+# single shuffle key end to end, no self-join.
+# ---------------------------------------------------------------------------
+@register(
+    "q92_activity_streaks",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events WHERE user_id < 50
+    ), grouped AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS INT) AS grp
+      FROM daily
+    )
+    SELECT user_id,
+           strftime(MIN(d), '%Y-%m-%d') AS streak_start,
+           strftime(MAX(d), '%Y-%m-%d') AS streak_end,
+           CAST(COUNT(*) AS BIGINT) AS streak_days
+    FROM grouped GROUP BY user_id, grp
+    HAVING COUNT(*) >= 3
+    """,
+)
+def q92_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_pipeline_spark.operators.relational import _events
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 50)
+    daily = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    grouped = daily.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    return (
+        grouped.groupBy("user_id", "grp")
+        .agg(
+            F.date_format(F.min("d"), "yyyy-MM-dd").alias("streak_start"),
+            F.date_format(F.max("d"), "yyyy-MM-dd").alias("streak_end"),
+            F.count("*").alias("streak_days"),
+        )
+        .filter(F.col("streak_days") >= 3)
+        .drop("grp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q93 — cumulative distinct users by month. COUNT(DISTINCT) OVER an
+# expanding window isn't directly supported (and would be quadratic
+# anyway); the scalable formulation: each user counts once in their
+# FIRST month, then a running sum over the month spine. The oracle
+# states the same thing as a theta join (firsts <= month) — the
+# formulation you must NOT ship at scale, which is the point of
+# pinning them equal. The final running sum runs unpartitioned BY
+# DESIGN: its input is the month spine AFTER aggregation (one row
+# per month — dozens, regardless of corpus size), so the
+# single-partition WindowExec touches O(months), never O(orders).
+# ---------------------------------------------------------------------------
+@register(
+    "q93_cumulative_distinct_users",
+    oracle="""
+    WITH months AS (
+      SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS month FROM orders
+    ), firsts AS (
+      SELECT o_custkey, MIN(strftime(o_orderdate, '%Y-%m')) AS fm
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT m.month, CAST(COUNT(f.o_custkey) AS BIGINT) AS cum_users
+    FROM months m JOIN firsts f ON f.fm <= m.month
+    GROUP BY m.month
+    """,
+)
+def q93_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    )
+    firsts_per_month = (
+        orders.groupBy("o_custkey")
+        .agg(F.min("month").alias("fm"))
+        .groupBy(F.col("fm").alias("month"))
+        .agg(F.count("*").alias("new_users"))
+    )
+    spine = orders.select("month").distinct()
+    w = W.orderBy("month").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        spine.join(firsts_per_month, "month", "left")
+        .withColumn("new_users", F.coalesce("new_users", F.lit(0)))
+        .withColumn("cum_users", F.sum("new_users").over(w))
+        .select("month", "cum_users")
+    )
