@@ -770,3 +770,88 @@ def _register_corpus_report():
 
 
 _register_corpus_report()
+
+
+# ---------------------------------------------------------------------------
+# t21 — containment-ratio decontamination (the GPT-3-style rule:
+# an eval example is "dirty" when more than a threshold FRACTION of
+# its n-grams appear in a training document — normalizing by the
+# eval side's gram count, where t12 thresholds the absolute count).
+# Same single gram-equi-join shuffle as t12 plus one broadcast-able
+# per-bench-doc gram-total; ratios are int/int divisions so both
+# engines produce bit-identical doubles (no ROUND needed).
+# ---------------------------------------------------------------------------
+def containment_screen(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_words: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(corpus_doc, bench_doc, n_shared, bench_grams, containment)
+    for pairs where >= threshold of the bench doc's distinct
+    word-shingles occur in the corpus doc."""
+    from parquet_pipeline_spark.functions import word_shingles
+
+    c = corpus.select(
+        F.col(id_col).alias("corpus_doc"),
+        F.explode(word_shingles(text_col, ngram_words)).alias("gram"),
+    )
+    b_grams = benchmark.select(
+        F.col(id_col).alias("bench_doc"),
+        word_shingles(text_col, ngram_words).alias("grams"),
+    )
+    b_totals = b_grams.select("bench_doc", F.size("grams").alias("bench_grams"))
+    b = b_grams.select("bench_doc", F.explode("grams").alias("gram"))
+    shared = (
+        c.join(b, "gram")
+        .groupBy("corpus_doc", "bench_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(F.broadcast(b_totals), "bench_doc")
+        .withColumn("containment", F.col("n_shared") / F.col("bench_grams"))
+        .filter(F.col("containment") >= threshold)
+        .select("corpus_doc", "bench_doc", "n_shared", "bench_grams", "containment")
+    )
+
+
+@register(
+    "t21_containment_screen",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         w -> w <> '') AS ws
+      FROM documents
+    ),
+    gsets AS (
+      SELECT doc_id,
+             list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                            FOR i IN range(1, len(ws) - 1)]) AS gs
+      FROM toks WHERE len(ws) >= 3
+    ),
+    grams AS (SELECT doc_id, unnest(gs) AS gram FROM gsets),
+    shared AS (
+      SELECT c.doc_id AS corpus_doc, b.doc_id AS bench_doc,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM (SELECT * FROM grams WHERE doc_id >= 100) c
+      JOIN (SELECT * FROM grams WHERE doc_id < 20) b USING (gram)
+      GROUP BY 1, 2
+    )
+    SELECT s.corpus_doc, s.bench_doc, s.n_shared,
+           CAST(len(g.gs) AS INT) AS bench_grams,
+           s.n_shared * 1.0 / len(g.gs) AS containment
+    FROM shared s JOIN gsets g ON s.bench_doc = g.doc_id
+    WHERE s.n_shared * 1.0 / len(g.gs) >= 0.5
+    """,
+)
+def t21_containment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return containment_screen(
+        docs.filter(F.col("doc_id") >= 100),
+        docs.filter(F.col("doc_id") < 20),
+        ngram_words=3,
+        threshold=0.5,
+    )

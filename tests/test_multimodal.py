@@ -168,3 +168,23 @@ def test_resize_without_libs_raises_and_fake_path(spark):
     assert (w, h) == (3, 2)
     again = resize_media(media, 3, 2, fake=True).collect()
     assert bytes(again[0]["payload"]) == bytes(got[0]["payload"])
+
+
+def test_extract_raw_frames_slices_exact_bytes(spark):
+    """Synthetic 'video': 6 raw 4x2 RGB frames, each filled with its
+    frame index; every-2nd sampling must return frames 0/2/4 with
+    byte-exact slices, JVM-side only."""
+    from parquet_pipeline_spark.operators.multimodal import extract_raw_frames
+
+    w, h, n = 4, 2, 6
+    fsize = w * h * 3
+    payload = b"".join(bytes([k]) * fsize for k in range(n))
+    df = spark.createDataFrame(
+        [(1, payload), (2, payload[: 2 * fsize])],  # 6-frame and 2-frame videos
+        "media_id long, payload binary",
+    )
+    out = extract_raw_frames(df, w, h, every_n=2)
+    rows = {(r["media_id"], r["frame_idx"]): bytes(r["frame_bytes"]) for r in out.collect()}
+    assert set(rows) == {(1, 0), (1, 2), (1, 4), (2, 0)}
+    for (mid, k), b in rows.items():
+        assert b == bytes([k]) * fsize
