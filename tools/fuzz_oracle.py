@@ -85,6 +85,36 @@ def random_query(rng: random.Random) -> tuple[str, list[str]]:
             sql += " GROUP BY " + ", ".join(o_groups)
         return sql, o_groups
     if rng.random() < 0.15:
+        # outer/semi/anti join variant: LEFT keeps the order-side
+        # predicate in the ON clause (null-extension semantics — a
+        # WHERE placement would silently convert it to inner);
+        # semi/anti go through EXISTS / NOT EXISTS, the portable
+        # spelling both engines decorrelate
+        o_pred = rng.choice(
+            [
+                f"o_totalprice > {rng.randint(50_000, 400_000)}",
+                f"o_orderstatus = '{rng.choice(['O', 'F', 'P'])}'",
+                f"o_orderpriority = '{rng.choice(['1-URGENT', '5-LOW'])}'",
+            ]
+        )
+        shape = rng.choice(["left", "semi", "anti"])
+        if shape == "left":
+            sql = (
+                f"SELECT l_returnflag, CAST(COUNT(o_orderkey) AS BIGINT) AS agg_val "
+                f"FROM lineitem LEFT JOIN orders "
+                f"ON l_orderkey = o_orderkey AND {o_pred} "
+                f"WHERE {pred} GROUP BY l_returnflag"
+            )
+        else:
+            neg = "NOT " if shape == "anti" else ""
+            sql = (
+                f"SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS agg_val "
+                f"FROM lineitem WHERE ({pred}) AND {neg}EXISTS ("
+                f"SELECT 1 FROM orders WHERE o_orderkey = l_orderkey AND {o_pred}) "
+                f"GROUP BY l_returnflag"
+            )
+        return sql, ["l_returnflag"]
+    if rng.random() < 0.15:
         # string-expression grouping variant (dialect-shared string fns)
         expr = rng.choice(
             [
