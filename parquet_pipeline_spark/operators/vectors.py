@@ -38,6 +38,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from parquet_pipeline_spark.functions import cosine_similarity, dot, l2_norm
 from parquet_pipeline_spark.registry import register
@@ -679,3 +680,99 @@ def _register_ann_oracle_twin():
 
 
 _register_ann_oracle_twin()
+
+
+# ---------------------------------------------------------------------------
+# v07 — EXACT batched k-NN join via blocked numpy partial top-k:
+# the exact baseline that a05's banded-LSH approximates (its recall
+# floor is measured against precisely this answer). The query set
+# is a bounded collect (tens of rows) broadcast into a mapInPandas
+# closure; each corpus Arrow batch contributes at most k rows PER
+# QUERY (a (batch x queries) float64 matmul + argpartition), so the
+# final per-query window ranks |partitions| * k candidates instead
+# of the whole corpus. At 100 TB the corpus scan is the only
+# full-data term; the shuffle carries candidates only — this is the
+# canonical brute-force-at-scale shape.
+# ---------------------------------------------------------------------------
+def exact_knn_join(
+    corpus: DataFrame,
+    query_rows: list,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(q_id, vec_id, score) — the k nearest corpus vectors by
+    cosine for every query row. ``query_rows`` is a bounded
+    list of (q_id, vector) pairs."""
+    import numpy as np
+    import pandas as pd
+
+    q_ids = np.array([q[0] for q in query_rows], dtype=np.int64)
+    qm = np.array([list(q[1]) for q in query_rows], dtype=np.float64)
+    qn = np.sqrt((qm * qm).sum(axis=1))
+    qn[qn == 0.0] = 1.0
+    qm = qm / qn[:, None]
+
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def partial_topk(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.sqrt((m * m).sum(axis=1))
+            norms[norms == 0.0] = 1.0
+            sims = (m / norms[:, None]) @ qm.T  # (batch, n_queries)
+            kk = min(k, len(ids))
+            # per query: the batch's k best candidates
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            rows = {
+                "q_id": np.repeat(q_ids, kk),
+                id_col: ids[top].T.ravel(),
+                "score": np.take_along_axis(sims, top, axis=0).T.ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    candidates = corpus.select(id_col, vec_col).mapInPandas(
+        partial_topk, out_schema
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("score").desc(), id_col)
+    return (
+        candidates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", id_col, F.round("score", 6).alias("score"))
+    )
+
+
+@register(
+    "v07_exact_knn_join",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5
+    ), corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5
+    )
+    SELECT q.q_id, c.vec_id,
+           ROUND(list_cosine_similarity(c.v, q.qv), 6) AS score
+    FROM q, LATERAL (
+      SELECT vec_id, v FROM corpus
+      ORDER BY list_cosine_similarity(v, q.qv) DESC, vec_id
+      LIMIT 10) c
+    """,
+)
+def v07_exact_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qrows = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return exact_knn_join(corpus, qrows, k=10)
