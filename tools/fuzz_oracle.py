@@ -84,6 +84,20 @@ def random_query(rng: random.Random) -> tuple[str, list[str]]:
         if o_groups:
             sql += " GROUP BY " + ", ".join(o_groups)
         return sql, o_groups
+    if rng.random() < 0.1:
+        # set-operation variant: two predicate slices of the
+        # (returnflag, linestatus) projection combined with
+        # DISTINCT-semantics set ops — both engines must agree on
+        # the resulting key set
+        pred2 = random_predicate(rng)
+        setop = rng.choice(["INTERSECT", "EXCEPT", "UNION"])
+        sql = (
+            f"SELECT l_returnflag, l_linestatus, CAST(1 AS BIGINT) AS agg_val "
+            f"FROM (SELECT l_returnflag, l_linestatus FROM lineitem WHERE {pred} "
+            f"{setop} "
+            f"SELECT l_returnflag, l_linestatus FROM lineitem WHERE {pred2}) t"
+        )
+        return sql, ["l_returnflag", "l_linestatus"]
     if rng.random() < 0.15:
         # outer/semi/anti join variant: LEFT keeps the order-side
         # predicate in the ON clause (null-extension semantics — a
@@ -266,7 +280,12 @@ def run(n: int = 50, seed: int = 7, quiet: bool = False) -> int:
             continue
         # DuckDB fetchdf renames COUNT(*) etc — normalize via alias
         # (we always alias to agg_val, so keys line up)
-        diff = compare(s_rows, d_rows, groups)
+        try:
+            diff = compare(s_rows, d_rows, groups)
+        except Exception as e:  # a comparator bug must COUNT, not crash the run
+            print(f"[{i}] COMPARE-ERROR {sql}\n    {e}")
+            failures += 1
+            continue
         if diff:
             print(f"[{i}] DIVERGE {sql}\n    {diff}")
             failures += 1
