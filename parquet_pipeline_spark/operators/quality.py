@@ -125,3 +125,77 @@ def q56_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("unique", "o_orderkey"),
         ],
     )
+
+
+def _row_violation_cond(rule: Rule):
+    """Boolean per-row violation expression for a row-local rule."""
+    kind, col = rule[0], rule[1]
+    c = F.col(col)
+    if kind == "not_null":
+        return c.isNull()
+    if kind == "range":
+        _, _, lo, hi = rule
+        return c.isNull() | (c < lo) | (c > hi)
+    if kind == "in_set":
+        return ~c.isin(*rule[2]) | c.isNull()
+    if kind == "matches":
+        return ~c.rlike(rule[2]) | c.isNull()
+    raise ValueError(f"row-local rule required, got: {kind}")
+
+
+def quarantine_split(df: DataFrame, rules: list[Rule]) -> tuple[DataFrame, DataFrame]:
+    """Split one scan into (clean, quarantined): rows violating ANY
+    row-local rule land in quarantine carrying a ``reasons`` column
+    (sorted comma-joined rule names) so downstream triage knows WHY
+    — the deequ-style row-level expectations pattern. Both outputs
+    share the one annotated plan; no second scan."""
+    flags = [
+        F.when(_row_violation_cond(r), F.lit(f"{r[0]}:{r[1]}")) for r in rules
+    ]
+    annotated = df.withColumn(
+        "reasons",
+        F.array_join(F.array_sort(F.array_compact(F.array(*flags))), ","),
+    )
+    clean = annotated.filter(F.col("reasons") == "").drop("reasons")
+    quarantined = annotated.filter(F.col("reasons") != "")
+    return clean, quarantined
+
+
+@register(
+    "q94_quarantine_reasons",
+    oracle="""
+    SELECT reasons, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_orderkey) AS BIGINT) AS first_orderkey
+    FROM (
+      SELECT l_orderkey,
+             array_to_string(list_sort(list_filter([
+               CASE WHEN l_discount IS NULL OR l_discount < 0 OR l_discount > 0.06
+                    THEN 'range:l_discount' END,
+               CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 30
+                    THEN 'range:l_quantity' END,
+               CASE WHEN l_returnflag NOT IN ('A', 'N') OR l_returnflag IS NULL
+                    THEN 'in_set:l_returnflag' END
+             ], x -> x IS NOT NULL)), ',') AS reasons
+      FROM lineitem
+    )
+    WHERE reasons <> ''
+    GROUP BY reasons
+    """,
+)
+def q94_quarantine_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine triage report: how many rows violate which rule
+    combinations (the quarantined side of quarantine_split,
+    aggregated by reason set)."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    _clean, bad = quarantine_split(
+        li,
+        [
+            ("range", "l_discount", 0, 0.06),
+            ("range", "l_quantity", 1, 30),
+            ("in_set", "l_returnflag", ["A", "N"]),
+        ],
+    )
+    return bad.groupBy("reasons").agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_orderkey").alias("first_orderkey"),
+    )

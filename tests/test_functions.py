@@ -129,3 +129,24 @@ def test_cms_never_underestimates(spark, sf_dir):
     rows = QUERIES["a07_cms_heavy_hitters"](spark, sf_dir).collect()
     assert len(rows) == 10
     assert all(r["cms_count"] >= r["exact_count"] for r in rows)
+
+
+def test_quarantine_split_partitions_exactly(spark, sf_dir):
+    """clean + quarantined = input, disjoint; every quarantined row's
+    reasons string names exactly its violated rules."""
+    from parquet_pipeline_spark.operators.quality import quarantine_split
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, None, "A"), (3, 5.0, "X"), (4, -1.0, "X")],
+        "id int, price double, flag string",
+    )
+    clean, bad = quarantine_split(
+        df, [("range", "price", 0, 100), ("in_set", "flag", ["A", "B"])]
+    )
+    assert {r["id"] for r in clean.collect()} == {1}
+    reasons = {r["id"]: r["reasons"] for r in bad.collect()}
+    assert reasons == {
+        2: "range:price",
+        3: "in_set:flag",
+        4: "in_set:flag,range:price",
+    }
