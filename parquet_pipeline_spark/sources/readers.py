@@ -177,3 +177,14 @@ def read_any(spark: SparkSession, path: str, clean: bool = True) -> dict[str, Da
         # rather than pretending the format is unsupported
         return {base: spark.read.format("avro").load(path)}
     raise ValueError(f"unsupported format for {path!r} (detected {fmt!r})")
+
+
+def read_parquet_evolved(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Read a parquet lineage whose schema evolved across files
+    (columns added/dropped over time): ``mergeSchema`` unions the
+    per-file schemas; rows from files missing a column surface it as
+    NULL. This is the read side of a long-lived 100 TB table where
+    new pipeline versions added fields — no rewrite of old files
+    needed. Schema merge cost is footer-only (one task per file
+    footer), not a data scan."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

@@ -372,3 +372,27 @@ def test_avro_dispatch_and_roundtrip_if_available(spark, sf_dir, tmp_path):
         raise
     got = read_any(spark, dest)["nation"]
     assert got.count() == nation.count()
+
+
+def test_read_parquet_evolved_merges_schemas(spark, tmp_path):
+    """Old file lacks 'lang', new file lacks 'legacy'; the merged
+    read exposes the union with NULLs where a file lacked the
+    column, and filters on new columns still prune to the scan."""
+    from parquet_pipeline_spark.sources.readers import read_parquet_evolved
+
+    old = str(tmp_path / "v1.parquet")
+    new = str(tmp_path / "v2.parquet")
+    spark.createDataFrame(
+        [(1, "a", "x")], "doc_id long, text string, legacy string"
+    ).write.parquet(old)
+    spark.createDataFrame(
+        [(2, "b", "en")], "doc_id long, text string, lang string"
+    ).write.parquet(new)
+
+    df = read_parquet_evolved(spark, [old, new])
+    assert set(df.columns) == {"doc_id", "text", "legacy", "lang"}
+    rows = {r["doc_id"]: (r["legacy"], r["lang"]) for r in df.collect()}
+    assert rows == {1: ("x", None), 2: (None, "en")}
+    # predicate on the evolved column still reaches the scan
+    plan = df.filter(df.lang == "en")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "EqualTo(lang,en)" in plan, plan
