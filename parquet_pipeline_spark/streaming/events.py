@@ -605,3 +605,30 @@ def stream_upsert_to_parquet(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_span_filter(
+    doc_stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 15,
+) -> DataFrame:
+    """Streaming twin of corpus.span_dedup's DECISION step: explode
+    incoming documents into word spans (stateless expressions) and
+    keep the first arrival of each distinct span corpus-wide via
+    dropDuplicates on the span's md5.
+
+    Contract vs the batch operator: the KEPT-SPAN SET is identical
+    (each distinct span survives exactly once); which occurrence
+    carries it follows arrival order, where batch span_dedup uses
+    the deterministic (doc_id, span_idx) order — re-assembly
+    therefore stays a batch concern. State = one md5 per distinct
+    span ever seen (no event-time column on documents, so no
+    watermark eviction — the documented cost of EXACT streaming
+    dedup over an unbounded corpus; at 100 TB you shard this state
+    by running per-partition/daily compactions with the batch op).
+    """
+    from parquet_pipeline_spark.operators.corpus import explode_spans
+
+    spans = explode_spans(doc_stream, text_col, id_col, span_words)
+    return spans.withColumn("span_key", F.md5("span")).dropDuplicates(["span_key"])

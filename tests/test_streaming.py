@@ -668,3 +668,44 @@ def test_streaming_cms_counters_match_batch(spark, sf_dir, tmp_path):
         for r in cms_counters(batch_toks).collect()
     }
     assert got == expected and got
+
+
+def test_streaming_span_filter_matches_batch_kept_set(spark, sf_dir, tmp_path):
+    """The streaming first-arrival span dedup must keep exactly the
+    batch operator's kept-span SET (one survivor per distinct span),
+    regardless of micro-batch arrival order."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.corpus import span_dedup
+    from parquet_pipeline_spark.streaming.events import streaming_span_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = str(tmp_path / "span_stream")
+    docs.coalesce(3).write.json(src)
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(src)
+    q = (
+        streaming_span_filter(stream)
+        .select("span")
+        .writeStream.format("memory")
+        .queryName("span_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = [r["span"] for r in spark.sql("SELECT span FROM span_stream").collect()]
+    assert len(got) == len(set(got)), "a span survived twice"
+
+    # the kept-span set == the corpus's distinct spans (what batch
+    # span_dedup keeps, just under its deterministic occurrence rule)
+    from parquet_pipeline_spark.operators.corpus import explode_spans
+
+    all_spans = {r["span"] for r in explode_spans(docs).select("span").distinct().collect()}
+    assert set(got) == all_spans
+    # and the total kept count matches the batch operator's
+    n_batch_kept = span_dedup(docs).agg(F.sum("kept_spans")).first()[0]
+    assert len(got) == n_batch_kept
