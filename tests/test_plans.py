@@ -208,3 +208,36 @@ def test_tpch_extra_plan_shapes(spark, sf_dir):
     p = phys(tx.q91_excess_volume_suppliers(spark, sf_dir))
     assert "LeftSemi" in p, p
     assert "GreaterThanOrEqual(l_shipdate" in p, p
+
+
+def test_no_unbounded_nested_loops_anywhere(spark, sf_dir):
+    """Global guard over EVERY registry query: no CartesianProduct,
+    and BroadcastNestedLoopJoin only where the broadcast side is
+    bounded by construction — the documented allowlist below (one-row
+    scalar aggregates, a bounded query/vocab set, or an id-bounded
+    correctness baseline). A new query that introduces an unbounded
+    nested loop fails here by default."""
+    from parquet_pipeline_spark import registry
+
+    registry.load_all()
+    BNLJ_BOUNDED = {
+        "a01_ann_lsh_topk",        # one query row broadcast (single-query ANN)
+        "a06_ann_lsh_topk_oracle", # same shape, md5 twin
+        "d02_ngram_jaccard_pairs", # id-bounded all-pairs baseline (documented)
+        "d05_embedding_neardup",   # id-bounded all-pairs baseline (documented)
+        "d06_word_shingle_jaccard",# id-bounded all-pairs baseline (documented)
+        "q32_vs_global_avg",       # one-row scalar aggregate broadcast
+        "q62_share_of_total",      # one-row scalar aggregate broadcast
+        "q67_global_sales_opportunity",  # one-row scalar aggregate broadcast
+        "q70_important_stock",     # one-row scalar aggregate broadcast
+        "t10_vocab_coverage",      # bounded top-V vocab broadcast
+        "v03_knn_join",            # bounded query-set broadcast
+    }
+    offenders = {}
+    for name, fn in registry.QUERIES.items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_BOUNDED:
+            offenders[name] = "BroadcastNestedLoopJoin (not allowlisted)"
+    assert not offenders, offenders
