@@ -188,3 +188,21 @@ def read_parquet_evolved(spark: SparkSession, paths: list[str]) -> DataFrame:
     needed. Schema merge cost is footer-only (one task per file
     footer), not a data scan."""
     return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def read_parquet_resilient(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Read a parquet directory tolerating corrupt members
+    (truncated uploads, partial writes left by a dead executor —
+    a when-not-if event in a 100 TB lake). Spark skips files whose
+    pages fail to parse instead of failing the whole scan; the trade
+    (silently fewer rows) is why this is a separate entry point
+    rather than the default.
+
+    ``ignoreCorruptFiles`` protects the SCAN only — schema inference
+    still reads footers and dies on a corrupt one, so pass the
+    table's known ``schema`` (which a 100 TB lake has in its catalog
+    anyway; catalog.py records it per table) to skip inference."""
+    reader = spark.read.option("ignoreCorruptFiles", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)

@@ -396,3 +396,31 @@ def test_read_parquet_evolved_merges_schemas(spark, tmp_path):
     # predicate on the evolved column still reaches the scan
     plan = df.filter(df.lang == "en")._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "EqualTo(lang,en)" in plan, plan
+
+
+def test_read_parquet_resilient_skips_corrupt_member(spark, tmp_path):
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    from parquet_pipeline_spark.sources.readers import read_parquet_resilient
+
+    d = tmp_path / "lake"
+    d.mkdir()
+    spark.createDataFrame([(1, "ok")], "id long, v string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d / "good"))
+    # move the good part-file up into the lake dir, then plant junk
+    import glob, shutil
+
+    part = glob.glob(str(d / "good" / "part-*.parquet"))[0]
+    shutil.move(part, str(d / "part-good.parquet"))
+    shutil.rmtree(str(d / "good"))
+    (d / "part-corrupt.parquet").write_bytes(b"PAR1 this is not a real footer")
+
+    rows = read_parquet_resilient(spark, str(d), schema="id long, v string").collect()
+    assert [(r["id"], r["v"]) for r in rows] == [(1, "ok")]
+
+    # without the option the same scan must fail
+    import pytest
+
+    with pytest.raises(Exception):
+        spark.read.parquet(str(d)).collect()
