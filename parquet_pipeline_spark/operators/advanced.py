@@ -913,3 +913,44 @@ def q93_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumn("cum_users", F.sum("new_users").over(w))
         .select("month", "cum_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# q95 — join-key skew profiler: the diagnostic that decides whether
+# a key needs functions.salted_join / AQE skew handling BEFORE the
+# expensive join runs. One aggregate + one tiny top-k; share is
+# int/int division (bit-identical across engines, no ROUND).
+# ---------------------------------------------------------------------------
+@register(
+    "q95_skew_report",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY l_suppkey
+    ), tot AS (SELECT SUM(n_rows) AS total, COUNT(*) AS n_keys FROM per_key)
+    SELECT p.key, p.n_rows,
+           p.n_rows * 1.0 / t.total AS row_share,
+           p.n_rows * 1.0 * t.n_keys / t.total AS skew_factor
+    FROM per_key p, tot t
+    ORDER BY p.n_rows DESC, p.key LIMIT 10
+    """,
+)
+def q95_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 heaviest join keys with their row share and skew
+    factor (x the uniform share). skew_factor >> 1 on a key that
+    will dominate a shuffle partition = reach for salting/AQE."""
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("key"))
+    per_key = li.groupBy("key").agg(F.count("*").alias("n_rows"))
+    tot = per_key.agg(
+        F.sum("n_rows").alias("total"), F.count("*").alias("n_keys")
+    )
+    return (
+        per_key.crossJoin(F.broadcast(tot))  # one-row scalar broadcast
+        .withColumn("row_share", F.col("n_rows") / F.col("total"))
+        .withColumn(
+            "skew_factor", F.col("n_rows") * F.col("n_keys") / F.col("total")
+        )
+        .select("key", "n_rows", "row_share", "skew_factor")
+        .orderBy(F.col("n_rows").desc(), "key")
+        .limit(10)
+    )
