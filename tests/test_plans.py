@@ -232,6 +232,7 @@ def test_no_unbounded_nested_loops_anywhere(spark, sf_dir):
         "q70_important_stock",     # one-row scalar aggregate broadcast
         "t10_vocab_coverage",      # bounded top-V vocab broadcast
         "v03_knn_join",            # bounded query-set broadcast
+        "q95_skew_report",         # one-row scalar aggregate broadcast
     }
     offenders = {}
     for name, fn in registry.QUERIES.items():
