@@ -10,13 +10,14 @@ stringified). Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 import traceback
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
