@@ -954,3 +954,83 @@ def q95_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), "key")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# q96 — snapshot diff: compare two versions of a table by key and
+# classify every key as added / removed / changed / unchanged (the
+# lake-side audit for "what did this pipeline run actually do").
+# One full-outer join on the key; row content compared via a
+# fixed-column md5 so wide rows diff in O(1) per row.
+# ---------------------------------------------------------------------------
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """(key, status) per key in either snapshot; status in
+    {added, removed, changed, unchanged}."""
+    def fingerprint(df: DataFrame) -> DataFrame:
+        fp = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in compare_cols]))
+        return df.select(F.col(key), fp.alias("_fp"))
+
+    o = fingerprint(old).withColumnRenamed("_fp", "_fp_old")
+    n = fingerprint(new).withColumnRenamed("_fp", "_fp_new")
+    return (
+        o.join(n, key, "full_outer")
+        .select(
+            key,
+            F.when(F.col("_fp_old").isNull(), "added")
+            .when(F.col("_fp_new").isNull(), "removed")
+            .when(F.col("_fp_old") != F.col("_fp_new"), "changed")
+            .otherwise("unchanged")
+            .alias("status"),
+        )
+    )
+
+
+@register(
+    "q96_snapshot_diff",
+    oracle="""
+    WITH old_v AS (
+      SELECT o_orderkey,
+             md5(CAST(o_custkey AS VARCHAR) || chr(31) || CAST(o_totalprice AS VARCHAR)) AS fp
+      FROM orders WHERE o_orderkey < 1000
+    ), new_v AS (
+      SELECT o_orderkey,
+             md5(CAST(o_custkey AS VARCHAR) || chr(31) ||
+                 CAST(CASE WHEN o_orderkey BETWEEN 800 AND 899
+                           THEN ROUND(o_totalprice * 1.1, 2)
+                           ELSE o_totalprice END AS VARCHAR)) AS fp
+      FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1500
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_keys FROM (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+             CASE WHEN o.fp IS NULL THEN 'added'
+                  WHEN n.fp IS NULL THEN 'removed'
+                  WHEN o.fp <> n.fp THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM old_v o FULL OUTER JOIN new_v n ON o.o_orderkey = n.o_orderkey
+    ) GROUP BY status
+    """,
+)
+def q96_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic two-version demo built from one fixture table:
+    version B shifts the key window and perturbs a price band, so
+    all four statuses appear and the whole report is hash-checked."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    old_v = orders.filter(F.col("o_orderkey") < 1000)
+    new_v = orders.filter(
+        (F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1500)
+    ).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey").between(800, 899),
+            F.round(F.col("o_totalprice") * 1.1, 2),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    diff = table_diff(old_v, new_v, "o_orderkey", ["o_custkey", "o_totalprice"])
+    return diff.groupBy("status").agg(F.count("*").alias("n_keys"))
