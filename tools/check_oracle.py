@@ -32,7 +32,14 @@ def normalize(pdf):
         if col.dtype == object:
             pdf[c] = col.map(lambda v: "NULL" if v is None else str(v))
         elif str(col.dtype).startswith(("float", "Float")):
-            pdf[c] = col.map(lambda v: "NULL" if pd.isna(v) else f"{v:.6f}")
+            # strict mode (default, matches the driver): fixed 6dp.
+            # ORACLE_SIG_DIGITS=N relaxes to N significant digits for
+            # cross-SCALE re-checks, where money sums >= 1e11 sit at
+            # double's resolution and 2dp rounding legitimately flips
+            # on accumulation order (measured: 5 cents on 3.2e11).
+            sig = os.environ.get("ORACLE_SIG_DIGITS")
+            fmt = (lambda v: f"{v:.{int(sig)}g}") if sig else (lambda v: f"{v:.6f}")
+            pdf[c] = col.map(lambda v: "NULL" if pd.isna(v) else fmt(v))
         elif str(col.dtype).startswith(("datetime", "date")):
             pdf[c] = col.map(lambda v: "NULL" if pd.isna(v) else str(v))
         else:
@@ -55,7 +62,10 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            # fixture tables are single files; Spark-written scaled
+            # tables are directories of part files — glob those
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet"
+            + ("/*.parquet')" if os.path.isdir(f"{SF_DIR}/{t}.parquet") else "')")
         )
 
     n_pass = n_fail = n_rows_only = 0
