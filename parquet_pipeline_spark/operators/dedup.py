@@ -987,3 +987,44 @@ def d08_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids); scale usage grows n_centroids with the corpus."""
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     return semdedup_pairs(emb, n_centroids=8, threshold=0.30)
+
+
+# ---------------------------------------------------------------------------
+# q97 — deterministic exact-k-per-group sample: "take exactly k eval
+# docs per source", reproducible across runs/engines because the
+# order key is md5 of the row id (not RNG state, not partition
+# order). One window shuffle on the group key. Complements
+# stratified_sample (rate-based) when downstream needs exact counts.
+# ---------------------------------------------------------------------------
+def sample_k_per_group(
+    df: DataFrame, group_col: str, id_col: str, k: int
+) -> DataFrame:
+    w = W.partitionBy(group_col).orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def _register_sample_k():
+    @register(
+        "q97_eval_sample",
+        oracle="""
+        SELECT source, doc_id, lang FROM (
+          SELECT source, doc_id, lang,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents
+        ) WHERE rn <= 3
+        """,
+    )
+    def q97_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _docs(spark, sf_dir).select("source", "doc_id", "lang")
+        return sample_k_per_group(docs, "source", "doc_id", k=3)
+
+    return q97_eval_sample
+
+
+_register_sample_k()
