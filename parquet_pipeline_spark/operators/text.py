@@ -855,3 +855,77 @@ def t21_containment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_words=3,
         threshold=0.5,
     )
+
+
+# ---------------------------------------------------------------------------
+# t22 — corpus-self bigram LM scoring (the CCNet-style perplexity
+# proxy without an external model): every document is scored by the
+# mean log-probability of its bigram occurrences under an add-one-
+# smoothed bigram model fit on the WHOLE corpus. Low scorers are
+# off-distribution (boilerplate, noise, wrong language) — the
+# classic LM quality gate. Two vocab-sized aggregates build the
+# model; scoring is two joins keyed on the bigram (AQE broadcasts
+# the model tables while they fit) plus a one-row vocab scalar.
+# ---------------------------------------------------------------------------
+@register(
+    "t22_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '') AS ws
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, ws[i] AS prev, ws[i+1] AS w
+      FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(ws), 1))) AS i)
+    ),
+    model AS (
+      SELECT prev, w, CAST(COUNT(*) AS BIGINT) AS cnt_pw
+      FROM occ GROUP BY prev, w
+    ),
+    ctx AS (
+      SELECT prev, CAST(SUM(cnt_pw) AS BIGINT) AS cnt_p FROM model GROUP BY prev
+    ),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v
+      FROM (SELECT unnest(ws) AS word FROM toks)
+    )
+    SELECT o.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(ln((m.cnt_pw + 1.0) / (c.cnt_p + vocab.v))), 6) AS avg_logp
+    FROM occ o
+    JOIN model m ON o.prev = m.prev AND o.w = m.w
+    JOIN ctx c ON o.prev = c.prev
+    CROSS JOIN vocab
+    GROUP BY o.doc_id
+    """,
+)
+def t22_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", word_tokens("text").alias("ws"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("ws") - 1, F.lit(0))),
+        lambda i: F.struct(
+            F.element_at(F.col("ws"), i).alias("prev"),
+            F.element_at(F.col("ws"), i + 1).alias("w"),
+        ),
+    )
+    occ = toks.select("doc_id", F.explode(pairs).alias("b")).select(
+        "doc_id", F.col("b.prev").alias("prev"), F.col("b.w").alias("w")
+    )
+    model = occ.groupBy("prev", "w").agg(F.count("*").alias("cnt_pw"))
+    ctx = model.groupBy("prev").agg(F.sum("cnt_pw").alias("cnt_p"))
+    vocab = toks.select(F.explode("ws").alias("word")).agg(
+        F.count_distinct("word").alias("v")
+    )
+    scored = (
+        occ.join(model, ["prev", "w"])
+        .join(ctx, "prev")
+        .crossJoin(F.broadcast(vocab))  # one-row scalar broadcast
+        .withColumn(
+            "logp", F.log((F.col("cnt_pw") + 1.0) / (F.col("cnt_p") + F.col("v")))
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("logp"), 6).alias("avg_logp"),
+    )

@@ -233,6 +233,7 @@ def test_no_unbounded_nested_loops_anywhere(spark, sf_dir):
         "t10_vocab_coverage",      # bounded top-V vocab broadcast
         "v03_knn_join",            # bounded query-set broadcast
         "q95_skew_report",         # one-row scalar aggregate broadcast
+        "t22_lm_score",            # one-row vocab-size scalar broadcast
     }
     offenders = {}
     for name, fn in registry.QUERIES.items():
