@@ -1034,3 +1034,35 @@ def q96_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     diff = table_diff(old_v, new_v, "o_orderkey", ["o_custkey", "o_totalprice"])
     return diff.groupBy("status").agg(F.count("*").alias("n_keys"))
+
+
+# ---------------------------------------------------------------------------
+# q98 — top-k WITH ties (RANK, not row_number): "the 3 biggest order
+# days per priority, keeping every order tied at the boundary" —
+# the semantics auditors usually MEAN when they say top-k, and a
+# different result set from q06/q60's row_number cut whenever ties
+# straddle the cut. Same one-window shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "q98_topk_with_ties",
+    oracle="""
+    SELECT o_orderpriority, o_totalprice,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM (
+      SELECT o_orderpriority, o_totalprice,
+             RANK() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    GROUP BY o_orderpriority, o_totalprice
+    """,
+)
+def q98_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    w = W.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    return (
+        orders.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .groupBy("o_orderpriority", "o_totalprice")
+        .agg(F.count("*").alias("n_orders"))
+    )

@@ -214,3 +214,25 @@ def test_span_dedup_properties(docs_words):
         assert r["n_spans"] == len(spans)
         assert r["kept_spans"] == len(kept)
         assert r["clean_text"] == " ".join(kept)
+
+
+# ---------------------------------------------------------------------------
+# bloom filter: no false negatives on arbitrary keysets; bounded
+# false-positive rate
+# ---------------------------------------------------------------------------
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-(2**40), max_value=2**40),
+             min_size=1, max_size=300, unique=True)
+)
+def test_bloom_no_false_negatives_any_keys(keys):
+    from tests.conftest import SF_DIR  # noqa: F401 (session already up)
+    from parquet_pipeline_spark.functions.bloom import build_bloom, with_bloom_hit
+    from parquet_pipeline_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark("tests")
+    members = spark.createDataFrame([(k,) for k in keys], "k long")
+    bitmap = build_bloom(members, "k")
+    hits = with_bloom_hit(members, bitmap, "k").filter(F.col("_bloom_hit")).count()
+    assert hits == len(keys)  # every member passes, whatever the keys
