@@ -257,3 +257,28 @@ def test_source_resample_deterministic_and_duplicate_consistent(spark, sf_dir):
     for r in rates:
         expect = 0.75 if r["idx"] % 2 == 0 else 0.25
         assert abs(r["k"] / r["n"] - expect) < 0.25, (r["source"], r["k"], r["n"])
+
+
+def test_semdedup_pairs_clusters_confine_comparisons(spark):
+    """Two well-separated clusters: near-dup pairs appear only
+    within a cluster, the planted near-identical pair is found, and
+    cross-cluster near-dups are (by design) invisible."""
+    from parquet_pipeline_spark.operators.dedup import semdedup_pairs
+
+    a, b = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (0, a), (1, b),                       # centroids (lowest ids)
+        (10, [0.99, 0.01, 0.0, 0.0]),         # cluster A
+        (11, [0.98, 0.02, 0.0, 0.0]),         # near-dup of 10
+        (20, [0.01, 0.99, 0.0, 0.0]),         # cluster B
+        (21, [0.015, 0.985, 0.0, 0.0]),       # near-dup of 20
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = semdedup_pairs(emb, n_centroids=2, threshold=0.95).collect()
+    got = {(r["keep_id"], r["dup_id"]) for r in pairs}
+    assert (10, 11) in got and (20, 21) in got
+    # no pair spans the two clusters
+    cluster_of = {0: 0, 10: 0, 11: 0, 1: 1, 20: 1, 21: 1}
+    assert all(cluster_of[x] == cluster_of[y] for x, y in got)
+    # ids ordered within each pair
+    assert all(x < y for x, y in got)
