@@ -709,3 +709,49 @@ def test_streaming_span_filter_matches_batch_kept_set(spark, sf_dir, tmp_path):
     # and the total kept count matches the batch operator's
     n_batch_kept = span_dedup(docs).agg(F.sum("kept_spans")).first()[0]
     assert len(got) == n_batch_kept
+
+
+def test_streaming_bloom_prefilter_matches_batch(spark, sf_dir, tmp_path):
+    """The Bloom membership predicate is a stateless expression, so
+    a STREAMING fact side probes a filter built from a static dim
+    unchanged — and the exact downstream join keeps results
+    bit-identical to the batch path."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.functions.bloom import build_bloom, with_bloom_hit
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_mktsegment") == "HOUSEHOLD")
+        .select("c_custkey")
+    )
+    bitmap = build_bloom(dim, "c_custkey")
+
+    src = str(tmp_path / "orders_stream")
+    orders.coalesce(3).write.json(src)
+    stream = spark.readStream.schema(orders.schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(src)
+
+    pre = with_bloom_hit(stream, bitmap, "o_custkey").filter(F.col("_bloom_hit"))
+    joined = pre.join(dim, pre.o_custkey == dim.c_custkey).select("o_orderkey")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("bloom_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r["o_orderkey"] for r in spark.sql("SELECT * FROM bloom_stream").collect()}
+    expected = {
+        r["o_orderkey"]
+        for r in orders.join(dim, orders.o_custkey == dim.c_custkey)
+        .select("o_orderkey")
+        .collect()
+    }
+    assert got == expected and got
