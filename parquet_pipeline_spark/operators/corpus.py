@@ -206,3 +206,63 @@ def t20_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_split(gated, "clean_text").select(
         "doc_id", "n_tokens", "kept_spans", "split"
     )
+
+
+# ---------------------------------------------------------------------------
+# t23 — WITHIN-document consecutive-duplicate-span removal (the
+# `uniq` of corpus cleaning: stuttered boilerplate, repeated nav
+# blocks, copy-paste doubling). Complements t18, which dedups
+# ACROSS the corpus: here only a span equal to its immediate
+# predecessor in the same document is dropped. One lag window per
+# document + the same reassembly aggregate — both shuffles key on
+# the doc id.
+# ---------------------------------------------------------------------------
+@register(
+    "t23_uniq_spans",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), spans AS (
+      SELECT doc_id, i AS span_idx,
+             array_to_string(w[(i*15+1):((i+1)*15)], ' ') AS span
+      FROM words, LATERAL (
+        SELECT unnest(range(0, CAST(ceil(len(w)/15.0) AS INT))) AS i)
+    ), flagged AS (
+      SELECT doc_id, span_idx, span,
+             span IS DISTINCT FROM LAG(span) OVER (
+               PARTITION BY doc_id ORDER BY span_idx) AS kept
+      FROM spans
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_spans,
+           COALESCE(string_agg(span, ' ' ORDER BY span_idx)
+                      FILTER (WHERE kept), '') AS clean_text
+    FROM flagged
+    GROUP BY doc_id
+    """,
+)
+def t23_uniq_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spans = explode_spans(_docs(spark, sf_dir))
+    w = W.partitionBy("doc_id").orderBy("span_idx")
+    flagged = spans.withColumn(
+        "kept", ~F.col("span").eqNullSafe(F.lag("span").over(w))
+    )
+
+    def _is_kept(s: Column) -> Column:
+        return s["kept"]
+
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("kept").cast("int")).alias("kept_spans"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.sort_array(F.collect_list(F.struct("span_idx", "kept", "span"))),
+                    _is_kept,
+                ),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
