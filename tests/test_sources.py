@@ -424,3 +424,46 @@ def test_read_parquet_resilient_skips_corrupt_member(spark, tmp_path):
 
     with pytest.raises(Exception):
         spark.read.parquet(str(d)).collect()
+
+
+def test_write_zordered_skips_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order layout on (o_custkey, o_totalprice): per-row-group
+    min/max spans shrink on BOTH columns, where single-column
+    sorting leaves the second column's spans at ~the full range."""
+    import pyarrow.parquet as pq
+
+    from parquet_pipeline_spark.sources.writers import write_sorted, write_zordered
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    spans_full = {}
+    for c in ("o_custkey", "o_totalprice"):
+        lo, hi = orders.agg(F.min(c), F.max(c)).first()
+        spans_full[c] = float(hi) - float(lo)
+
+    def mean_span_frac(dest, col_name):
+        # MEAN, not max: a Morton curve legitimately leaves a few
+        # boundary row groups spanning wide where a high-order bit
+        # of the other dimension flips; skipping effectiveness is
+        # about the typical row group
+        fracs = []
+        for f in os.listdir(dest):
+            if not f.endswith(".parquet"):
+                continue
+            pf = pq.ParquetFile(os.path.join(dest, f))
+            idx = pf.schema_arrow.get_field_index(col_name)
+            for rg in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(rg).column(idx).statistics
+                fracs.append((float(st.max) - float(st.min)) / spans_full[col_name])
+        return sum(fracs) / len(fracs)
+
+    zdest = str(tmp_path / "zorder.parquet")
+    write_zordered(orders, zdest, ["o_custkey", "o_totalprice"], num_files=16)
+    sdest = str(tmp_path / "sorted1d.parquet")
+    write_sorted(orders, sdest, ["o_custkey"], num_files=16)
+
+    # 1-D sort: second dimension unclustered (spans ~ full range)
+    assert mean_span_frac(sdest, "o_totalprice") > 0.85
+    # Z-order: BOTH dimensions clustered in the typical row group
+    assert mean_span_frac(zdest, "o_custkey") < 0.5
+    assert mean_span_frac(zdest, "o_totalprice") < 0.5
+    assert spark.read.parquet(zdest).count() == orders.count()
