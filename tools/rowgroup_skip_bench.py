@@ -89,3 +89,46 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def zorder_vs_sorted(sf_dir: str) -> None:
+    """Two-dimensional pruning comparison: orders clustered by
+    (o_custkey, o_totalprice) via Z-order vs 1-D sorted on
+    o_custkey alone; count row groups a min/max reader must touch
+    for a predicate on EACH dimension."""
+    from parquet_pipeline_spark.sources.writers import write_sorted, write_zordered
+    from parquet_pipeline_spark.session import get_spark
+
+    spark = get_spark("zorder-bench")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = tempfile.mkdtemp(prefix="zorder-bench-")
+    zdest, sdest = f"{base}/zorder.parquet", f"{base}/sorted.parquet"
+    write_zordered(orders, zdest, ["o_custkey", "o_totalprice"], num_files=32)
+    write_sorted(orders, sdest, ["o_custkey"], num_files=32)
+
+    lo_ck, hi_ck = 100, 140          # selective custkey band
+    lo_tp, hi_tp = 50000.0, 80000.0  # selective totalprice band
+    for name, dest in (("sorted_1d", sdest), ("zorder", zdest)):
+        for col, lo, hi in (
+            ("o_custkey", lo_ck, hi_ck),
+            ("o_totalprice", lo_tp, hi_tp),
+        ):
+            touched = total = 0
+            for entry in sorted(os.scandir(dest), key=lambda e: e.name):
+                if not entry.name.endswith(".parquet"):
+                    continue
+                pf = pq.ParquetFile(entry.path)
+                idx = pf.schema_arrow.get_field_index(col)
+                for rg in range(pf.metadata.num_row_groups):
+                    st = pf.metadata.row_group(rg).column(idx).statistics
+                    total += 1
+                    if st is None or (float(st.min) <= hi and float(st.max) >= lo):
+                        touched += 1
+            print(f"{name:10s} predicate on {col:13s}: touches {touched}/{total} row groups")
+
+
+if __name__ == "__main__" and os.environ.get("ZORDER_BENCH"):
+    zorder_vs_sorted(
+        sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    )
+    raise SystemExit(0)
