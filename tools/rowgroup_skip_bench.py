@@ -87,7 +87,7 @@ def main():
             )
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not os.environ.get("ZORDER_BENCH"):
     main()
 
 
