@@ -123,6 +123,40 @@ class Engine:
             table_col="source_table",
         )
 
+
+    # -- corpus curation (north-star training-data surface) ------------
+    def curate(
+        self,
+        table: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        span_words: int = 15,
+        min_tokens: int = 30,
+    ) -> DataFrame:
+        """Run the standard curation chain on a registered table:
+        corpus-wide span dedup -> token-count gate -> deterministic
+        md5 train/val/test split (keyed on the CLEANED text, so
+        post-dedup twins land in the same split). Returns
+        (id, clean_text, n_tokens, kept_spans, split) ready to
+        write as training shards — the same chain the t20 driver
+        query value-hash-verifies end to end."""
+        from pyspark.sql import functions as F
+
+        from parquet_pipeline_spark.operators.corpus import span_dedup
+        from parquet_pipeline_spark.operators.dedup import deterministic_split
+
+        df = self.catalog.df(table)
+        cleaned = span_dedup(df, text_col, id_col, span_words)
+        gated = cleaned.withColumn(
+            "n_tokens",
+            F.when(F.col("clean_text") == "", F.lit(0).cast("long")).otherwise(
+                F.size(F.split("clean_text", " ")).cast("long")
+            ),
+        ).filter(F.col("n_tokens") >= min_tokens)
+        return deterministic_split(gated, "clean_text").select(
+            id_col, "clean_text", "n_tokens", "kept_spans", "split"
+        )
+
     def sql(self, query: str) -> DataFrame:
         """Direct SQL over the registered logical tables (the
         reference's execute_duckdb_query analog, error-as-data)."""

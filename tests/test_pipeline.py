@@ -279,3 +279,24 @@ def test_rich_catalog_llm_overlay(spark, tmp_path):
     assert entry["llm_tags"] == ["demo", "tiny"]
     assert entry["language"] == "fr"
     assert entry["summary"] == "Two demo rows."
+
+
+def test_engine_curate_matches_t20_query(spark):
+    """The facade's curate() verb must produce exactly the
+    driver-verified t20 pipeline's rows for the same table."""
+    from parquet_pipeline_spark.engine import Engine
+    from parquet_pipeline_spark.registry import QUERIES, load_all
+
+    load_all()
+    sf_dir = "/root/testdata/sf0.001"
+    eng = Engine(spark)
+    eng.attach_dir(sf_dir)
+    got = {
+        (r["doc_id"], r["n_tokens"], r["kept_spans"], r["split"])
+        for r in eng.curate("documents").collect()
+    }
+    expected = {
+        (r["doc_id"], r["n_tokens"], r["kept_spans"], r["split"])
+        for r in QUERIES["t20_curation_pipeline"](spark, sf_dir).collect()
+    }
+    assert got == expected and got
