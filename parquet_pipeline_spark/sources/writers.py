@@ -240,3 +240,23 @@ def write_zordered(
         else keyed.repartitionByRange("_zkey")
     ).sortWithinPartitions("_zkey").drop("_zkey")
     write_parquet(arranged, path, **kwargs)
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    **kwargs,
+) -> None:
+    """Backfill-safe write: replace ONLY the hive partitions present
+    in ``df``, leaving every other partition untouched (dynamic
+    partition overwrite — the daily-reprocessing primitive; a static
+    overwrite would drop the whole table). The mode is set on the
+    writer itself so the session default stays strict."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("compression", "zstd")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

@@ -467,3 +467,31 @@ def test_write_zordered_skips_on_both_dimensions(spark, sf_dir, tmp_path):
     assert mean_span_frac(zdest, "o_custkey") < 0.5
     assert mean_span_frac(zdest, "o_totalprice") < 0.5
     assert spark.read.parquet(zdest).count() == orders.count()
+
+
+def test_overwrite_partitions_touches_only_written_ones(spark, tmp_path):
+    from parquet_pipeline_spark.sources.writers import overwrite_partitions
+
+    dest = str(tmp_path / "daily.parquet")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1, 10.0), ("2024-01-01", 2, 20.0),
+         ("2024-01-02", 3, 30.0), ("2024-01-03", 4, 40.0)],
+        "day string, id long, v double",
+    )
+    overwrite_partitions(base, dest, ["day"])
+
+    # re-process ONLY day 2 with corrected values
+    fix = spark.createDataFrame(
+        [("2024-01-02", 3, 33.0), ("2024-01-02", 5, 50.0)],
+        "day string, id long, v double",
+    )
+    overwrite_partitions(fix, dest, ["day"])
+
+    # str() the partition key: hive partition values come back
+    # type-inferred (date), which is fine for readers
+    out = {(str(r["day"]), r["id"]): r["v"] for r in spark.read.parquet(dest).collect()}
+    assert out == {
+        ("2024-01-01", 1): 10.0, ("2024-01-01", 2): 20.0,   # untouched
+        ("2024-01-02", 3): 33.0, ("2024-01-02", 5): 50.0,   # replaced
+        ("2024-01-03", 4): 40.0,                            # untouched
+    }
