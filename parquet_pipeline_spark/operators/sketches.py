@@ -121,9 +121,22 @@ def a07_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     both columns)."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
-    counters = cms_counters(toks)
-
     vocab = toks.groupBy("token").agg(F.count("*").alias("exact_count"))
+    # this query needs the exact vocab aggregate anyway (for the
+    # report column), so the counter cells are built from it
+    # count-weighted — identical cell values to cms_counters over
+    # the raw stream (the bucket is a function of the token), at
+    # vocab-size cost instead of a 4x token-stream explode.
+    # cms_counters stays the pure one-pass stream builder (used by
+    # the streaming twin, where no vocab aggregate exists).
+    counters = (
+        vocab.select(
+            "exact_count",
+            F.posexplode(F.array(*_cms_buckets(F.col("token")))).alias("j", "bucket"),
+        )
+        .groupBy("j", "bucket")
+        .agg(F.sum("exact_count").alias("cell_count"))
+    )
     probes = vocab.select(
         "token",
         "exact_count",
