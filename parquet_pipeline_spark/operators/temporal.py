@@ -485,3 +485,54 @@ def x06_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_overlap_join(
         orders, "o_custkey", "s", "e", "o_orderkey", bucket="7 days"
     )
+
+
+# ---------------------------------------------------------------------------
+# x07 — last-touch attribution: every purchase is credited to the
+# user's most recent preceding click's channel (the classic
+# marketing-analytics application of the per-key as-of join —
+# asof_join does the heavy lifting, so this query demonstrates the
+# operator composing into a business answer, not new machinery).
+# Unattributed purchases (no prior click) keep the 'none' bucket.
+# ---------------------------------------------------------------------------
+@register(
+    "x07_last_touch_attribution",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts,
+             'ch' || CAST(CAST(props ->> 'k' AS INT) % 4 AS VARCHAR) AS channel
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT COALESCE(c.channel, 'none') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(SUM(p.value), 2) AS revenue
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    GROUP BY 1
+    """,
+)
+def x07_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.concat(
+            F.lit("ch"),
+            (F.get_json_object("props", "$.k").cast("int") % 4).cast("string"),
+        ).alias("channel"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    attributed = asof_join(
+        purchases, clicks, "ts", "channel", by=["user_id"], bucket="1 day"
+    )
+    return attributed.groupBy(
+        F.coalesce(F.col("channel"), F.lit("none")).alias("channel")
+    ).agg(
+        F.count("*").alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("revenue"),
+    )
