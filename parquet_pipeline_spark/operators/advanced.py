@@ -1066,3 +1066,52 @@ def q98_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority", "o_totalprice")
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q99 — time-to-convert: latency from first view to first purchase
+# per user, reported as conversion count + mean/median hours. One
+# conditional-MIN aggregate per user (single shuffle) then a global
+# summary; the product-analytics companion to q77's funnel counts.
+# ---------------------------------------------------------------------------
+@register(
+    "q99_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(AVG(epoch(first_purchase - first_view)) / 3600, 4) AS avg_hours,
+           ROUND(median(epoch(first_purchase - first_view)) / 3600, 4) AS med_hours
+    FROM firsts WHERE first_purchase >= first_view
+    """,
+)
+def q99_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_pipeline_spark.operators.relational import _events
+
+    ev = _events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    # cast-to-double keeps fractional seconds (unix_timestamp
+    # truncates to whole seconds and diverges from DuckDB's
+    # epoch()); NTZ needs the hop through TIMESTAMP, identical
+    # under the session's pinned-UTC zone
+    def _epoch(c: str):
+        return F.col(c).cast("timestamp").cast("double")
+
+    latency_s = _epoch("first_purchase") - _epoch("first_view")
+    return (
+        firsts.filter(F.col("first_purchase") >= F.col("first_view"))
+        .agg(
+            F.count("*").alias("n_converted"),
+            F.round(F.avg(latency_s) / 3600, 4).alias("avg_hours"),
+            F.round(F.median(latency_s) / 3600, 4).alias("med_hours"),
+        )
+    )
