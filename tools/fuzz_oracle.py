@@ -84,6 +84,25 @@ def random_query(rng: random.Random) -> tuple[str, list[str]]:
         if o_groups:
             sql += " GROUP BY " + ", ".join(o_groups)
         return sql, o_groups
+    if rng.random() < 0.12:
+        # date-function grouping variant: truncation/extraction fns
+        # both dialects share; counts keyed by the derived period
+        expr = rng.choice(
+            [
+                "CAST(year(l_shipdate) AS INT)",
+                "CAST(month(l_shipdate) AS INT)",
+                # string-cast in SQL: both engines render the DATE
+                # themselves (the python-side compare would otherwise
+                # see datetime.date vs pandas Timestamp)
+                "CAST(CAST(date_trunc('month', l_shipdate) AS DATE) AS STRING)",
+                "CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT)",
+            ]
+        )
+        sql = (
+            f"SELECT {expr} AS grp, CAST(COUNT(*) AS BIGINT) AS agg_val "
+            f"FROM lineitem WHERE {pred} GROUP BY 1"
+        )
+        return sql, ["grp"]
     if rng.random() < 0.1:
         # set-operation variant: two predicate slices of the
         # (returnflag, linestatus) projection combined with
