@@ -1115,3 +1115,36 @@ def q99_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.median(latency_s) / 3600, 4).alias("med_hours"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q100 — market-basket co-occurrence: the most frequently
+# co-purchased part pairs. The self-join keys on l_orderkey, so the
+# pair fan-out is bounded by items-per-order squared (<= 13 items
+# here, ~80 pairs worst case) — linear in orders at any scale, never
+# a global crossJoin. Top-k with deterministic tiebreak.
+# ---------------------------------------------------------------------------
+@register(
+    "q100_basket_pairs",
+    oracle="""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM lineitem a
+    JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def q100_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(20)
+    )
