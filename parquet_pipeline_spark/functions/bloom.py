@@ -93,7 +93,17 @@ def bloom_prejoin(
     """Exact fact-to-dim join with the fact side pre-filtered
     through a Bloom filter of the dim keys. Result is identical to
     the plain join (no false negatives; the exact join removes the
-    false positives) — only the shuffle volume changes."""
+    false positives) — only the shuffle volume changes.
+
+    Only ``inner`` and ``left_semi`` preserve that identity: any
+    outer variant must keep unmatched fact rows, which the Bloom
+    prefilter drops. Other join types raise."""
+    if how not in ("inner", "left_semi", "leftsemi", "semi"):
+        raise ValueError(
+            "bloom_prejoin preserves join semantics only for inner/"
+            f"left_semi joins; got how={how!r} (outer joins must keep "
+            "unmatched fact rows that the Bloom prefilter removes)"
+        )
     bitmap = build_bloom(dim, dim_key, k)
     pre = (
         with_bloom_hit(fact, bitmap, fact_key, k)

@@ -959,8 +959,12 @@ def semdedup_pairs(
     "d08_semdedup_pairs",
     oracle="""
     WITH cents AS (
+      -- the TRUE 8 lowest ids (matches orderBy(vec_id).limit(8) on
+      -- the Spark side even for offset/sparse id layouts; a
+      -- vec_id < 8 pin would only coincide for contiguous-from-0)
       SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-      FROM embeddings WHERE vec_id < 8
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT 8)
     ), scored AS (
       SELECT e.vec_id, c.cid,
              ROW_NUMBER() OVER (

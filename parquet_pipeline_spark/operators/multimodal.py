@@ -315,8 +315,13 @@ def extract_raw_frames(
     """
     frame_size = width * height * 3
     n_frames = (F.length(payload_col) / frame_size).cast("int")
+    # guard n_frames == 0 (payload shorter than one frame): unguarded
+    # sequence(0, -1) descends to [0, -1], emitting truncated/bogus
+    # frame rows; short payloads must produce zero frame rows.
     idxs = F.filter(
-        F.sequence(F.lit(0), n_frames - 1),
+        F.when(
+            n_frames >= 1, F.sequence(F.lit(0), n_frames - 1)
+        ).otherwise(F.array().cast("array<int>")),
         lambda i: i % every_n == 0,
     )
     return media.select(

@@ -384,7 +384,7 @@ def t07_greedy_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     bigrams AS (
-      SELECT unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, greatest(len(ws), 2))]) AS bigram
+      SELECT unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]) AS bigram
       FROM toks
     )
     SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
@@ -403,8 +403,13 @@ def t08_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-tokenizes per element (no CSE across lambda scopes, the
     # word_shingles bug class): O(words²) per doc
     def bigrams_of(ws):
+        # guard stop < start (0/1-token docs): unguarded greatest(..,1)
+        # emits a bogus (w, null)→"w" bigram for 1-token docs and
+        # sequence(1, 0) would descend under ANSI; empty array instead.
         return F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(ws) - 1, F.lit(1))),
+            F.when(
+                F.size(ws) >= 2, F.sequence(F.lit(1), F.size(ws) - 1)
+            ).otherwise(F.array().cast("array<int>")),
             lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
         )
 
@@ -902,8 +907,14 @@ def t21_containment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t22_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     toks = docs.select("doc_id", word_tokens("text").alias("ws"))
+    # sequence(1, size-1) must be guarded: for a 0/1-token doc the
+    # stop < start, Spark defaults to step -1 and yields [1, 0] —
+    # element_at(ws, 0) then throws under ANSI mode. Empty array ↔
+    # DuckDB's range(1, 1) = [] semantics.
     pairs = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("ws") - 1, F.lit(0))),
+        F.when(
+            F.size("ws") >= 2, F.sequence(F.lit(1), F.size("ws") - 1)
+        ).otherwise(F.array().cast("array<int>")),
         lambda i: F.struct(
             F.element_at(F.col("ws"), i).alias("prev"),
             F.element_at(F.col("ws"), i + 1).alias("w"),

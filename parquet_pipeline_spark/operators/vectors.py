@@ -729,12 +729,30 @@ def exact_knn_join(
             norms[norms == 0.0] = 1.0
             sims = (m / norms[:, None]) @ qm.T  # (batch, n_queries)
             kk = min(k, len(ids))
-            # per query: the batch's k best candidates
-            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            # Per query keep the batch's k best with the SAME
+            # deterministic tie-break as the final window (score
+            # desc, id asc): plain argpartition keeps an arbitrary
+            # subset of candidates tied at the k-th score, which can
+            # discard a tied smaller-id row before the global window
+            # sees it. Threshold at the k-th score, then lexsort the
+            # (small) candidate set — exact and still O(batch) per
+            # query for the partition step.
+            qi_out, id_out, sc_out = [], [], []
+            for j in range(sims.shape[1]):
+                col = sims[:, j]
+                if len(col) > kk:
+                    thresh = np.partition(col, -kk)[-kk]
+                    cand = np.nonzero(col >= thresh)[0]
+                else:
+                    cand = np.arange(len(col))
+                order = cand[np.lexsort((ids[cand], -col[cand]))][:kk]
+                qi_out.append(np.full(len(order), q_ids[j], dtype=np.int64))
+                id_out.append(ids[order])
+                sc_out.append(col[order])
             rows = {
-                "q_id": np.repeat(q_ids, kk),
-                id_col: ids[top].T.ravel(),
-                "score": np.take_along_axis(sims, top, axis=0).T.ravel(),
+                "q_id": np.concatenate(qi_out),
+                id_col: np.concatenate(id_out),
+                "score": np.concatenate(sc_out),
             }
             yield pd.DataFrame(rows)
 
