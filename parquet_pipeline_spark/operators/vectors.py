@@ -402,6 +402,9 @@ def ivf_centroids(emb: DataFrame, k: int = 16, id_col: str = "vec_id") -> list[t
         .select(id_col, "embedding")
         .collect()
     )
+    # sort by id before enumerating: collect() order is partition
+    # order, so cid numbering would otherwise vary run-to-run
+    rows.sort(key=lambda r: r[id_col])
     return [(i, [float(x) for x in r["embedding"]]) for i, r in enumerate(rows)]
 
 
@@ -427,7 +430,48 @@ def ivf_topk(
     return topk(assigned.filter(F.col("cell").isin(cells)), query_vec, k=k)
 
 
-@register("a04_ivf_topk")  # rows-only: cell assignment is engine-internal
+@register(
+    "a04_ivf_topk",
+    # Full SQL pin of the IVF machinery (graduated from rows-only in
+    # r6): DuckDB recomputes centroid selection (every (n/16)-th id,
+    # cid = rank by vec_id), nearest-cell assignment (argmax cosine,
+    # ties to the larger cid — mirrors array_max over (sim, cid)
+    # structs), nprobe=4 cell candidacy, and the exact top-10 over
+    # the probed cells. Same trick as a06/d07 pinned for LSH.
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id <> 0
+    ),
+    params AS (
+      SELECT greatest(count(*) // 16, 1) AS step FROM corpus
+    ),
+    cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+      FROM corpus, params
+      WHERE vec_id % step = 0 AND vec_id < step * 16
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    probed AS (
+      SELECT cid FROM cents, q
+      ORDER BY list_cosine_similarity(cv, qv) DESC, cid DESC
+      LIMIT 4
+    ),
+    assign AS (
+      SELECT vec_id, label, v, cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_cosine_similarity(v, cv) DESC, cid DESC) AS rn
+      FROM corpus, cents
+    )
+    SELECT a.vec_id, a.label,
+           ROUND(list_cosine_similarity(a.v, q.qv), 6) AS score
+    FROM assign a, q
+    WHERE a.rn = 1 AND a.cid IN (SELECT cid FROM probed)
+    ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.vec_id
+    LIMIT 10
+    """,
+)
 def a04_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
     cents = ivf_centroids(emb, k=16)
