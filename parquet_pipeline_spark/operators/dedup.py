@@ -195,6 +195,56 @@ def minhash_signature(
     )
 
 
+def banded_minhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    ngram: int = 3,
+    grams_col: str | None = None,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The banded-minhash fingerprint projection: one row per
+    (id, band_id, band_hash). This IS the persistable dedup index —
+    write it to parquet once per corpus snapshot and later batches
+    dedup against it via ``incremental_near_dups`` without ever
+    re-reading the old corpus text (index rows are ~20 bytes vs
+    multi-KiB documents). Pure per-row expressions + one explode; no
+    shuffle — partitioning survives from the input scan.
+
+    Shared by ``lsh_candidate_pairs`` (self-dedup) so the in-snapshot
+    and cross-snapshot paths compute byte-identical fingerprints.
+    """
+    rows_per_band = num_hashes // bands
+    if grams_col is None:
+        df = _ensure_parallelism(df)
+        grams = char_ngrams(text_col, ngram)
+    else:
+        grams = F.col(grams_col)
+    sig = minhash_signature(grams, num_hashes, hash_fn=hash_fn)
+
+    def band_hash(b):
+        sl = F.slice(F.col("sig"), b * rows_per_band + 1, F.lit(rows_per_band))
+        if hash_fn == "md5":
+            # hash the comma-joined decimal rendering — reproducible
+            # as array_to_string(...) in the DuckDB oracle
+            return _md5_long(
+                F.concat_ws(",", F.transform(sl, lambda x: x.cast("string")))
+            )
+        return F.xxhash64(sl)
+
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(b.alias("band_id"), band_hash(b).alias("band_hash")),
+    )
+    return (
+        df.select(F.col(id_col), sig.alias("sig"))
+        .select(id_col, F.explode(band_structs).alias("band"))
+        .select(id_col, "band.band_id", "band.band_hash")
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -239,32 +289,15 @@ def lsh_candidate_pairs(
     candidate generation and verify. The caller owns parallelism in
     that case (``_ensure_parallelism`` here would shuffle the
     cached projection and defeat the reuse)."""
-    rows_per_band = num_hashes // bands
-    if grams_col is None:
-        df = _ensure_parallelism(df)
-        grams = char_ngrams(text_col, ngram)
-    else:
-        grams = F.col(grams_col)
-    sig = minhash_signature(grams, num_hashes, hash_fn=hash_fn)
-
-    def band_hash(b):
-        sl = F.slice(F.col("sig"), b * rows_per_band + 1, F.lit(rows_per_band))
-        if hash_fn == "md5":
-            # hash the comma-joined decimal rendering — reproducible
-            # as array_to_string(...) in the DuckDB oracle
-            return _md5_long(
-                F.concat_ws(",", F.transform(sl, lambda x: x.cast("string")))
-            )
-        return F.xxhash64(sl)
-
-    band_structs = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(b.alias("band_id"), band_hash(b).alias("band_hash")),
-    )
-    banded = (
-        df.select(F.col(id_col), sig.alias("sig"))
-        .select(id_col, F.explode(band_structs).alias("band"))
-        .select(id_col, "band.band_id", "band.band_hash")
+    banded = banded_minhash(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        ngram=ngram,
+        grams_col=grams_col,
+        hash_fn=hash_fn,
     )
     if log_overflow:
         n_hot = (
@@ -845,6 +878,127 @@ def _register_lsh_oracle_twin():
 
 
 _register_lsh_oracle_twin()
+
+
+# ---------------------------------------------------------------------------
+# d10 — INCREMENTAL cross-snapshot dedup: flag a NEW document batch
+# against an EXISTING corpus fingerprint index (the banded_minhash
+# projection, persisted as parquet at snapshot time) without
+# re-reading — or re-shingling — any old corpus text. This is the
+# operational shape every continuously-ingesting training pipeline
+# needs: at 100 TB the corpus text is petascale-cold, but its index
+# is ~bands×20 bytes/doc, and each day's batch only pays
+#   O(shingle+hash the batch) + O(scan the index once).
+# The batch's banded fingerprints are BROADCAST (a batch is small by
+# definition), so the index scan is shuffle-free; writing the index
+# partitioned by band_id additionally prunes the scan to the bands
+# the batch actually hits.
+# ---------------------------------------------------------------------------
+def incremental_near_dups(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    ngram: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(doc_id, dup_of, is_dup) for every row of ``new_docs``:
+    ``dup_of`` is the LOWEST corpus id sharing at least one LSH band
+    with the new doc (-1 when no collision — kept non-null so the
+    output stays int64 end-to-end), ``is_dup`` mirrors it as 0/1.
+
+    ``index`` must be a ``banded_minhash`` projection built with the
+    SAME (num_hashes, bands, ngram, hash_fn) — typically
+    ``spark.read.parquet(<snapshot index path>)``.
+    """
+    new_banded = banded_minhash(
+        new_docs,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        ngram=ngram,
+        hash_fn=hash_fn,
+    ).withColumnRenamed(id_col, "_new_id")
+    hits = (
+        index.join(F.broadcast(new_banded), ["band_id", "band_hash"])
+        .groupBy("_new_id")
+        .agg(F.min(id_col).alias("_dup_of"))
+    )
+    return (
+        new_docs.select(id_col)
+        .join(hits.withColumnRenamed("_new_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_dup_of", F.lit(-1)).alias("dup_of"),
+            F.col("_dup_of").isNotNull().cast("int").alias("is_dup"),
+        )
+    )
+
+
+def _register_incremental_dedup():
+    @register(
+        "d10_incremental_dedup",
+        # DuckDB recomputes the whole cross-snapshot pipeline with
+        # the md5-portable hash: shingles → 16-hash minhash → 4-band
+        # fingerprints for BOTH the corpus snapshot (doc_id % 5 <> 0)
+        # and the new batch (doc_id % 5 = 0), then the band-collision
+        # join and min-id attribution. Same sig/band formulas as d07.
+        oracle="""
+        WITH g AS (
+          SELECT doc_id,
+                 list_distinct([text[i:i+2] FOR i IN range(1, greatest(length(text)-1, 2))]) AS gs
+          FROM documents WHERE doc_id < 300
+        ),
+        sigs AS (
+          SELECT doc_id,
+                 [list_min([CAST(list_sum([(strpos('0123456789abcdef',
+                                                   substr(md5(gr || '_' || s), i, 1)) - 1)
+                                            * 16 ** (8 - i) FOR i IN range(1, 9)]) AS BIGINT)
+                            FOR gr IN gs]) FOR s IN range(0, 16)] AS sig
+          FROM g
+        ),
+        exploded AS (
+          SELECT doc_id, b AS band_id,
+                 CAST(list_sum([(strpos('0123456789abcdef',
+                                        substr(md5(array_to_string(sig[b*4+1 : b*4+4], ',')), i, 1)) - 1)
+                                 * 16 ** (8 - i) FOR i IN range(1, 9)]) AS BIGINT) AS band_val
+          FROM sigs, unnest(range(0, 4)) AS t(b)
+        ),
+        hits AS (
+          SELECT n.doc_id, MIN(c.doc_id) AS dup_of
+          FROM exploded n
+          JOIN exploded c
+            ON n.band_id = c.band_id AND n.band_val = c.band_val
+          WHERE n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+          GROUP BY n.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(h.dup_of, -1) AS dup_of,
+               CAST(h.dup_of IS NOT NULL AS INT) AS is_dup
+        FROM documents d
+        LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE d.doc_id < 300 AND d.doc_id % 5 = 0
+        """,
+    )
+    def d10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+        batch = docs.filter(F.col("doc_id") % 5 == 0)
+        # in production the index is read back from a snapshot
+        # parquet; building it inline here keeps the gate hermetic
+        # (tests/test_dedup.py covers the persisted round-trip)
+        index = banded_minhash(corpus, num_hashes=16, bands=4, hash_fn="md5")
+        return incremental_near_dups(
+            batch, index, num_hashes=16, bands=4, hash_fn="md5"
+        )
+
+    return d10_incremental_dedup
+
+
+_register_incremental_dedup()
 
 
 # ---------------------------------------------------------------------------

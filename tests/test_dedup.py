@@ -282,3 +282,54 @@ def test_semdedup_pairs_clusters_confine_comparisons(spark):
     assert all(cluster_of[x] == cluster_of[y] for x, y in got)
     # ids ordered within each pair
     assert all(x < y for x, y in got)
+
+
+def test_incremental_dedup_persisted_index_roundtrip(spark, sf_dir, tmp_path):
+    """The cross-snapshot path: write the banded_minhash index to
+    parquet (partitioned by band_id, as a snapshot job would), read
+    it back, and dedup a new batch against it. Results must equal
+    the inline-index run, the new side must be broadcast (the index
+    scan stays shuffle-free), and planted near-identical new docs
+    must be flagged with the right corpus attribution."""
+    from parquet_pipeline_spark.operators.dedup import (
+        banded_minhash,
+        incremental_near_dups,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter("doc_id % 4 != 0")
+    # new batch: held-out fixture docs + a planted exact copy of a
+    # corpus doc under a fresh id
+    planted_src = corpus.orderBy("doc_id").first()
+    batch = docs.filter("doc_id % 4 = 0").unionByName(
+        spark.createDataFrame(
+            [(900000, planted_src["text"], "en", "web", len(planted_src["text"]))],
+            docs.schema,
+        )
+    )
+
+    idx_path = str(tmp_path / "minhash_index")
+    banded_minhash(corpus, num_hashes=16, bands=4).write.partitionBy(
+        "band_id"
+    ).parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    out = incremental_near_dups(batch, index, num_hashes=16, bands=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # batch side broadcast
+
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == batch.count()
+    planted = rows[900000]
+    assert planted["is_dup"] == 1
+    assert planted["dup_of"] == planted_src["doc_id"]
+
+    inline = incremental_near_dups(
+        batch,
+        banded_minhash(corpus, num_hashes=16, bands=4),
+        num_hashes=16,
+        bands=4,
+    )
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        (r["doc_id"], r["dup_of"], r["is_dup"]) for r in rows.values()
+    )
