@@ -1141,10 +1141,28 @@ def semdedup_pairs(
 )
 def d08_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query pins n_centroids=8 for oracle comparability at
-    sf0.01 (the oracle's cents CTE is vec_id < 8 = the 8 lowest
-    ids); scale usage grows n_centroids with the corpus."""
+    sf0.01 (the oracle's cents CTE is the 8 lowest ids); scale usage
+    grows n_centroids with the corpus — that policy is what d09
+    exercises."""
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     return semdedup_pairs(emb, n_centroids=8, threshold=0.30)
+
+
+@register("d09_semdedup_scaled")  # rows-only: n_centroids is data-dependent
+def d09_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-POLICY variant of d08: n_centroids = max(n/64, 8)
+    so per-cluster pairwise work stays O(64²) regardless of corpus
+    size — the sf1/sf5 sweep measured the fixed-k=8 pin going
+    quadratic (e=1.42) while this policy stays linear (BENCH_NOTES
+    r5/r6). Rows-only by design: the centroid COUNT depends on a
+    distributed count(), so the oracle twin (d08) pins k instead;
+    the machinery (assignment, within-cluster pairs, tie-breaks) is
+    identical and hash-checked there. Pair-level invariants
+    (cos >= threshold, keep_id < dup_id, same-cluster confinement)
+    are asserted in tests/test_dedup.py."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n = emb.count()
+    return semdedup_pairs(emb, n_centroids=max(n // 64, 8), threshold=0.30)
 
 
 # ---------------------------------------------------------------------------

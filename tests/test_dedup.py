@@ -333,3 +333,26 @@ def test_incremental_dedup_persisted_index_roundtrip(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, inline.collect())) == sorted(
         (r["doc_id"], r["dup_of"], r["is_dup"]) for r in rows.values()
     )
+
+
+def test_d09_semdedup_scaled_invariants(spark):
+    """d09's rows-only driver check is backed here: pairs exist on
+    the fixture, every pair respects the threshold / id-order /
+    same-cluster contracts, and the centroid count follows the
+    n/64 policy."""
+    from parquet_pipeline_spark import registry
+
+    registry.load_all()
+    out = registry.QUERIES["d09_semdedup_scaled"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(out) > 0
+    n_vec = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    ).count()
+    k = max(n_vec // 64, 8)
+    for r in out:
+        assert r["cos_sim"] >= 0.30 - 1e-9
+        assert r["keep_id"] < r["dup_id"]
+    # cluster ids are centroid vec_ids: the k lowest ids
+    assert {r["cluster_id"] for r in out} <= set(range(k))
