@@ -147,6 +147,103 @@ def read_excel_sheets(
     return out
 
 
+def read_excel_fleet(
+    spark: SparkSession, glob_path: str, clean: bool = True, sample_path: str | None = None
+) -> dict[str, DataFrame]:
+    """Distributed multi-FILE Excel ingestion: a fleet of same-layout
+    workbooks (per-month exports, per-region uploads) parsed on
+    EXECUTORS instead of a driver loop.
+
+    One .xlsx is a zip (not splittable), but a *fleet* of them
+    parallelizes per file: ``binaryFile`` scans the workbook bytes
+    across tasks and ``mapInPandas`` runs the stdlib zip+XML parser
+    (sources/xlsx.py) next to the data — at 10k workbooks the driver
+    touches ONE sample file for schema and never sees the rest
+    (reference analog: the driver-side sheet loop,
+    duckdb_util.py:263; ``read_excel_sheets`` keeps that shape for
+    single ingestion-sized workbooks).
+
+    Returns {sheet_logical_name: DataFrame}, each with a
+    ``_src_file`` column; per-file sheets are aligned to the sample
+    header by NAME (missing columns → null, extra columns dropped),
+    so a straggler workbook with reordered columns can't silently
+    shift values.
+    """
+    import glob as _glob
+
+    import pandas as pd
+
+    from parquet_pipeline_spark.catalog import logical_name
+    from parquet_pipeline_spark.sources.xlsx import read_xlsx
+
+    if sample_path is None:
+        matches = sorted(_glob.glob(glob_path))
+        if not matches:
+            raise FileNotFoundError(f"no workbooks match {glob_path!r}")
+        sample_path = matches[0]
+    layout = read_xlsx(sample_path)
+
+    bf = spark.read.format("binaryFile").load(glob_path).select("path", "content")
+
+    def _spark_type(vals) -> str:
+        vals = [v for v in vals if v is not None]
+        if vals and all(isinstance(v, bool) for v in vals):
+            return "boolean"
+        if vals and all(
+            isinstance(v, int) and not isinstance(v, bool) for v in vals
+        ):
+            return "bigint"
+        if vals and all(
+            isinstance(v, (int, float)) and not isinstance(v, bool) for v in vals
+        ):
+            return "double"
+        return "string"
+
+    out: dict[str, DataFrame] = {}
+    for sheet_name, (header, rows) in layout.items():
+        if not rows:
+            continue
+        types = [_spark_type([r[i] for r in rows]) for i in range(len(header))]
+        schema = ", ".join(
+            ["`_src_file` string"]
+            + [f"`{h}` {t}" for h, t in zip(header, types)]
+        )
+
+        def parse(batches, sheet=sheet_name, header=tuple(header), types=tuple(types)):
+            caster = {
+                "bigint": "Int64",
+                "double": "float64",
+                "boolean": "boolean",
+                "string": "object",
+            }
+            for pdf in batches:
+                for path, content in zip(pdf["path"], pdf["content"]):
+                    parsed = read_xlsx(bytes(content)).get(sheet)
+                    if not parsed or not parsed[1]:
+                        continue
+                    f_header, f_rows = parsed
+                    local = pd.DataFrame(f_rows, columns=[str(h) for h in f_header])
+                    # align by NAME to the sample layout
+                    local = local.reindex(columns=list(header))
+                    for h, t in zip(header, types):
+                        if t in ("bigint", "double"):
+                            local[h] = pd.to_numeric(local[h], errors="coerce").astype(
+                                caster[t]
+                            )
+                        elif t == "boolean":
+                            local[h] = local[h].astype(caster[t])
+                        else:
+                            local[h] = local[h].map(
+                                lambda v: None if v is None else str(v)
+                            )
+                    local.insert(0, "_src_file", path)
+                    yield local
+
+        df = bf.mapInPandas(parse, schema)
+        out[logical_name(sheet_name)] = clean_columns(df) if clean else df
+    return out
+
+
 def read_any(spark: SparkSession, path: str, clean: bool = True) -> dict[str, DataFrame]:
     """Format-dispatched read: returns {logical_name: DataFrame}
     (a dict because Excel fans out to one table per sheet)."""

@@ -63,10 +63,18 @@ def _cell_value(cell, shared: list[str]):
         return txt
 
 
-def read_xlsx(path: str) -> dict[str, tuple[list[str], list[list]]]:
+def read_xlsx(path) -> dict[str, tuple[list[str], list[list]]]:
     """Parse every sheet → {sheet_name: (header_row, data_rows)}.
     Rows are padded/truncated to the header width; empty sheets are
-    dropped (reference behavior: skip empty sheets)."""
+    dropped (reference behavior: skip empty sheets).
+
+    ``path`` may be a filesystem path OR raw workbook bytes — the
+    bytes form is what the distributed reader feeds from a
+    ``binaryFile`` scan on executors."""
+    if isinstance(path, (bytes, bytearray)):
+        import io
+
+        path = io.BytesIO(bytes(path))
     out: dict[str, tuple[list[str], list[list]]] = {}
     with zipfile.ZipFile(path) as z:
         # shared strings (may be absent)

@@ -495,3 +495,43 @@ def test_overwrite_partitions_touches_only_written_ones(spark, tmp_path):
         ("2024-01-02", 3): 33.0, ("2024-01-02", 5): 50.0,   # replaced
         ("2024-01-03", 4): 40.0,                            # untouched
     }
+
+
+def test_excel_fleet_distributed_multifile(spark, tmp_path):
+    """A4 at scale: many same-layout workbooks parsed on executors
+    via binaryFile+mapInPandas; per-file sheets align to the sample
+    header by NAME (reorder-proof, missing -> null)."""
+    from parquet_pipeline_spark.sources.readers import read_excel_fleet
+
+    fleet = tmp_path / "fleet"
+    fleet.mkdir()
+    _make_xlsx(
+        str(fleet / "m01.xlsx"),
+        {"Data": (["Name", "Amount", "Active"], [["a1", 10, True], ["a2", 20.5, False]])},
+    )
+    # reordered columns + an extra one: must realign by name
+    _make_xlsx(
+        str(fleet / "m02.xlsx"),
+        {"Data": (["Active", "Name", "Extra", "Amount"], [[True, "b1", "x", 30]])},
+    )
+    # missing the Amount column: nulls
+    _make_xlsx(
+        str(fleet / "m03.xlsx"),
+        {"Data": (["Name", "Active"], [["c1", False]])},
+    )
+
+    out = read_excel_fleet(spark, str(fleet / "*.xlsx"))
+    assert set(out) == {"data"}
+    df = out["data"]
+    # clean_columns normalizes `_src_file` -> `src_file`
+    assert df.columns == ["src_file", "name", "amount", "active"]
+    rows = {r["name"]: r for r in df.collect()}
+    assert len(rows) == 4
+    assert rows["a2"]["amount"] == 20.5 and rows["a2"]["active"] is False
+    assert rows["b1"]["amount"] == 30.0 and rows["b1"]["active"] is True
+    assert rows["c1"]["amount"] is None
+    assert rows["a1"]["src_file"].endswith("m01.xlsx")
+    assert rows["b1"]["src_file"].endswith("m02.xlsx")
+    # the parse runs in executor tasks over a binaryFile scan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan

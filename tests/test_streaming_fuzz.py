@@ -1,0 +1,307 @@
+"""Seeded property-fuzz of the streaming≡batch equivalences.
+
+The example-based twin tests in test_streaming.py pin one hand-built
+scenario each; these generate random event streams — random key
+cardinality, random timestamps, shuffled in-batch order, bounded
+cross-batch lateness — and assert the stateful streaming operators
+agree with their batch twins on every emitted row. Mirrors what
+tools/fuzz_oracle.py does for the SQL surface.
+
+Disorder contracts exercised per operator (from the implementations):
+- asof / funnel BUFFER events inside the watermark horizon, so rows
+  may arrive a batch late (displacement < watermark) and must still
+  resolve in timestamp order.
+- sessionize folds each batch in sorted order but does NOT buffer
+  across batches — batches are time-ordered cuts (in-batch shuffle
+  only), the operator's documented delivery contract.
+- dedup guarantees first-BATCH arrival wins (within-batch pick is
+  tied to task order), so the oracle checks the batch index.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+from datetime import datetime, timedelta
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from parquet_pipeline_spark.streaming.events import read_event_stream
+
+BASE = datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _fmt(sec: int) -> str:
+    return (BASE + timedelta(seconds=sec)).strftime("%Y-%m-%d %H:%M:%S")
+
+
+def _write_batches(tmp_path, name, batches):
+    import os
+    import time
+
+    src = tmp_path / name
+    src.mkdir()
+    now = time.time()
+    for i, b in enumerate(batches):
+        p = src / f"b{i}.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in b))
+        # FileStreamSource orders pending files by modification time;
+        # small files written in a tight loop can share an mtime tick,
+        # making micro-batch order (and thus state evolution)
+        # nondeterministic — pin strictly increasing mtimes
+        os.utime(p, (now + i, now + i))
+    return str(src)
+
+
+def _run_stream(spark, df, table):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    return spark.sql(f"SELECT * FROM {table}").collect()
+
+
+def _ev(eid, sec, uid, kind, val=0.0):
+    return {
+        "event_id": eid,
+        "ts": _fmt(sec),
+        "user_id": uid,
+        "event_type": kind,
+        "value": val,
+        "props": "{}",
+    }
+
+
+def _gen_keyed_events(rng, kinds, n_users, n_events, span_sec):
+    """Events with UNIQUE per-user timestamps (tie order between
+    engines is not part of any operator's contract), random kinds,
+    random values."""
+    rows = []
+    eid = 0
+    for uid in range(1, n_users + 1):
+        k = max(2, n_events // n_users + rng.randint(-2, 2))
+        for sec in rng.sample(range(span_sec), k):
+            eid += 1
+            rows.append((sec, _ev(eid, sec, uid, rng.choice(kinds), round(rng.uniform(1, 100), 2))))
+    rows.sort(key=lambda r: r[0])
+    return rows
+
+
+def _cut_batches(rng, rows, n_batches, displace_sec, span_sec):
+    """Time-ordered cuts, shuffled within each batch; with
+    displace_sec > 0, rows within that distance of a cut boundary
+    may slip one batch LATER (bounded lateness — stays inside the
+    watermark horizon)."""
+    cuts = [span_sec * (i + 1) // n_batches for i in range(n_batches)]
+    batches = [[] for _ in range(n_batches)]
+    for sec, ev in rows:
+        bi = next(i for i, c in enumerate(cuts) if sec < c)
+        if (
+            displace_sec
+            and bi + 1 < n_batches
+            and cuts[bi] - sec < displace_sec
+            and rng.random() < 0.5
+        ):
+            bi += 1  # arrives one batch late, within the horizon
+        batches[bi].append(ev)
+    for b in batches:
+        rng.shuffle(b)
+    return [b for b in batches if b]
+
+
+SEEDS = [7, 23, 91]
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fuzz_streaming_asof_matches_batch(spark, tmp_path, seed):
+    from parquet_pipeline_spark.operators.temporal import asof_join
+    from parquet_pipeline_spark.streaming.events import streaming_asof_join
+
+    rng = random.Random(seed)
+    n_users = rng.randint(2, 6)
+    span = 2 * 3600
+    rows = _gen_keyed_events(rng, ["quote", "probe"], n_users, rng.randint(30, 60), span)
+    batches = _cut_batches(rng, rows, rng.randint(3, 5), displace_sec=300, span_sec=span)
+    # watermark pusher: a quote per user far past everything
+    batches.append([_ev(100000 + u, span + 8 * 3600, u, "quote", 1.0) for u in range(1, n_users + 1)])
+    src = _write_batches(tmp_path, f"asof_fuzz_{seed}", batches)
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "probe").withColumnRenamed("event_id", "id"),
+            df.filter(F.col("event_type") == "quote").withColumnRenamed("value", "rate"),
+        )
+
+    s_probes, s_quotes = split(read_event_stream(spark, src, fmt="json", max_files=1))
+    got = {
+        r["id"]: r["rate"]
+        for r in _run_stream(
+            spark,
+            streaming_asof_join(
+                s_probes, s_quotes, by="user_id", ts_col="ts",
+                probe_id_col="id", value_col="rate", watermark="45 minutes",
+            ),
+            f"asof_fuzz_t{seed}",
+        )
+    }
+
+    all_rows = [r for _, r in rows]  # REAL events only (no pusher)
+    batch_df = spark.createDataFrame(
+        [(r["event_id"], r["ts"], r["user_id"], r["event_type"], r["value"]) for r in all_rows],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b_probes, b_quotes = split(batch_df)
+    expected = {
+        r["id"]: r["rate"]
+        for r in asof_join(b_probes, b_quotes, "ts", "rate", by=["user_id"]).collect()
+    }
+    # every real probe is past the final watermark -> all must emit,
+    # with exactly the batch as-of value (incl. no-prior-quote nulls)
+    real_probe_ids = {r["event_id"] for r in all_rows if r["event_type"] == "probe"}
+    assert set(got) == real_probe_ids, (set(got) ^ real_probe_ids)
+    assert got == {k: expected[k] for k in got}
+    assert len(real_probe_ids) > 0
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fuzz_streaming_funnel_matches_batch(spark, tmp_path, seed):
+    from parquet_pipeline_spark.streaming.events import streaming_funnel
+
+    rng = random.Random(seed)
+    stages = ("view", "click", "purchase")
+    n_users = rng.randint(2, 6)
+    span = 2 * 3600
+    rows = _gen_keyed_events(rng, list(stages), n_users, rng.randint(30, 60), span)
+    batches = _cut_batches(rng, rows, rng.randint(3, 5), displace_sec=300, span_sec=span)
+    batches.append([_ev(999999, span + 8 * 3600, 999, "view")])  # pusher
+    src = _write_batches(tmp_path, f"funnel_fuzz_{seed}", batches)
+
+    stream = read_event_stream(spark, src, fmt="json", max_files=1)
+    got = {
+        (r["user_id"], r["stage"], str(r["ts"]))
+        for r in _run_stream(
+            spark, streaming_funnel(stream, watermark="45 minutes"), f"funnel_fuzz_t{seed}"
+        )
+        if r["user_id"] != 999
+    }
+
+    # batch oracle: fold ALL of a user's events in timestamp order —
+    # stage 1 at the first stages[0] event, stage k at the first
+    # stages[k-1] event strictly after the stage-(k-1) ts, each
+    # stage set once (q77's transition semantics)
+    stage_of = {s: i + 1 for i, s in enumerate(stages)}
+    per_user: dict = {}
+    for sec, ev in rows:
+        per_user.setdefault(ev["user_id"], []).append((sec, stage_of[ev["event_type"]]))
+    expected = set()
+    for uid, evs in per_user.items():
+        reached = [None] * len(stages)
+        for sec, s in sorted(evs):
+            if reached[s - 1] is not None:
+                continue
+            if s == 1 or (reached[s - 2] is not None and sec > reached[s - 2]):
+                reached[s - 1] = sec
+                expected.add((uid, s, _fmt(sec)))
+    assert got == expected, got ^ expected
+    assert len(expected) > 0
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fuzz_streaming_sessionize_matches_batch(spark, tmp_path, seed):
+    from pyspark.sql import Window as W
+
+    from parquet_pipeline_spark.operators.temporal import sessionize
+    from parquet_pipeline_spark.streaming.events import streaming_sessionize
+
+    rng = random.Random(seed)
+    n_users = rng.randint(2, 6)
+    span = 6 * 3600
+    rows = _gen_keyed_events(rng, ["click"], n_users, rng.randint(40, 80), span)
+    # sessionize contract: time-ordered batches (no cross-batch slip)
+    batches = _cut_batches(rng, rows, rng.randint(3, 6), displace_sec=0, span_sec=span)
+    src = _write_batches(tmp_path, f"sess_fuzz_{seed}", batches)
+    gap = rng.choice([600, 900, 1800])
+
+    stream = read_event_stream(spark, src, fmt="json", max_files=1)
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in _run_stream(
+            spark, streaming_sessionize(stream, gap_seconds=gap), f"sess_fuzz_t{seed}"
+        )
+    }
+
+    all_rows = [r for _, r in rows]
+    batch_df = spark.createDataFrame(
+        [(r["event_id"], r["ts"], r["user_id"]) for r in all_rows],
+        "event_id long, ts string, user_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch = (
+        sessionize(batch_df, gap_seconds=gap)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    w = W.partitionBy("user_id")
+    closed = batch.withColumn("_m", F.max("session_id").over(w)).filter(
+        F.col("session_id") < F.col("_m")
+    )
+    expected = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in closed.collect()
+    }
+    assert got == expected, got ^ expected
+    assert len(expected) > 0  # the random gaps actually closed sessions
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fuzz_streaming_dedup_matches_batch(spark, tmp_path, seed):
+    from parquet_pipeline_spark.streaming.events import streaming_dedup
+
+    rng = random.Random(seed)
+    n_keys = rng.randint(3, 8)
+    span = 3600
+    # duplicated (user_id, event_type) pairs scattered across batches
+    rows = []
+    eid = 0
+    for _ in range(rng.randint(30, 60)):
+        eid += 1
+        sec = rng.randrange(span)
+        rows.append(
+            (sec, _ev(eid, sec, rng.randrange(n_keys), rng.choice(["click", "view"])))
+        )
+    rows.sort(key=lambda r: r[0])
+    batches = _cut_batches(rng, rows, rng.randint(2, 4), displace_sec=0, span_sec=span)
+    src = _write_batches(tmp_path, f"dedup_fuzz_{seed}", batches)
+
+    stream = read_event_stream(spark, src, fmt="json", max_files=1)
+    out = _run_stream(
+        spark,
+        streaming_dedup(stream, ["user_id", "event_type"], watermark="1 day"),
+        f"dedup_fuzz_t{seed}",
+    )
+
+    first_batch = {}
+    key_ids = {}
+    for bi, b in enumerate(batches):
+        for r in b:
+            k = (r["user_id"], r["event_type"])
+            first_batch.setdefault(k, bi)
+            key_ids.setdefault(k, set()).add(r["event_id"])
+    got_keys = [(r["user_id"], r["event_type"]) for r in out]
+    assert sorted(got_keys) == sorted(first_batch)  # exactly one row per key
+    for r in out:
+        k = (r["user_id"], r["event_type"])
+        assert r["event_id"] in key_ids[k]
+        # the survivor came from the key's FIRST batch (state wins)
+        assert any(
+            x["event_id"] == r["event_id"] for x in batches[first_batch[k]]
+        ), (k, r["event_id"])
