@@ -26,17 +26,19 @@ registry.load_all()
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
-def _verified_names() -> set[str]:
-    """Names already green in a prior round's CORRECTNESS_r*.json.
+def _last_green_round() -> dict[str, int]:
+    """name → the LATEST round whose CORRECTNESS_r*.json holds a
+    green row for it (absent = never officially verified).
 
     The driver verifies queries in the iteration order of ``queries()``
     and may stop before the end (round 1 recorded exactly the first 50
-    names).  We surface *unverified* queries first so every round's
-    verification budget goes to queries without an official green row.
+    names), so ordering is how we steer its budget.
     """
-    seen: set[str] = set()
+    last: dict[str, int] = {}
     here = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    for rnd, path in enumerate(
+        sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))), start=1
+    ):
         try:
             with open(path) as fh:
                 data = json.load(fh)
@@ -45,34 +47,36 @@ def _verified_names() -> set[str]:
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
-            green = row.get("rows_match") and row.get("schema_match")
             if name in registry.ORACLES:
-                green = green and row.get("hash_match")
+                green = bool(
+                    row.get("rows_match")
+                    and row.get("schema_match")
+                    and row.get("hash_match")
+                )
+            else:
+                # deliberate rows-only query: its official row is the
+                # driver's weaker ran-and-produced-rows check
+                green = bool(row.get("rows_match") and row.get("schema_match")) or (
+                    row.get("err") == "no_oracle"
+                    and row.get("spark_rows") is not None
+                )
             if green:
-                seen.add(name)
-    return seen
-
-
-def _round_index() -> int:
-    here = os.path.dirname(os.path.abspath(__file__))
-    return len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+                last[name] = rnd
+    return last
 
 
 def _priority_order(mapping: dict) -> dict:
-    """Unverified queries first; then previously-verified queries in a
-    per-round ROTATED order, so the driver's fixed verification budget
-    re-checks a different slice of the green set every round and a
-    regression in an old query can't hide behind its stale green row
-    forever (each green query cycles back to the front within ~3
-    rounds)."""
-    verified = _verified_names()
+    """Never-verified queries first; then previously-green queries by
+    STALENESS (oldest official green row first). The driver's fixed
+    per-round budget therefore always refreshes the rows that have
+    gone longest without an official re-check — a regression in an
+    old query can't hide behind a stale green row, and as new rows
+    land the ordering rotates through the whole registry on its own."""
+    last = _last_green_round()
     names = list(registry.QUERIES)
-    unverified = [n for n in names if n not in verified]
-    green = [n for n in names if n in verified]
-    if green:
-        step = max(1, len(green) // 3)
-        k = (_round_index() * step) % len(green)
-        green = green[k:] + green[:k]
+    pos = {n: i for i, n in enumerate(names)}
+    unverified = [n for n in names if n not in last]
+    green = sorted((n for n in names if n in last), key=lambda n: (last[n], pos[n]))
     ordered = unverified + green
     return {n: mapping[n] for n in ordered if n in mapping}
 
