@@ -607,6 +607,77 @@ def stream_upsert_to_parquet(
     return writer.start()
 
 
+def streaming_incremental_dedup(
+    doc_stream: DataFrame,
+    index_path: str,
+    dest: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    ngram: int = 3,
+    hash_fn: str = "xxhash64",
+    update_index: bool = True,
+    index_partitioned: bool = True,
+    trigger_once: bool = True,
+):
+    """Continuous cross-snapshot dedup: each micro-batch of NEW
+    documents is flagged against the PERSISTED corpus fingerprint
+    index (``banded_minhash`` parquet — d10's batch operator applied
+    per micro-batch via foreachBatch), then (``update_index``) the
+    batch's own fingerprints are APPENDED to the index so later
+    batches dedup against earlier ones — the index stays current
+    with zero corpus rescans, which is the whole point at 100 TB.
+
+    foreachBatch is the right construct here: the flag is a
+    per-batch groupBy against a static side, not cross-batch
+    operator state — the durable state IS the index parquet, shared
+    with the batch pipeline. Within one micro-batch, documents are
+    not checked against each other (fingerprints append after the
+    check); in-batch self-dedup remains ``lsh_candidate_pairs``'s
+    job.
+
+    Appends (id, dup_of, is_dup) rows to ``dest``.
+    """
+    from parquet_pipeline_spark.operators.dedup import (
+        banded_minhash,
+        incremental_near_dups,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        batch_df = batch_df.localCheckpoint()  # read source bytes once
+        spark = batch_df.sparkSession
+        kw = dict(
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            ngram=ngram,
+            hash_fn=hash_fn,
+        )
+        index = spark.read.parquet(index_path)
+        flags = incremental_near_dups(batch_df, index, **kw)
+        flags.write.mode("append").parquet(dest)
+        if update_index:
+            # the append must MATCH the index's on-disk layout: mixing
+            # root files into a band_id-partitioned tree makes parquet
+            # partition discovery drop one side silently
+            w = banded_minhash(batch_df, **kw).write.mode("append")
+            if index_partitioned:
+                w = w.partitionBy("band_id")
+            w.parquet(index_path)
+
+    writer = doc_stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_span_filter(
     doc_stream: DataFrame,
     text_col: str = "text",

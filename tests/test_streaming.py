@@ -755,3 +755,73 @@ def test_streaming_bloom_prefilter_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == expected and got
+
+
+def test_streaming_incremental_dedup_index_grows(spark, sf_dir, tmp_path):
+    """Continuous cross-snapshot dedup: batch 1 docs flag against the
+    corpus index; batch 2 docs flag against corpus AND batch 1 (the
+    foreachBatch loop appends each batch's fingerprints), with zero
+    re-reads of corpus text."""
+    import json as _json
+
+    from parquet_pipeline_spark.operators.dedup import banded_minhash
+    from parquet_pipeline_spark.streaming.events import (
+        streaming_incremental_dedup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter("doc_id % 3 != 0").select("doc_id", "text")
+    idx_path = str(tmp_path / "corpus_idx")
+    banded_minhash(corpus, num_hashes=16, bands=4).write.partitionBy(
+        "band_id"
+    ).parquet(idx_path)
+
+    c_row = corpus.orderBy("doc_id").first()  # a corpus doc to clone
+    held_out = [
+        (r["doc_id"], r["text"])
+        for r in docs.filter("doc_id % 3 = 0").orderBy("doc_id").limit(4).collect()
+    ]
+    b1 = [
+        {"doc_id": 500000, "text": c_row["text"]},      # dup of corpus
+        {"doc_id": 500001, "text": held_out[0][1]},
+        {"doc_id": 500002, "text": held_out[1][1]},
+    ]
+    b2 = [
+        {"doc_id": 600000, "text": c_row["text"]},      # dup of corpus
+        {"doc_id": 600001, "text": b1[1]["text"]},      # dup of BATCH 1 doc
+        {"doc_id": 600002, "text": held_out[2][1]},
+    ]
+    src = tmp_path / "doc_stream"
+    src.mkdir()
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    for i, b in enumerate([b1, b2]):
+        p = src / f"b{i}.jsonl"
+        p.write_text("\n".join(_json.dumps(r) for r in b))
+        _os.utime(p, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    dest = str(tmp_path / "flags")
+    q = streaming_incremental_dedup(
+        stream, idx_path, dest, str(tmp_path / "ckpt"),
+        num_hashes=16, bands=4,
+    )
+    q.awaitTermination(180)
+
+    out = {r["doc_id"]: r for r in spark.read.parquet(dest).collect()}
+    assert len(out) == 6
+    assert out[500000]["is_dup"] == 1 and out[500000]["dup_of"] == c_row["doc_id"]
+    assert out[600000]["is_dup"] == 1
+    # 600001 duplicates a batch-1 doc — only findable because the
+    # index grew; its dup_of is the batch-1 id (or an even lower
+    # colliding corpus id, but it MUST be flagged)
+    assert out[600001]["is_dup"] == 1
+    # the index now carries corpus + both batches' fingerprints
+    idx_ids = {r["doc_id"] for r in spark.read.parquet(idx_path).select("doc_id").distinct().collect()}
+    assert {500000, 500001, 500002, 600000, 600001, 600002} <= idx_ids
