@@ -195,7 +195,11 @@ def frame_sample(decoded: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame-sampling plan: explode n_frames into frame indices and
     keep every n-th — pure column expressions (the decode already
     happened); the real pipeline would carry frame payloads."""
-    frames = F.sequence(F.lit(0), F.col("n_frames") - 1)
+    # guard n_frames == 0 (sequence(0, -1) descends to [0, -1] and
+    # would emit bogus frame_idx rows for frameless media)
+    frames = F.when(
+        F.col("n_frames") >= 1, F.sequence(F.lit(0), F.col("n_frames") - 1)
+    ).otherwise(F.array().cast("array<int>"))
     return (
         decoded.select(
             "media_id",

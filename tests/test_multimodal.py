@@ -188,3 +188,17 @@ def test_extract_raw_frames_slices_exact_bytes(spark):
     assert set(rows) == {(1, 0), (1, 2), (1, 4), (2, 0)}
     for (mid, k), b in rows.items():
         assert b == bytes([k]) * fsize
+
+
+def test_frame_sample_zero_frames_emits_nothing(spark):
+    """n_frames = 0 must yield zero rows, not a bogus frame_idx 0
+    (descending-sequence guard, same class as extract_raw_frames)."""
+    from parquet_pipeline_spark.operators.multimodal import frame_sample
+
+    decoded = spark.createDataFrame(
+        [(1, "video", 4, 4, 0, []), (2, "video", 4, 4, 3, [])],
+        "media_id long, modality string, width int, height int, n_frames int, feature array<float>",
+    )
+    out = frame_sample(decoded, every_n=1).toPandas()
+    assert sorted(out[out["media_id"] == 2]["frame_idx"]) == [0, 1, 2]
+    assert len(out[out["media_id"] == 1]) == 0
