@@ -408,14 +408,11 @@ def ivf_centroids(emb: DataFrame, k: int = 16, id_col: str = "vec_id") -> list[t
     return [(i, [float(x) for x in r["embedding"]]) for i, r in enumerate(rows)]
 
 
-def ivf_topk(
-    emb: DataFrame,
-    centroids: list[tuple[int, list[float]]],
-    query_vec: list[float],
-    k: int = 10,
-    nprobe: int = 4,
-) -> DataFrame:
-    """Probe the nprobe nearest cells, exact-score only those."""
+def _probe_cells(
+    centroids: list[tuple[int, list[float]]], query_vec: list[float], nprobe: int
+) -> list[int]:
+    """The nprobe nearest centroid cells to the query (driver-side:
+    k is small). Ties to the larger cid, mirroring ivf_assign."""
     import math
 
     def cos(a, b):
@@ -425,9 +422,64 @@ def ivf_topk(
     probed = sorted(
         ((cos(query_vec, vec), cid) for cid, vec in centroids), reverse=True
     )[:nprobe]
-    cells = [cid for _, cid in probed]
+    return [cid for _, cid in probed]
+
+
+def ivf_topk(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe the nprobe nearest cells, exact-score only those."""
+    cells = _probe_cells(centroids, query_vec, nprobe)
     assigned = ivf_assign(emb, centroids)
     return topk(assigned.filter(F.col("cell").isin(cells)), query_vec, k=k)
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    path: str,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus as an on-disk IVF index: one parquet
+    PARTITION per centroid cell. A query then touches only its
+    nprobe probed cell directories via static partition pruning —
+    at 100 TB the scan cost is ~nprobe/k of the corpus with zero
+    compute spent re-assigning cells per query (the in-memory
+    ``ivf_topk`` pays the assignment scan every time).
+
+    ``mode='append'`` is the INCREMENTAL maintenance path: assign
+    only the NEW vectors against the frozen centroids and append
+    their cell partitions — same no-rescan shape as the minhash
+    index in incremental_near_dups."""
+    ivf_assign(emb, centroids).write.mode(mode).partitionBy("cell").parquet(path)
+
+
+def ivf_index_append(
+    new_emb: DataFrame, centroids: list[tuple[int, list[float]]], path: str
+) -> None:
+    """Add a new vector batch to a persisted IVF index (cost scales
+    with the batch; centroids stay frozen until a rebuild)."""
+    write_ivf_index(new_emb, centroids, path, mode="append")
+
+
+def ivf_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """``ivf_topk`` against a ``write_ivf_index`` layout: the cell
+    filter lands as a partition filter on the scan (plan-asserted in
+    tests), so unprobed cells are never read."""
+    cells = _probe_cells(centroids, query_vec, nprobe)
+    df = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    return topk(df, query_vec, k=k)
 
 
 @register(

@@ -283,3 +283,45 @@ def test_mmr_rerank_diversifies_and_is_deterministic(spark):
     plain_clusters = {i // 2 for i in plain}
     assert len(clusters) > len(plain_clusters), (ids, plain)
     assert got == mmr_rerank(df, query, k=4, pool=8, lam=0.5)  # deterministic
+
+
+def test_ivf_persisted_index_prunes_and_appends(spark, sf_dir, tmp_path):
+    """The on-disk IVF layout: results equal the in-memory ivf_topk,
+    the scan reads ONLY probed cell partitions (partition pruning),
+    and an appended vector batch is findable without reassigning the
+    old corpus."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.vectors import (
+        ivf_centroids,
+        ivf_index_append,
+        ivf_topk,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    corpus = emb.filter("vec_id != 0")
+    cents = ivf_centroids(corpus, k=8)
+
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(corpus, cents, path)
+
+    indexed = ivf_topk_indexed(spark, path, cents, qv, k=10, nprobe=3)
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell#" in plan or "cell IN" in plan, plan
+    got = [(r["vec_id"], round(r["score"], 6)) for r in indexed.collect()]
+    want = [
+        (r["vec_id"], round(r["score"], 6))
+        for r in ivf_topk(corpus, cents, qv, k=10, nprobe=3).collect()
+    ]
+    assert got == want and len(got) == 10
+
+    # incremental append: a synthetic near-query vector must now win
+    new = spark.createDataFrame(
+        [(990000, qv, 7)], "vec_id long, embedding array<float>, label int"
+    )
+    ivf_index_append(new, cents, path)
+    top1 = ivf_topk_indexed(spark, path, cents, qv, k=1, nprobe=3).first()
+    assert top1["vec_id"] == 990000 and abs(top1["score"] - 1.0) < 1e-6
