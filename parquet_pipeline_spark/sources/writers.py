@@ -146,6 +146,14 @@ def compact(
     import os as _os
 
     _recover_and_clean(path, "._compacting")
+    if any(
+        "=" in f.name for f in _os.scandir(path) if f.is_dir()
+    ):
+        raise ValueError(
+            f"{path} is hive-partitioned; plain compact() would rewrite "
+            "it FLAT and silently break partition pruning — use "
+            "compact_partitioned() instead"
+        )
     df = spark.read.parquet(path)
     total_bytes = sum(
         f.stat().st_size
@@ -158,6 +166,45 @@ def compact(
     write_parquet(arranged, tmp)
     _swap(path, tmp)
     return sum(1 for f in _os.scandir(path) if f.name.endswith(".parquet"))
+
+
+def compact_partitioned(
+    spark,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction that PRESERVES a hive-partitioned
+    layout (and therefore partition pruning). This is the
+    maintenance pass for the growing incremental indexes — the
+    minhash index (partitionBy band_id) and the IVF index
+    (partitionBy cell) gain a few tiny part-files per appended
+    batch; after N batches a band scan schedules N tasks for
+    kilobytes each.
+
+    One shuffle on the partition columns puts each partition value
+    in one task, so the rewrite lands exactly one file per partition
+    directory (``sort_cols`` orders rows inside it for row-group
+    stats). Same tmp-dir + rename swap crash story as ``compact``.
+    Returns the new total file count."""
+    import os as _os
+
+    _recover_and_clean(path, "._compacting")
+    df = spark.read.parquet(path)
+    arranged = df.repartition(*partition_cols)
+    if sort_cols:
+        arranged = arranged.sortWithinPartitions(*sort_cols)
+    tmp = path.rstrip("/") + "._compacting"
+    arranged.write.option("compression", "zstd").partitionBy(
+        *partition_cols
+    ).parquet(tmp)
+    _swap(path, tmp)
+    return sum(
+        1
+        for root, _dirs, files in _os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
 
 
 def upsert_parquet(

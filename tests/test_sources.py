@@ -535,3 +535,51 @@ def test_excel_fleet_distributed_multifile(spark, tmp_path):
     # the parse runs in executor tasks over a binaryFile scan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan, plan
+
+
+def test_compact_partitioned_preserves_layout(spark, sf_dir, tmp_path):
+    """Index-maintenance pass: repeated appends litter a partitioned
+    index with small files; compact_partitioned rewrites to one file
+    per partition dir WITHOUT flattening the layout (pruning keeps
+    working), and plain compact() refuses the partitioned dir."""
+    import os
+
+    from parquet_pipeline_spark.operators.dedup import banded_minhash
+    from parquet_pipeline_spark.sources.writers import compact, compact_partitioned
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    # snapshot + 3 appended "batches" -> many small files per band dir
+    banded_minhash(docs.filter("doc_id % 4 = 1"), num_hashes=16, bands=4).write.partitionBy("band_id").parquet(idx)
+    for m in (2, 3, 0):
+        banded_minhash(
+            docs.filter(f"doc_id % 4 = {m}"), num_hashes=16, bands=4
+        ).write.mode("append").partitionBy("band_id").parquet(idx)
+
+    def files_per_dir():
+        return {
+            d: sum(1 for f in os.listdir(os.path.join(idx, d)) if f.endswith(".parquet"))
+            for d in os.listdir(idx)
+            if d.startswith("band_id=")
+        }
+
+    before = files_per_dir()
+    assert all(n >= 4 for n in before.values()), before
+    checksum = spark.read.parquet(idx).groupBy().agg(
+        F.count(F.lit(1)), F.sum("doc_id"), F.expr("bit_xor(band_hash)")
+    ).first()
+
+    with pytest.raises(ValueError, match="compact_partitioned"):
+        compact(spark, idx)
+
+    n_after = compact_partitioned(spark, idx, ["band_id"], sort_cols=["band_hash"])
+    after = files_per_dir()
+    assert set(after) == set(before) and all(n == 1 for n in after.values()), after
+    assert n_after == len(after)
+    back = spark.read.parquet(idx)
+    assert back.groupBy().agg(
+        F.count(F.lit(1)), F.sum("doc_id"), F.expr("bit_xor(band_hash)")
+    ).first() == checksum
+    # pruning still works on the compacted layout
+    plan = back.filter("band_id = 2")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "band_id" in plan.split("PartitionFilters")[1][:120], plan
