@@ -678,6 +678,38 @@ def streaming_incremental_dedup(
     return writer.start()
 
 
+def streaming_vector_index_append(
+    emb_stream: DataFrame,
+    centroids: list,
+    index_path: str,
+    checkpoint: str,
+    trigger_once: bool = True,
+):
+    """Continuous ANN-index maintenance: each micro-batch of new
+    embedding rows is assigned to its (frozen) IVF centroid cell and
+    appended to the partitioned on-disk index
+    (``vectors.write_ivf_index`` layout) — the vector twin of
+    ``streaming_incremental_dedup``'s fingerprint appends. Queries
+    via ``ivf_topk_indexed`` see new vectors as soon as their batch
+    commits; centroids stay fixed until an offline rebuild, so the
+    per-batch cost is batch-sized (one broadcast argmax, no corpus
+    rescan). Compact with ``compact_partitioned(..., ['cell'])``
+    after many small batches."""
+    from parquet_pipeline_spark.operators.vectors import write_ivf_index
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        write_ivf_index(batch_df, centroids, index_path, mode="append")
+
+    writer = emb_stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_span_filter(
     doc_stream: DataFrame,
     text_col: str = "text",

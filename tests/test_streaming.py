@@ -825,3 +825,40 @@ def test_streaming_incremental_dedup_index_grows(spark, sf_dir, tmp_path):
     # the index now carries corpus + both batches' fingerprints
     idx_ids = {r["doc_id"] for r in spark.read.parquet(idx_path).select("doc_id").distinct().collect()}
     assert {500000, 500001, 500002, 600000, 600001, 600002} <= idx_ids
+
+
+def test_streaming_vector_index_append(spark, sf_dir, tmp_path):
+    """New embedding batches stream into the partitioned IVF index;
+    an indexed query immediately retrieves a streamed vector, with
+    partition pruning intact."""
+    import json as _json
+
+    from parquet_pipeline_spark.operators.vectors import (
+        ivf_centroids,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+    from parquet_pipeline_spark.streaming.events import (
+        streaming_vector_index_append,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    corpus = emb.filter("vec_id != 0")
+    cents = ivf_centroids(corpus, k=8)
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(corpus, cents, idx)
+
+    src = tmp_path / "vec_stream"
+    src.mkdir()
+    (src / "b0.jsonl").write_text(
+        _json.dumps({"vec_id": 880000, "embedding": qv, "label": 3})
+    )
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>, label int"
+    ).json(str(src))
+    q = streaming_vector_index_append(stream, cents, idx, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    top1 = ivf_topk_indexed(spark, idx, cents, qv, k=1, nprobe=3).first()
+    assert top1["vec_id"] == 880000 and abs(top1["score"] - 1.0) < 1e-6
