@@ -924,6 +924,8 @@ def incremental_near_dups(
     ).withColumnRenamed(id_col, "_new_id")
     hits = (
         index.join(F.broadcast(new_banded), ["band_id", "band_hash"])
+        # a re-ingested id must not match its own old fingerprints
+        .filter(F.col(id_col) != F.col("_new_id"))
         .groupBy("_new_id")
         .agg(F.min(id_col).alias("_dup_of"))
     )
