@@ -1,0 +1,39 @@
+"""Contract tests for __spark_entry__._priority_order: the driver
+verifies queries in iteration order with a fixed budget, so the
+ordering IS the re-verification policy — never-verified first, then
+stalest official green row first."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+from parquet_pipeline_spark import registry
+
+registry.load_all()
+
+
+def test_priority_order_unverified_first_then_stalest():
+    last = entry._last_green_round()
+    names = list(entry.queries())
+    assert set(names) == set(registry.QUERIES)  # nothing dropped
+    k = len([n for n in names if n not in last])
+    head, tail = names[:k], names[k:]
+    assert all(n not in last for n in head)
+    rounds = [last[n] for n in tail]
+    assert rounds == sorted(rounds)  # staleness ascending
+
+
+def test_priority_order_applies_to_oracles_too():
+    q = list(entry.queries())
+    o = list(entry.oracle_sql())
+    # oracles iterate in the same relative order as queries
+    pos = {n: i for i, n in enumerate(q)}
+    assert [pos[n] for n in o] == sorted(pos[n] for n in o)
+    assert set(o) == set(registry.ORACLES)
+
+
+def test_rows_only_queries_count_as_officially_checked():
+    """A deliberate rows-only query with an official ran-with-rows
+    row must not pin the front of the queue forever."""
+    last = entry._last_green_round()
+    for name in ("a01_ann_lsh_topk", "d03_minhash_lsh_neardup"):
+        assert name in last, name
