@@ -167,7 +167,11 @@ def read_excel_fleet(
     ``_src_file`` column; per-file sheets are aligned to the sample
     header by NAME (missing columns → null, extra columns dropped),
     so a straggler workbook with reordered columns can't silently
-    shift values.
+    shift values. Numeric types come from the SAMPLE file; a fleet
+    file whose column doesn't parse under that type yields null for
+    those cells (``errors='coerce'``) rather than failing the whole
+    scan — pair with a quality rule on null counts when that
+    matters.
     """
     import glob as _glob
 

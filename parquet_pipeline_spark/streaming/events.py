@@ -638,7 +638,12 @@ def streaming_incremental_dedup(
     check); in-batch self-dedup remains ``lsh_candidate_pairs``'s
     job.
 
-    Appends (id, dup_of, is_dup) rows to ``dest``.
+    Appends (id, dup_of, is_dup) rows to ``dest``. Delivery is
+    AT-LEAST-ONCE per micro-batch: a replay after a crash between
+    the two appends re-emits that batch's flag rows (downstream
+    should ``dropDuplicates([id])``) and re-appends its
+    fingerprints — harmless for matching, since duplicate
+    (id, band_id, band_hash) rows cannot change any min-id hit.
     """
     from parquet_pipeline_spark.operators.dedup import (
         banded_minhash,
