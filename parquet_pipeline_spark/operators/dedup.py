@@ -1161,7 +1161,16 @@ def d09_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     the machinery (assignment, within-cluster pairs, tie-breaks) is
     identical and hash-checked there. Pair-level invariants
     (cos >= threshold, keep_id < dup_id, same-cluster confinement)
-    are asserted in tests/test_dedup.py."""
+    are asserted in tests/test_dedup.py.
+
+    Honest asymptotics: the within-cluster pair stage is linear
+    under this policy, but centroid ASSIGNMENT is n·k BLAS flops
+    (k = n/64 → n²/64 flops); measured fine through sf5 (250k
+    vectors → ~2 s of matmul) and far beyond on a cluster, but at
+    billions of vectors assignment itself needs a hierarchy —
+    route each vector through coarse IVF cells first
+    (ivf_assign with a few hundred cells), then SemDeDup within
+    a cell with cell-local centroids."""
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     n = emb.count()
     return semdedup_pairs(emb, n_centroids=max(n // 64, 8), threshold=0.30)
