@@ -903,6 +903,7 @@ def incremental_near_dups(
     bands: int = 8,
     ngram: int = 3,
     hash_fn: str = "xxhash64",
+    broadcast_new: bool = True,
 ) -> DataFrame:
     """(doc_id, dup_of, is_dup) for every row of ``new_docs``:
     ``dup_of`` is the LOWEST corpus id sharing at least one LSH band
@@ -912,6 +913,14 @@ def incremental_near_dups(
     ``index`` must be a ``banded_minhash`` projection built with the
     SAME (num_hashes, bands, ngram, hash_fn) — typically
     ``spark.read.parquet(<snapshot index path>)``.
+
+    ``broadcast_new=True`` (default) is the daily-batch shape: the
+    batch's fingerprints ship to every executor and the index scan
+    is shuffle-free. A batch of fingerprints is ~bands×20 B/doc, so
+    this holds into the millions of docs; for a backfill-sized batch
+    that would not fit the broadcast limit, pass False to fall back
+    to a shuffle join on (band_id, band_hash) — still
+    index-scan-once, just with an exchange.
     """
     new_banded = banded_minhash(
         new_docs,
@@ -922,8 +931,9 @@ def incremental_near_dups(
         ngram=ngram,
         hash_fn=hash_fn,
     ).withColumnRenamed(id_col, "_new_id")
+    new_side = F.broadcast(new_banded) if broadcast_new else new_banded
     hits = (
-        index.join(F.broadcast(new_banded), ["band_id", "band_hash"])
+        index.join(new_side, ["band_id", "band_hash"])
         # a re-ingested id must not match its own old fingerprints
         .filter(F.col(id_col) != F.col("_new_id"))
         .groupBy("_new_id")

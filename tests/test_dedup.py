@@ -356,3 +356,23 @@ def test_d09_semdedup_scaled_invariants(spark):
         assert r["keep_id"] < r["dup_id"]
     # cluster ids are centroid vec_ids: the k lowest ids
     assert {r["cluster_id"] for r in out} <= set(range(k))
+
+
+def test_incremental_dedup_shuffle_fallback_matches_broadcast(spark, sf_dir):
+    """broadcast_new=False (backfill-sized batches) must produce the
+    identical result via a shuffle join."""
+    from parquet_pipeline_spark.operators.dedup import (
+        banded_minhash,
+        incremental_near_dups,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter("doc_id % 4 != 0")
+    batch = docs.filter("doc_id % 4 = 0")
+    index = banded_minhash(corpus, num_hashes=16, bands=4)
+    kw = dict(num_hashes=16, bands=4)
+    a = incremental_near_dups(batch, index, broadcast_new=True, **kw)
+    b = incremental_near_dups(batch, index, broadcast_new=False, **kw)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    plan_b = b._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan_b or "ShuffledHashJoin" in plan_b
