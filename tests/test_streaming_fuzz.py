@@ -305,3 +305,61 @@ def test_fuzz_streaming_dedup_matches_batch(spark, tmp_path, seed):
         assert any(
             x["event_id"] == r["event_id"] for x in batches[first_batch[k]]
         ), (k, r["event_id"])
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fuzz_stream_stream_join_matches_batch(spark, tmp_path, seed):
+    """Stream-stream interval join (purchase attributed to a prior
+    click within 30 min): with bounded disorder and a final
+    watermark pusher, the emitted set must equal the batch inner
+    join exactly."""
+    from parquet_pipeline_spark.streaming.events import (
+        stream_stream_click_purchase_join,
+    )
+
+    rng = random.Random(seed)
+    n_users = rng.randint(2, 6)
+    span = 2 * 3600
+    rows = _gen_keyed_events(
+        rng, ["click", "purchase"], n_users, rng.randint(30, 60), span
+    )
+    batches = _cut_batches(rng, rows, rng.randint(3, 5), displace_sec=300, span_sec=span)
+    batches.append(
+        [_ev(200000 + u, span + 8 * 3600, u, "click", 0.0) for u in range(1, n_users + 1)]
+    )
+    src = _write_batches(tmp_path, f"ssj_fuzz_{seed}", batches)
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    s_clicks, s_purch = split(read_event_stream(spark, src, fmt="json", max_files=1))
+    got = {
+        (r["c_user"], r["click_id"], r["purchase_id"], r["purchase_value"])
+        for r in _run_stream(
+            spark,
+            stream_stream_click_purchase_join(
+                s_clicks, s_purch, within="30 minutes", watermark="45 minutes"
+            ),
+            f"ssj_fuzz_t{seed}",
+        )
+        # the pusher clicks can legitimately attribute nothing (far
+        # future, no purchases after them) — no filtering needed
+    }
+
+    all_rows = [r for _, r in rows]
+    batch_df = spark.createDataFrame(
+        [(r["event_id"], r["ts"], r["user_id"], r["event_type"], r["value"]) for r in all_rows],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b_clicks, b_purch = split(batch_df)
+    expected = {
+        (r["c_user"], r["click_id"], r["purchase_id"], r["purchase_value"])
+        for r in stream_stream_click_purchase_join(
+            b_clicks, b_purch, within="30 minutes"
+        ).collect()
+    }
+    assert got == expected, got ^ expected
+    assert len(expected) > 0
