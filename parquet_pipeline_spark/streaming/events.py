@@ -638,12 +638,13 @@ def streaming_incremental_dedup(
     check); in-batch self-dedup remains ``lsh_candidate_pairs``'s
     job.
 
-    Appends (id, dup_of, is_dup) rows to ``dest``. Delivery is
-    AT-LEAST-ONCE per micro-batch: a replay after a crash between
-    the two appends re-emits that batch's flag rows (downstream
-    should ``dropDuplicates([id])``) and re-appends its
-    fingerprints — harmless for matching, since duplicate
-    (id, band_id, band_hash) rows cannot change any min-id hit.
+    Writes (id, dup_of, is_dup) rows to ``dest``, partitioned by
+    ``_batch_id`` with DYNAMIC partition overwrite — the standard
+    foreachBatch idempotency pattern: a replayed batch rewrites its
+    own partition instead of double-appending, so the flags sink is
+    effectively exactly-once. The index append stays at-least-once
+    (duplicate (id, band_id, band_hash) fingerprint rows cannot
+    change any min-id hit, so replays are harmless there).
     """
     from parquet_pipeline_spark.operators.dedup import (
         banded_minhash,
@@ -665,7 +666,13 @@ def streaming_incremental_dedup(
         )
         index = spark.read.parquet(index_path)
         flags = incremental_near_dups(batch_df, index, **kw)
-        flags.write.mode("append").parquet(dest)
+        (
+            flags.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(dest)
+        )
         if update_index:
             # the append must MATCH the index's on-disk layout: mixing
             # root files into a band_id-partitioned tree makes parquet

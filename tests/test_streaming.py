@@ -862,3 +862,52 @@ def test_streaming_vector_index_append(spark, sf_dir, tmp_path):
 
     top1 = ivf_topk_indexed(spark, idx, cents, qv, k=1, nprobe=3).first()
     assert top1["vec_id"] == 880000 and abs(top1["score"] - 1.0) < 1e-6
+
+
+def test_streaming_incremental_dedup_flags_idempotent_per_batch(spark, sf_dir, tmp_path):
+    """The flags sink partitions by _batch_id with dynamic overwrite:
+    re-running a batch (fresh checkpoint, same files) rewrites its
+    partitions instead of double-appending."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from parquet_pipeline_spark.operators.dedup import banded_minhash
+    from parquet_pipeline_spark.streaming.events import (
+        streaming_incremental_dedup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter("doc_id % 3 != 0").select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    banded_minhash(corpus, num_hashes=16, bands=4).write.partitionBy("band_id").parquet(idx)
+
+    texts = [r["text"] for r in docs.orderBy("doc_id").limit(2).collect()]
+    src = tmp_path / "stream"
+    src.mkdir()
+    now = _time.time()
+    for i, t in enumerate(texts):
+        p = src / f"b{i}.jsonl"
+        p.write_text(_json.dumps({"doc_id": 700000 + i, "text": t}))
+        _os.utime(p, (now + i, now + i))
+
+    dest = str(tmp_path / "flags")
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = streaming_incremental_dedup(
+            stream, idx, dest, str(tmp_path / ck),
+            num_hashes=16, bands=4, update_index=False,
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    first = spark.read.parquet(dest).select("doc_id", "dup_of", "is_dup").collect()
+    assert len(first) == 2
+    run("ck2")  # full replay: same batch ids -> partitions rewritten
+    second = spark.read.parquet(dest).select("doc_id", "dup_of", "is_dup").collect()
+    assert sorted(map(tuple, second)) == sorted(map(tuple, first))
