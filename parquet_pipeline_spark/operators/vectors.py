@@ -482,6 +482,92 @@ def ivf_topk_indexed(
     return topk(df, query_vec, k=k)
 
 
+def ivf_knn_join(
+    spark: SparkSession,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    query_rows: list,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch retrieval through the persisted IVF index: the ANN
+    twin of ``exact_knn_join`` (v07). Every query probes its nprobe
+    nearest cells; ONE scan reads the union of all probed cell
+    partitions (partition-pruned — at 10k queries that union still
+    excludes most of a well-sized index), and inside each Arrow
+    batch a query only scores candidates whose cell is in ITS probe
+    set (sims are masked before the per-batch top-k). Same
+    deterministic (score desc, id asc) tie-break and
+    candidates-only shuffle as v07 — this is the nightly-RAG-refresh
+    shape: queries x 100M vectors without a full-corpus scan.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_ids = np.array([q[0] for q in query_rows], dtype=np.int64)
+    qm = np.array([list(q[1]) for q in query_rows], dtype=np.float64)
+    qn = np.sqrt((qm * qm).sum(axis=1))
+    qn[qn == 0.0] = 1.0
+    qm = qm / qn[:, None]
+    probe_sets = [
+        set(_probe_cells(centroids, list(q[1]), nprobe)) for q in query_rows
+    ]
+    all_cells = sorted(set().union(*probe_sets)) if probe_sets else []
+
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def partial_topk(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.sqrt((m * m).sum(axis=1))
+            norms[norms == 0.0] = 1.0
+            sims = (m / norms[:, None]) @ qm.T  # (batch, n_queries)
+            kk = min(k, len(ids))
+            qi_out, id_out, sc_out = [], [], []
+            for j in range(sims.shape[1]):
+                col = np.where(
+                    np.isin(cells, list(probe_sets[j])), sims[:, j], -np.inf
+                )
+                if len(col) > kk:
+                    thresh = np.partition(col, -kk)[-kk]
+                    cand = np.nonzero(col >= thresh)[0]
+                else:
+                    cand = np.nonzero(col > -np.inf)[0]
+                order = cand[np.lexsort((ids[cand], -col[cand]))][:kk]
+                qi_out.append(np.full(len(order), q_ids[j], dtype=np.int64))
+                id_out.append(ids[order])
+                sc_out.append(col[order])
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(qi_out) if qi_out else [],
+                    id_col: np.concatenate(id_out) if id_out else [],
+                    "score": np.concatenate(sc_out) if sc_out else [],
+                }
+            )
+
+    scan = spark.read.parquet(path).filter(F.col("cell").isin(all_cells))
+    candidates = scan.select(id_col, vec_col, "cell").mapInPandas(
+        partial_topk, out_schema
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("score").desc(), id_col)
+    return (
+        candidates.filter(F.col("score") > float("-inf"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", id_col, F.round("score", 6).alias("score"))
+    )
+
+
 @register(
     "a04_ivf_topk",
     # Full SQL pin of the IVF machinery (graduated from rows-only in

@@ -325,3 +325,39 @@ def test_ivf_persisted_index_prunes_and_appends(spark, sf_dir, tmp_path):
     ivf_index_append(new, cents, path)
     top1 = ivf_topk_indexed(spark, path, cents, qv, k=1, nprobe=3).first()
     assert top1["vec_id"] == 990000 and abs(top1["score"] - 1.0) < 1e-6
+
+
+def test_ivf_knn_join_matches_per_query_ivf_topk(spark, sf_dir, tmp_path):
+    """Batch retrieval through the persisted index must equal
+    running ivf_topk per query (same centroids, same probes), with
+    per-query cell masking keeping each query inside its own probe
+    set."""
+    from parquet_pipeline_spark.operators.vectors import (
+        ivf_centroids,
+        ivf_knn_join,
+        ivf_topk,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter("vec_id < 4").collect()
+    ]
+    corpus = emb.filter("vec_id >= 4")
+    cents = ivf_centroids(corpus, k=8)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(corpus, cents, path)
+
+    got = ivf_knn_join(spark, path, cents, queries, k=5, nprobe=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append((r["vec_id"], r["score"]))
+
+    for q_id, qv in queries:
+        want = [
+            (r["vec_id"], round(r["score"], 6))
+            for r in ivf_topk(corpus, cents, qv, k=5, nprobe=3).collect()
+        ]
+        assert sorted(by_q[q_id]) == sorted(want), (q_id, by_q[q_id], want)
+    assert len(by_q) == len(queries)
