@@ -506,6 +506,8 @@ def ivf_knn_join(
     import numpy as np
     import pandas as pd
 
+    if not query_rows:
+        return spark.createDataFrame([], f"q_id long, {id_col} long, score double")
     q_ids = np.array([q[0] for q in query_rows], dtype=np.int64)
     qm = np.array([list(q[1]) for q in query_rows], dtype=np.float64)
     qn = np.sqrt((qm * qm).sum(axis=1))
@@ -889,6 +891,12 @@ def exact_knn_join(
     import numpy as np
     import pandas as pd
 
+    if not query_rows:
+        # valid empty batch; an empty (0, d) matmul would throw
+        # shape errors inside the executor
+        return corpus.sparkSession.createDataFrame(
+            [], f"q_id long, {id_col} long, score double"
+        )
     q_ids = np.array([q[0] for q in query_rows], dtype=np.int64)
     qm = np.array([list(q[1]) for q in query_rows], dtype=np.float64)
     qn = np.sqrt((qm * qm).sum(axis=1))

@@ -405,3 +405,20 @@ def test_ivf_knn_join_recall_monotone_and_exact_at_full_probe(spark, tmp_path):
         if nprobe == 16:  # all cells probed -> must BE the exact answer
             assert got == exact
     assert last == 1.0
+
+
+def test_knn_joins_empty_query_batch(spark, sf_dir, tmp_path):
+    from parquet_pipeline_spark.operators.vectors import (
+        exact_knn_join,
+        ivf_centroids,
+        ivf_knn_join,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert exact_knn_join(emb, [], k=5).count() == 0
+    cents = ivf_centroids(emb, k=4)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, cents, path)
+    out = ivf_knn_join(spark, path, cents, [], k=5)
+    assert out.count() == 0 and out.columns == ["q_id", "vec_id", "score"]
