@@ -1121,6 +1121,101 @@ def semdedup_pairs(
     )
 
 
+def semdedup_pairs_hierarchical(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_cells: int = 64,
+    cluster_size: int = 64,
+    threshold: float = 0.30,
+) -> DataFrame:
+    """Two-level SemDeDup — the extreme-scale path d09's docstring
+    points at. Flat semdedup's assignment is n·k flops with
+    k = n/64, i.e. n²/64; here the driver-side centroid set stays
+    FIXED at ``coarse_cells`` (assignment is n·coarse_cells — truly
+    linear), and the fine clustering happens INSIDE each coarse
+    cell: the task picks the cell's lowest-id vectors as local
+    centroids (one per ``cluster_size`` members, same n/64 policy
+    applied cell-locally), sub-assigns, and runs the pairwise pass
+    per sub-cluster. State per task = one coarse cell; no second
+    shuffle — the sub-clustering rides the cell groupBy.
+
+    Same output contract as ``semdedup_pairs``: (cluster_id,
+    keep_id, dup_id, cos_sim), keep_id < dup_id, cos >= threshold,
+    comparisons confined to one (coarse, fine) cluster; cluster_id
+    is the FINE centroid's vector id (globally unique, since fine
+    centroids are real vectors)."""
+    import numpy as np
+    import pandas as pd
+
+    coarse = (
+        emb.orderBy(id_col).limit(coarse_cells).select(id_col, vec_col).collect()
+    )
+    ccids = np.array([r[id_col] for r in coarse], dtype=np.int64)
+    cmat = np.array([list(r[vec_col]) for r in coarse], dtype=np.float64)
+    cn = np.sqrt((cmat * cmat).sum(axis=1))
+    cn[cn == 0.0] = 1.0
+    cmat = cmat / cn[:, None]
+
+    src = emb.select(id_col, vec_col)
+    assign_schema = T.StructType(
+        [
+            src.schema[id_col],
+            T.StructField("_coarse", T.LongType()),
+            src.schema[vec_col],
+        ]
+    )
+
+    def assign_batches(batches):
+        for pdf in batches:
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.sqrt((m * m).sum(axis=1))
+            norms[norms == 0.0] = 1.0
+            best = ((m / norms[:, None]) @ cmat.T).argmax(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "_coarse": ccids[best], vec_col: pdf[vec_col]}
+            )
+
+    assigned = src.mapInPandas(assign_batches, assign_schema)
+    out_schema = "cluster_id bigint, keep_id bigint, dup_id bigint, cos_sim double"
+
+    def cell_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"cluster_id": [], "keep_id": [], "dup_id": [], "cos_sim": []}
+            )
+        m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.sqrt((m * m).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        m = m / norms[:, None]
+        # fine centroids: the cell's lowest ids, one per cluster_size
+        n_fine = max(len(ids) // cluster_size, 1)
+        fine = (m[:n_fine] @ m.T).argmax(axis=0)  # ties -> lowest fine idx
+        out = {"cluster_id": [], "keep_id": [], "dup_id": [], "cos_sim": []}
+        for f in range(n_fine):
+            sel = np.nonzero(fine == f)[0]
+            if len(sel) < 2:
+                continue
+            sims = m[sel] @ m[sel].T
+            iu, ju = np.triu_indices(len(sel), k=1)
+            hit = sims[iu, ju] >= threshold
+            out["cluster_id"].extend([int(ids[f])] * int(hit.sum()))
+            out["keep_id"].extend(ids[sel[iu[hit]]].tolist())
+            out["dup_id"].extend(ids[sel[ju[hit]]].tolist())
+            out["cos_sim"].extend(sims[iu[hit], ju[hit]].tolist())
+        return pd.DataFrame(out)
+
+    return (
+        assigned.groupBy("_coarse")
+        .applyInPandas(cell_pairs, out_schema)
+        .select(
+            "cluster_id", "keep_id", "dup_id", F.round("cos_sim", 6).alias("cos_sim")
+        )
+    )
+
+
 @register(
     "d08_semdedup_pairs",
     oracle="""

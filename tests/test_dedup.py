@@ -376,3 +376,45 @@ def test_incremental_dedup_shuffle_fallback_matches_broadcast(spark, sf_dir):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     plan_b = b._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan_b or "ShuffledHashJoin" in plan_b
+
+
+def test_semdedup_hierarchical_invariants_and_planted_pair(spark):
+    """Two-level SemDeDup: planted near-identical pairs are found,
+    every pair respects threshold/id-order, and comparisons stay
+    inside one fine cluster (cluster_id = a real vector id)."""
+    import numpy as np
+
+    from parquet_pipeline_spark.operators.dedup import (
+        semdedup_pairs_hierarchical,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # 4 well-separated directions, 30 vectors each + planted dups
+    base = np.eye(4)
+    vid = 0
+    planted = []
+    for c in range(4):
+        for i in range(30):
+            v = base[c] + rng.normal(scale=0.05, size=4)
+            rows.append((vid, v.astype(float).tolist()))
+            vid += 1
+        # planted near-duplicate of the cluster's first member
+        src_id = c * 30
+        dup = np.array(rows[src_id][1]) + rng.normal(scale=0.001, size=4)
+        rows.append((vid, dup.astype(float).tolist()))
+        planted.append((src_id, vid))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = semdedup_pairs_hierarchical(
+        emb, coarse_cells=8, cluster_size=16, threshold=0.98
+    ).collect()
+    got = {(r["keep_id"], r["dup_id"]) for r in out}
+    all_ids = {r[0] for r in rows}
+    for r in out:
+        assert r["cos_sim"] >= 0.98 - 1e-9
+        assert r["keep_id"] < r["dup_id"]
+        assert r["cluster_id"] in all_ids
+    for a, b in planted:
+        assert (a, b) in got, (a, b, sorted(got)[:10])
