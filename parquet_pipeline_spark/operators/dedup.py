@@ -950,6 +950,54 @@ def incremental_near_dups(
     )
 
 
+def verify_incremental_candidates(
+    flags: DataFrame,
+    corpus_docs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    threshold: float = 0.62,
+) -> DataFrame:
+    """Exact-Jaccard verification of ``incremental_near_dups``
+    candidates — still with NO corpus rescan: the flagged
+    (batch id, corpus id) pairs are batch-sized, so the only corpus
+    text touched is a ``left_semi`` point-fetch of the matched ids
+    (broadcast of the id set; parquet scans prune on the pushed
+    semi-join filter). Same shingle/Jaccard semantics as the
+    in-snapshot verifier (``minhash_near_dups``): char n-gram sets,
+    hashed to bigints before the intersect.
+
+    Returns (id, dup_of, jaccard) for pairs with
+    jaccard >= threshold — band-collision candidates that fail the
+    exact check (LSH false positives) are dropped here.
+    """
+    from parquet_pipeline_spark.functions import jaccard as _jac
+
+    cand = flags.filter(F.col("is_dup") == 1).select(id_col, "dup_of")
+    matched_ids = cand.select(F.col("dup_of").alias(id_col)).distinct()
+
+    def grams_of(df, out):
+        return df.select(
+            F.col(id_col),
+            F.transform(char_ngrams(text_col, ngram), lambda g: F.xxhash64(g)).alias(
+                out
+            ),
+        )
+
+    corpus_g = grams_of(
+        corpus_docs.join(F.broadcast(matched_ids), id_col, "left_semi"), "gs_c"
+    ).withColumnRenamed(id_col, "dup_of")
+    new_g = grams_of(new_docs, "gs_n")
+    return (
+        cand.join(new_g, id_col)
+        .join(F.broadcast(corpus_g), "dup_of")
+        .withColumn("jaccard", F.round(_jac(F.col("gs_n"), F.col("gs_c")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select(id_col, "dup_of", "jaccard")
+    )
+
+
 def _register_incremental_dedup():
     @register(
         "d10_incremental_dedup",

@@ -418,3 +418,45 @@ def test_semdedup_hierarchical_invariants_and_planted_pair(spark):
         assert r["cluster_id"] in all_ids
     for a, b in planted:
         assert (a, b) in got, (a, b, sorted(got)[:10])
+
+
+def test_verify_incremental_candidates_drops_false_positives(spark, sf_dir):
+    """The exact-Jaccard verify pass keeps planted true duplicates
+    and drops band-collision false positives, touching only the
+    matched corpus ids' text."""
+    from parquet_pipeline_spark.functions import char_ngrams, jaccard
+    from parquet_pipeline_spark.operators.dedup import (
+        banded_minhash,
+        incremental_near_dups,
+        verify_incremental_candidates,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter("doc_id % 4 != 0").select("doc_id", "text")
+    src = corpus.orderBy("doc_id").first()
+    batch = docs.filter("doc_id % 4 = 0").select("doc_id", "text").unionByName(
+        spark.createDataFrame([(900001, src["text"])], "doc_id long, text string")
+    )
+    index = banded_minhash(corpus, num_hashes=16, bands=4)
+    flags = incremental_near_dups(batch, index, num_hashes=16, bands=4)
+    n_cand = flags.filter("is_dup = 1").count()
+
+    verified = verify_incremental_candidates(
+        flags, corpus, batch, threshold=0.62
+    ).collect()
+    by_id = {r["doc_id"]: r for r in verified}
+    # the planted exact copy survives with jaccard 1.0 against its source
+    assert by_id[900001]["dup_of"] == src["doc_id"]
+    assert by_id[900001]["jaccard"] == 1.0
+    # verification can only shrink the candidate set
+    assert 0 < len(verified) <= n_cand
+    # every surviving pair really clears the threshold (recompute)
+    g = {r["doc_id"]: set() for r in verified}
+    texts = {r["doc_id"]: r["text"] for r in batch.collect()}
+    texts.update({r["doc_id"]: r["text"] for r in corpus.collect()})
+    def grams(t):
+        return {t[i:i+3] for i in range(max(len(t)-2, 1))}
+    for r in verified:
+        a, b = grams(texts[r["doc_id"]]), grams(texts[r["dup_of"]])
+        jac = len(a & b) / len(a | b)
+        assert abs(jac - r["jaccard"]) < 1e-4, (r, jac)
