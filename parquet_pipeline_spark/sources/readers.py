@@ -45,6 +45,23 @@ FORMAT_EXTENSIONS = {
 }
 
 
+def _coerce_bool(v):
+    """Truthy coercion for fleet-Excel boolean columns: bool-like
+    cell values map to True/False, anything else to None (mirrors
+    the numeric ``errors='coerce'`` degrade-to-null contract)."""
+    if v is None or isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)) and v in (0, 1):
+        return bool(v)
+    if isinstance(v, str):
+        s = v.strip().lower()
+        if s in ("true", "yes", "y", "t", "1"):
+            return True
+        if s in ("false", "no", "n", "f", "0"):
+            return False
+    return None
+
+
 def detect_file_format(path: str) -> str:
     """Extension-based dispatch (reference:
     ingestion_pipeline_langgraph.py:158-172). Unknown → 'unknown'."""
@@ -170,8 +187,16 @@ def read_excel_fleet(
     shift values. Numeric types come from the SAMPLE file; a fleet
     file whose column doesn't parse under that type yields null for
     those cells (``errors='coerce'``) rather than failing the whole
-    scan — pair with a quality rule on null counts when that
-    matters.
+    scan; boolean columns coerce the same way (non-bool-like cells →
+    null, never a task failure) — pair with a quality rule on null
+    counts when that matters.
+
+    Sample discovery: local paths are globbed driver-side; for
+    non-local storage (s3://, hdfs://, ...) Python ``glob`` can't
+    list, so the sample is taken from the first row of the
+    ``binaryFile`` scan itself (Hadoop glob — one file's bytes pulled
+    to the driver). Pass ``sample_path`` explicitly to pin the
+    schema to a known-good workbook either way.
     """
     import glob as _glob
 
@@ -180,14 +205,21 @@ def read_excel_fleet(
     from parquet_pipeline_spark.catalog import logical_name
     from parquet_pipeline_spark.sources.xlsx import read_xlsx
 
-    if sample_path is None:
-        matches = sorted(_glob.glob(glob_path))
-        if not matches:
-            raise FileNotFoundError(f"no workbooks match {glob_path!r}")
-        sample_path = matches[0]
-    layout = read_xlsx(sample_path)
-
     bf = spark.read.format("binaryFile").load(glob_path).select("path", "content")
+
+    if sample_path is not None:
+        layout = read_xlsx(sample_path)
+    else:
+        matches = sorted(_glob.glob(glob_path))
+        if matches:
+            layout = read_xlsx(matches[0])
+        else:
+            # non-local path (s3/hdfs/...): Python glob can't list it;
+            # derive the sample from the binaryFile listing instead
+            sample_row = bf.orderBy("path").limit(1).collect()
+            if not sample_row:
+                raise FileNotFoundError(f"no workbooks match {glob_path!r}")
+            layout = read_xlsx(bytes(sample_row[0]["content"]))
 
     def _spark_type(vals) -> str:
         vals = [v for v in vals if v is not None]
@@ -235,7 +267,12 @@ def read_excel_fleet(
                                 caster[t]
                             )
                         elif t == "boolean":
-                            local[h] = local[h].astype(caster[t])
+                            # degrade-to-null like the numeric path: a
+                            # fleet file storing 'yes'/0/1 must not fail
+                            # the whole distributed scan
+                            local[h] = local[h].map(_coerce_bool).astype(
+                                caster[t]
+                            )
                         else:
                             local[h] = local[h].map(
                                 lambda v: None if v is None else str(v)

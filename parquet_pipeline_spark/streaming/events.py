@@ -645,6 +645,17 @@ def streaming_incremental_dedup(
     effectively exactly-once. The index append stays at-least-once
     (duplicate (id, band_id, band_hash) fingerprint rows cannot
     change any min-id hit, so replays are harmless there).
+
+    Replay determinism: before the flag join, the index is
+    anti-joined against the batch's own ids. A crash between the
+    index append and the checkpoint commit would otherwise leave the
+    replayed batch's fingerprints visible to its own re-run, letting
+    doc Y match same-batch doc X and produce different flags than
+    the first attempt — violating the no-in-batch-matching contract
+    above. The anti-join makes the replayed run see exactly the
+    index the first run saw. (Corner: a batch that re-ingests an id
+    already in the corpus excludes that id's OLD fingerprints for
+    the whole batch too — deterministic replay is worth that edge.)
     """
     from parquet_pipeline_spark.operators.dedup import (
         banded_minhash,
@@ -665,6 +676,11 @@ def streaming_incremental_dedup(
             hash_fn=hash_fn,
         )
         index = spark.read.parquet(index_path)
+        # replay safety: drop any fingerprints the index already holds
+        # for THIS batch's ids (a crashed attempt may have appended
+        # them before the checkpoint committed)
+        batch_ids = batch_df.select(id_col).distinct()
+        index = index.join(F.broadcast(batch_ids), id_col, "left_anti")
         flags = incremental_near_dups(batch_df, index, **kw)
         (
             flags.withColumn("_batch_id", F.lit(batch_id))

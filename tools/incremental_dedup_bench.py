@@ -60,7 +60,7 @@ def main() -> None:
                 .limit(BATCH_DOCS)
                 .withColumn("doc_id", F.col("doc_id") + 10_000_000)
             )
-            batch.localCheckpoint()  # keep batch prep out of the timing
+            batch = batch.localCheckpoint()  # keep batch prep out of the timing
 
             best = float("inf")
             for _ in range(2):

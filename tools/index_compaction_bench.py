@@ -66,7 +66,7 @@ def main() -> None:
         probe = docs.orderBy("doc_id").limit(200).withColumn(
             "doc_id", F.col("doc_id") + 20_000_000
         )
-        probe.localCheckpoint()
+        probe = probe.localCheckpoint()
 
         # simulate BATCHES daily appends of 200 docs each
         for i in range(BATCHES):
