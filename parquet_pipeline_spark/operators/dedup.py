@@ -998,15 +998,15 @@ def verify_incremental_candidates(
     )
 
 
-def _register_incremental_dedup():
-    @register(
-        "d10_incremental_dedup",
-        # DuckDB recomputes the whole cross-snapshot pipeline with
-        # the md5-portable hash: shingles → 16-hash minhash → 4-band
-        # fingerprints for BOTH the corpus snapshot (doc_id % 5 <> 0)
-        # and the new batch (doc_id % 5 = 0), then the band-collision
-        # join and min-id attribution. Same sig/band formulas as d07.
-        oracle="""
+# DuckDB recomputes the whole cross-snapshot pipeline with the
+# md5-portable hash: shingles → 16-hash minhash → 4-band
+# fingerprints for BOTH the corpus snapshot (doc_id % 5 <> 0) and
+# the new batch (doc_id % 5 = 0), then the band-collision join and
+# min-id attribution. Same sig/band formulas as d07. Shared by d10
+# (inline index) and d11 (index round-tripped through parquet) —
+# the persisted layout must not change any flag, so both pin to the
+# identical SQL.
+_INCREMENTAL_DEDUP_ORACLE = """
         WITH g AS (
           SELECT doc_id,
                  list_distinct([text[i:i+2] FOR i IN range(1, greatest(length(text)-1, 2))]) AS gs
@@ -1041,8 +1041,11 @@ def _register_incremental_dedup():
         FROM documents d
         LEFT JOIN hits h ON d.doc_id = h.doc_id
         WHERE d.doc_id < 300 AND d.doc_id % 5 = 0
-        """,
-    )
+        """
+
+
+def _register_incremental_dedup():
+    @register("d10_incremental_dedup", oracle=_INCREMENTAL_DEDUP_ORACLE)
     def d10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
         corpus = docs.filter(F.col("doc_id") % 5 != 0)
@@ -1059,6 +1062,121 @@ def _register_incremental_dedup():
 
 
 _register_incremental_dedup()
+
+
+def _register_incremental_dedup_indexed():
+    @register("d11_incremental_dedup_indexed", oracle=_INCREMENTAL_DEDUP_ORACLE)
+    def d11_incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """d10's pipeline with the index ROUND-TRIPPED through
+        parquet — the shape users actually run (build the snapshot
+        fingerprint index once, read it back per batch): the corpus
+        fingerprints are written band_id-partitioned to a scratch
+        dir and re-read via spark.read.parquet before the flag join,
+        so parquet type round-trips and partition discovery are
+        inside the hash-checked path. Oracle identical to d10 —
+        the persisted layout must not change a single flag."""
+        import os as _os
+        import tempfile
+
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+        batch = docs.filter(F.col("doc_id") % 5 == 0)
+        idx_path = _os.path.join(
+            tempfile.mkdtemp(prefix="d11_minhash_idx_"), "idx"
+        )
+        banded_minhash(
+            corpus, num_hashes=16, bands=4, hash_fn="md5"
+        ).write.partitionBy("band_id").parquet(idx_path)
+        index = spark.read.parquet(idx_path)
+        return incremental_near_dups(
+            batch, index, num_hashes=16, bands=4, hash_fn="md5"
+        )
+
+    return d11_incremental_dedup_indexed
+
+
+_register_incremental_dedup_indexed()
+
+
+@register("s01_streaming_incremental_dedup")  # rows-only: streaming sink
+def s01_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING shape of d10/d11 as an official driver entry
+    (rows-only by design — the flags land via a foreachBatch
+    streaming sink, not a SQL-expressible plan; the flag math itself
+    is hash-pinned by d10/d11): corpus fingerprints persist as the
+    band-partitioned index, then the batch docs (doc_id % 5 = 0)
+    arrive as TWO file micro-batches — the second batch's docs dedup
+    against corpus AND first-batch appends, proving the index grows
+    in-stream. Returns one flag row per batch doc, exactly-once via
+    _batch_id dynamic partition overwrite."""
+    import json as _json
+    import os as _os
+    import tempfile
+    import time as _time
+
+    from parquet_pipeline_spark.streaming.events import (
+        streaming_incremental_dedup,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    tmp = tempfile.mkdtemp(prefix="s01_stream_dedup_")
+    idx = _os.path.join(tmp, "idx")
+    banded_minhash(corpus, num_hashes=16, bands=4).write.partitionBy(
+        "band_id"
+    ).parquet(idx)
+
+    rows = sorted(
+        (
+            (r["doc_id"], r["text"])
+            for r in docs.filter(F.col("doc_id") % 5 == 0)
+            .select("doc_id", "text")
+            .collect()  # bounded: <= 60 rows at any sf (doc_id < 300)
+        )
+    )
+    src = _os.path.join(tmp, "src")
+    _os.makedirs(src)
+    half = len(rows) // 2
+    now = _time.time()
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        p = _os.path.join(src, f"b{i}.jsonl")
+        with open(p, "w") as fh:
+            fh.write(
+                "\n".join(
+                    _json.dumps({"doc_id": d, "text": t}) for d, t in chunk
+                )
+            )
+        # strictly increasing mtimes: FileStreamSource batch order
+        _os.utime(p, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    dest = _os.path.join(tmp, "flags")
+    q = streaming_incremental_dedup(
+        stream, idx, dest, _os.path.join(tmp, "ckpt"),
+        num_hashes=16, bands=4,
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(dest).select("doc_id", "dup_of", "is_dup")
+
+
+@register("d12_semdedup_hierarchical")  # rows-only: two-level approximation
+def d12_semdedup_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The billions-of-vectors SemDeDup shape as an official driver
+    entry (rows-only by design — the double quantization is a
+    deliberate approximation of d08's flat clustering, whose
+    machinery is hash-pinned there; pair-recall floors vs flat are
+    asserted in tests/test_dedup.py): 16 fixed coarse cells,
+    cell-local fine centroids at one per 32 members, pairwise
+    confined to (coarse, fine) clusters. Assignment is n·16 flops —
+    linear where d09's n/64 policy is n²/64."""
+    emb = _emb(spark, sf_dir)
+    return semdedup_pairs_hierarchical(
+        emb, coarse_cells=16, cluster_size=32, threshold=0.30
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -621,6 +621,89 @@ def a04_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a09_ivf_knn_join",
+    # SQL pin of BATCH retrieval through the persisted IVF index
+    # (the ivf_knn_join operator — r6 built it, r7 registers it):
+    # DuckDB recomputes centroid selection and nearest-cell
+    # assignment exactly as a04's oracle, then a PER-QUERY nprobe=4
+    # probe set and the exact top-5 over each query's probed cells.
+    # The Spark side round-trips the index through parquet
+    # (write_ivf_index -> spark.read.parquet), so the partition-
+    # pruned scan path users actually run is what gets hash-checked.
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id >= 5
+    ),
+    params AS (
+      SELECT greatest(count(*) // 16, 1) AS step FROM corpus
+    ),
+    cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+      FROM corpus, params
+      WHERE vec_id % step = 0 AND vec_id < step * 16
+    ),
+    q AS (
+      SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    probed AS (
+      SELECT q_id, cid FROM (
+        SELECT q.q_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY list_cosine_similarity(c.cv, q.qv) DESC, c.cid DESC
+               ) AS pr
+        FROM cents c, q
+      ) WHERE pr <= 4
+    ),
+    assign AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT vec_id, v, cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY list_cosine_similarity(v, cv) DESC, cid DESC) AS rn
+        FROM corpus, cents
+      ) WHERE rn = 1
+    )
+    SELECT q_id, vec_id, score FROM (
+      SELECT q.q_id, a.vec_id,
+             ROUND(list_cosine_similarity(a.v, q.qv), 6) AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.q_id
+               ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.vec_id
+             ) AS rn
+      FROM assign a
+      JOIN probed p ON a.cid = p.cid
+      JOIN q ON q.q_id = p.q_id
+    ) WHERE rn <= 5
+    """,
+)
+def a09_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN through the PERSISTED index (reference analog:
+    retrieval against a stored collection,
+    chroma_retrieval_util.py:112-138): queries = vec_id < 5, corpus
+    = the rest, k=5, nprobe=4 over 16 cells. The index is written to
+    a scratch dir and read back so the query exercises the
+    partition-pruned parquet scan, not an in-memory shortcut."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    cents = ivf_centroids(corpus, k=16)
+    q_rows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    path = tempfile.mkdtemp(prefix="a09_ivf_idx_")
+    write_ivf_index(corpus.select("vec_id", "embedding"), cents, path)
+    return ivf_knn_join(spark, path, cents, q_rows, k=5, nprobe=4)
+
+
 # ---------------------------------------------------------------------------
 # k-means refinement for IVF (iterative Lloyd steps as DataFrame ops:
 # assign = argmax-cosine over broadcast centroid literals; update =
@@ -677,13 +760,20 @@ def kmeans_inertia(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> 
 # corpus side scans once, candidates per query ≈ bucket size, and
 # skew is bounded by the band width.
 # ---------------------------------------------------------------------------
-def _banded(df: DataFrame, emb_col: str, dim: int, n_planes: int, n_bands: int):
+def _banded(
+    df: DataFrame,
+    emb_col: str,
+    dim: int,
+    n_planes: int,
+    n_bands: int,
+    hash_fn: str = "xxhash64",
+):
     """Attach exploded (band_id, band_val) rows derived from the
     random-hyperplane signature. band b = bits [b*w, (b+1)*w) of the
     signature (w = n_planes // n_bands)."""
     w = n_planes // n_bands
     mask = (1 << w) - 1
-    sig = lsh_signature(F.col(emb_col), dim, n_planes)
+    sig = lsh_signature(F.col(emb_col), dim, n_planes, hash_fn=hash_fn)
     bands = F.array(
         *[
             F.struct(
@@ -712,6 +802,7 @@ def ann_knn_join(
     id_col: str = "vec_id",
     q_id_col: str = "q_id",
     q_emb_col: str = "q_emb",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Approximate k-NN JOIN: for every query vector, top-k corpus
     neighbors among band-collision candidates. Two vectors are
@@ -731,7 +822,9 @@ def ann_knn_join(
     any parameters reaching high recall admit most of the corpus as
     candidates, because true neighbors are barely closer than random
     pairs. That's a property of the data, not the plan."""
-    c = _banded(corpus.select(id_col, "embedding"), "embedding", dim, n_planes, n_bands)
+    c = _banded(
+        corpus.select(id_col, "embedding"), "embedding", dim, n_planes, n_bands, hash_fn
+    )
     q = _banded(
         queries.select(
             F.col(q_id_col).alias(q_id_col), F.col(q_emb_col).alias(q_emb_col)
@@ -740,6 +833,7 @@ def ann_knn_join(
         dim,
         n_planes,
         n_bands,
+        hash_fn,
     )
     cands = (
         c.join(q, ["band_id", "band_val"])
@@ -864,6 +958,76 @@ def _register_ann_oracle_twin():
 
 
 _register_ann_oracle_twin()
+
+
+# ---------------------------------------------------------------------------
+# a10 — oracle-checked twin of a05's BATCHED band k-NN join: the
+# SAME ann_knn_join machinery (16-plane signature, 8x2-bit banding,
+# band equi-join candidacy, dedup, per-query exact top-3) run with
+# the md5-portable plane hash so DuckDB recomputes the whole
+# pipeline. a05 keeps xxhash64 for the hot path; this pins the
+# shared logic — completing the a06/d07/a04 graduation pattern for
+# the last graduate-able approximation (VERDICT r6 item 3).
+# ---------------------------------------------------------------------------
+def _register_batch_knn_oracle_twin():
+    @register(
+        "a10_ann_batch_knn_oracle",
+        oracle="""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        sigs AS (
+          SELECT vec_id, v,
+                 CAST(list_sum([
+                   CASE WHEN list_sum([
+                          v[i+1] * (CASE WHEN (strpos('0123456789abcdef',
+                                        substr(md5(i || '_' || j || '_42'), 8, 1)) - 1) % 2 = 0
+                                    THEN 1.0 ELSE -1.0 END)
+                          FOR i IN range(0, 64)]) >= 0
+                        THEN 2 ** j ELSE 0 END
+                   FOR j IN range(0, 16)]) AS BIGINT) AS sig
+          FROM e
+        ),
+        bands AS (
+          SELECT vec_id, b AS band_id,
+                 CAST(floor(sig / (4 ** b)) AS BIGINT) % 4 AS band_val
+          FROM sigs, unnest(range(0, 8)) AS t(b)
+        ),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+        cand AS (
+          SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id
+          FROM bands qb
+          JOIN bands cb ON qb.band_id = cb.band_id
+                        AND qb.band_val = cb.band_val
+          WHERE qb.vec_id < 5 AND cb.vec_id >= 5
+        )
+        SELECT q_id, vec_id, score, rn FROM (
+          SELECT c.q_id, c.vec_id,
+                 ROUND(list_cosine_similarity(e.v, q.qv), 6) AS score,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY c.q_id
+                   ORDER BY list_cosine_similarity(e.v, q.qv) DESC, c.vec_id
+                 ) AS rn
+          FROM cand c
+          JOIN e ON e.vec_id = c.vec_id
+          JOIN q ON q.q_id = c.q_id
+        ) WHERE rn <= 3
+        """,
+    )
+    def a10_ann_batch_knn_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = _emb(spark, sf_dir)
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+        corpus = emb.filter(F.col("vec_id") >= 5)
+        return ann_knn_join(
+            corpus, queries, dim=64, k=3, n_planes=16, n_bands=8, hash_fn="md5"
+        )
+
+    return a10_ann_batch_knn_oracle
+
+
+_register_batch_knn_oracle_twin()
 
 
 # ---------------------------------------------------------------------------

@@ -460,3 +460,50 @@ def test_verify_incremental_candidates_drops_false_positives(spark, sf_dir):
         a, b = grams(texts[r["doc_id"]]), grams(texts[r["dup_of"]])
         jac = len(a & b) / len(a | b)
         assert abs(jac - r["jaccard"]) < 1e-4, (r, jac)
+
+
+def test_semdedup_hierarchical_recall_floor_across_cells(spark):
+    """Regression guard for the recall curve measured in
+    tools/semdedup_recall_curve.py (BENCH_NOTES r7): near-identical
+    planted pairs must survive the double quantization at >= 0.9
+    recall at EVERY coarse-cell setting — the measured loss
+    concentrates on mid-similarity boundary pairs, never on true
+    duplicates."""
+    import numpy as np
+
+    from parquet_pipeline_spark.operators.dedup import (
+        semdedup_pairs_hierarchical,
+    )
+
+    rng = np.random.default_rng(11)
+    dirs = rng.normal(size=(12, 16))
+    dirs /= np.linalg.norm(dirs, axis=1)[:, None]
+    rows, planted = [], []
+    vid = 0
+    firsts = []
+    for c in range(12):
+        for i in range(60):
+            v = dirs[c] + rng.normal(scale=0.08, size=16)
+            rows.append((vid, [float(x) for x in v]))
+            if i == 0:
+                firsts.append(vid)
+            vid += 1
+    for j in range(40):
+        src = firsts[j % len(firsts)]
+        dup = np.array(rows[src][1]) + rng.normal(scale=0.002, size=16)
+        rows.append((vid, [float(x) for x in dup]))
+        planted.append((src, vid))
+        vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).localCheckpoint()
+
+    for cells in (4, 16, 64):
+        got = {
+            (r["keep_id"], r["dup_id"])
+            for r in semdedup_pairs_hierarchical(
+                emb, coarse_cells=cells, cluster_size=64, threshold=0.95
+            ).collect()
+        }
+        recall = len(got & set(planted)) / len(planted)
+        assert recall >= 0.9, (cells, recall)
