@@ -59,13 +59,26 @@ def main() -> None:
         )
         n = corpus.count()
         cents = ivf_centroids(corpus, k=CELLS)
+        # scanned-fraction predictor: the union of the batch's probe
+        # sets bounds the partition-pruned read (see BENCH_NOTES
+        # §IVF indexed retrieval — this, not wall-clock at test
+        # scale, is the quantity that survives a 100-TB corpus)
+        from parquet_pipeline_spark.operators.vectors import _probe_cells
+
+        probe_union = {
+            nprobe: len(
+                set().union(*[set(_probe_cells(cents, q[1], nprobe)) for q in queries])
+            )
+            for nprobe in (4, 8, 16)
+        }
         idx = os.path.join(tempfile.mkdtemp(prefix="ivfbench_"), "idx")
         t0 = time.time()
         write_ivf_index(corpus, cents, idx)
         build_sec = round(time.time() - t0, 2)
 
         out = {"sf_dir": sf_dir, "corpus": n, "cells": CELLS,
-               "queries": N_QUERIES, "k": K, "index_build_sec": build_sec}
+               "queries": N_QUERIES, "k": K, "index_build_sec": build_sec,
+               "probe_union_cells": probe_union}
 
         def timed(build):
             best = float("inf")
