@@ -1159,7 +1159,11 @@ def s01_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFra
         stream, idx, dest, _os.path.join(tmp, "ckpt"),
         num_hashes=16, bands=4,
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # never return a partially-written flags table: a silent
+        # timeout would surface as a flapping row count at the gate
+        q.stop()
+        raise TimeoutError("s01 streaming dedup did not finish in 300s")
     return spark.read.parquet(dest).select("doc_id", "dup_of", "is_dup")
 
 

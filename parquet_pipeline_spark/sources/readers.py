@@ -205,21 +205,32 @@ def read_excel_fleet(
     from parquet_pipeline_spark.catalog import logical_name
     from parquet_pipeline_spark.sources.xlsx import read_xlsx
 
-    bf = spark.read.format("binaryFile").load(glob_path).select("path", "content")
+    def scan():
+        return (
+            spark.read.format("binaryFile").load(glob_path).select("path", "content")
+        )
 
     if sample_path is not None:
         layout = read_xlsx(sample_path)
+        bf = scan()
     else:
         matches = sorted(_glob.glob(glob_path))
         if matches:
             layout = read_xlsx(matches[0])
-        else:
-            # non-local path (s3/hdfs/...): Python glob can't list it;
-            # derive the sample from the binaryFile listing instead
+            bf = scan()
+        elif "://" in glob_path or glob_path.startswith("file:"):
+            # scheme-prefixed path (s3/hdfs/file:/...): Python glob
+            # can't list it; derive the sample from the binaryFile
+            # listing instead (one workbook's bytes to the driver)
+            bf = scan()
             sample_row = bf.orderBy("path").limit(1).collect()
             if not sample_row:
                 raise FileNotFoundError(f"no workbooks match {glob_path!r}")
             layout = read_xlsx(bytes(sample_row[0]["content"]))
+        else:
+            # plain local path with zero matches: fail cleanly before
+            # touching Spark (load() would raise PATH_NOT_FOUND)
+            raise FileNotFoundError(f"no workbooks match {glob_path!r}")
 
     def _spark_type(vals) -> str:
         vals = [v for v in vals if v is not None]
