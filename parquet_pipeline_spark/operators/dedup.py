@@ -1226,6 +1226,12 @@ def semdedup_pairs(
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
         .collect()
     )
+    if not cent_rows:
+        # empty corpus (a filter that matched nothing): no centroids
+        # to assign against — empty pair set, never a numpy shape error
+        return emb.sparkSession.createDataFrame(
+            [], "cluster_id bigint, keep_id bigint, dup_id bigint, cos_sim double"
+        )
     cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
     cmat = np.array([list(r["cv"]) for r in cent_rows], dtype=np.float64)
     cnorm = np.sqrt((cmat * cmat).sum(axis=1))
@@ -1321,6 +1327,11 @@ def semdedup_pairs_hierarchical(
     coarse = (
         emb.orderBy(id_col).limit(coarse_cells).select(id_col, vec_col).collect()
     )
+    if not coarse:
+        # empty corpus: same guard as semdedup_pairs
+        return emb.sparkSession.createDataFrame(
+            [], "cluster_id bigint, keep_id bigint, dup_id bigint, cos_sim double"
+        )
     ccids = np.array([r[id_col] for r in coarse], dtype=np.int64)
     cmat = np.array([list(r[vec_col]) for r in coarse], dtype=np.float64)
     cn = np.sqrt((cmat * cmat).sum(axis=1))

@@ -372,6 +372,11 @@ def ivf_assign(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> Data
     """Assign each vector to its nearest centroid (max cosine).
     Centroids arrive as driver-side literals (k is small); the argmax
     is a single array expression over a literal array-of-structs."""
+    if not centroids:
+        # no centroids exist only when the corpus that produced them
+        # was empty; a zero-element F.array() literal has VOID element
+        # type and the transform below would fail analysis
+        return emb.withColumn("cell", F.lit(None).cast("int"))
     cent = F.array(
         *[
             F.struct(F.lit(cid).alias("cid"), F.array(*[F.lit(v) for v in vec]).alias("cv"))
@@ -466,6 +471,22 @@ def ivf_index_append(
     write_ivf_index(new_emb, centroids, path, mode="append")
 
 
+def _read_ivf_index(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a ``write_ivf_index`` layout; None for a DAY-ZERO index
+    (an index initialized from an empty corpus writes no parquet
+    files, so schema inference fails — semantically that index holds
+    zero vectors, which callers map to zero neighbors rather than an
+    AnalysisException mid-pipeline)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return None
+        raise
+
+
 def ivf_topk_indexed(
     spark: SparkSession,
     path: str,
@@ -478,8 +499,12 @@ def ivf_topk_indexed(
     filter lands as a partition filter on the scan (plan-asserted in
     tests), so unprobed cells are never read."""
     cells = _probe_cells(centroids, query_vec, nprobe)
-    df = spark.read.parquet(path).filter(F.col("cell").isin(cells))
-    return topk(df, query_vec, k=k)
+    df = _read_ivf_index(spark, path)
+    if df is None:
+        df = spark.createDataFrame(
+            [], "vec_id long, embedding array<double>, cell int"
+        )
+    return topk(df.filter(F.col("cell").isin(cells)), query_vec, k=k)
 
 
 def ivf_knn_join(
@@ -557,7 +582,10 @@ def ivf_knn_join(
                 }
             )
 
-    scan = spark.read.parquet(path).filter(F.col("cell").isin(all_cells))
+    index = _read_ivf_index(spark, path)
+    if index is None:  # day-zero index: zero vectors -> zero neighbors
+        return spark.createDataFrame([], f"q_id long, {id_col} long, score double")
+    scan = index.filter(F.col("cell").isin(all_cells))
     candidates = scan.select(id_col, vec_col, "cell").mapInPandas(
         partial_topk, out_schema
     )

@@ -675,7 +675,16 @@ def streaming_incremental_dedup(
             ngram=ngram,
             hash_fn=hash_fn,
         )
-        index = spark.read.parquet(index_path)
+        try:
+            index = spark.read.parquet(index_path)
+        except Exception as e:
+            if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+                raise
+            # DAY-ZERO index: built from an empty corpus, the dir has
+            # no parquet files to infer from — semantically an index
+            # of zero fingerprints (the first batch's appends make it
+            # readable for every later batch)
+            index = banded_minhash(batch_df.limit(0), **kw)
         # replay safety: drop any fingerprints the index already holds
         # for THIS batch's ids (a crashed attempt may have appended
         # them before the checkpoint committed)
