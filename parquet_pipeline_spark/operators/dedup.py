@@ -921,6 +921,16 @@ def incremental_near_dups(
     that would not fit the broadcast limit, pass False to fall back
     to a shuffle join on (band_id, band_hash) — still
     index-scan-once, just with an exchange.
+
+    Degenerate documents (null / empty / shorter than one shingle)
+    all hash to the SAME constant fingerprints, so they flag each
+    other as near-dups — semantically defensible (two empty docs are
+    exact dups), but at corpus scale millions of them form one giant
+    (band_id, band_hash) bucket and the collision join fans out
+    quadratically. Route such docs through exact dedup first
+    (d01-style content hash handles them in one shuffle) and feed
+    this operator real text; tests/test_null_inputs.py pins the
+    small-scale behavior.
     """
     new_banded = banded_minhash(
         new_docs,
@@ -1221,7 +1231,8 @@ def semdedup_pairs(
     # bounded-k pattern as a04's k-means), sorted by cid so numpy's
     # first-max argmax == "ties to lowest cid"
     cent_rows = (
-        emb.orderBy(id_col)
+        emb.filter(F.col(vec_col).isNotNull())
+        .orderBy(id_col)
         .limit(n_centroids)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
         .collect()
@@ -1238,7 +1249,10 @@ def semdedup_pairs(
     cnorm[cnorm == 0.0] = 1.0
     cmat = cmat / cnorm[:, None]
 
-    src = emb.select(id_col, vec_col)
+    # null-embedding rows would break the assignment matmul (object
+    # array); drop them JVM-side — a vector that doesn't exist can't
+    # be a semantic duplicate of anything
+    src = emb.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col)
     assign_schema = T.StructType(
         [
             src.schema[id_col],
@@ -1325,7 +1339,11 @@ def semdedup_pairs_hierarchical(
     import pandas as pd
 
     coarse = (
-        emb.orderBy(id_col).limit(coarse_cells).select(id_col, vec_col).collect()
+        emb.filter(F.col(vec_col).isNotNull())
+        .orderBy(id_col)
+        .limit(coarse_cells)
+        .select(id_col, vec_col)
+        .collect()
     )
     if not coarse:
         # empty corpus: same guard as semdedup_pairs
@@ -1338,7 +1356,8 @@ def semdedup_pairs_hierarchical(
     cn[cn == 0.0] = 1.0
     cmat = cmat / cn[:, None]
 
-    src = emb.select(id_col, vec_col)
+    # same null-embedding guard as semdedup_pairs
+    src = emb.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col)
     assign_schema = T.StructType(
         [
             src.schema[id_col],

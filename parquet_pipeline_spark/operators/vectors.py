@@ -404,6 +404,7 @@ def ivf_centroids(emb: DataFrame, k: int = 16, id_col: str = "vec_id") -> list[t
     step = max(n // k, 1)
     rows = (
         emb.filter((F.col(id_col) % step == 0) & (F.col(id_col) < step * k))
+        .filter(F.col("embedding").isNotNull())  # a null row can't seed a cell
         .select(id_col, "embedding")
         .collect()
     )
@@ -586,8 +587,13 @@ def ivf_knn_join(
     if index is None:  # day-zero index: zero vectors -> zero neighbors
         return spark.createDataFrame([], f"q_id long, {id_col} long, score double")
     scan = index.filter(F.col("cell").isin(all_cells))
-    candidates = scan.select(id_col, vec_col, "cell").mapInPandas(
-        partial_topk, out_schema
+    candidates = (
+        # null-embedding rows (dirty upstream data) would turn the
+        # Arrow batch into a numpy object array and crash the kernel;
+        # the filter is JVM-side and pushes to the scan
+        scan.filter(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col, "cell")
+        .mapInPandas(partial_topk, out_schema)
     )
     w = W.partitionBy("q_id").orderBy(F.col("score").desc(), id_col)
     return (
@@ -1138,8 +1144,12 @@ def exact_knn_join(
             }
             yield pd.DataFrame(rows)
 
-    candidates = corpus.select(id_col, vec_col).mapInPandas(
-        partial_topk, out_schema
+    candidates = (
+        # same null-embedding guard as ivf_knn_join: keep the numpy
+        # kernel's input dense
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .mapInPandas(partial_topk, out_schema)
     )
     w = W.partitionBy("q_id").orderBy(F.col("score").desc(), id_col)
     return (

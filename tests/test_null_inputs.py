@@ -1,0 +1,79 @@
+"""Null-row contract: dirty upstream data routinely carries null
+text or null embedding cells. The numpy-kernel operators must not
+crash on them (nulls are filtered JVM-side — a vector that doesn't
+exist can't be anyone's neighbor or duplicate), and the documented
+degenerate-text semantics of the fingerprint path are pinned here.
+"""
+
+from __future__ import annotations
+
+
+def test_knn_joins_skip_null_embeddings(spark, tmp_path):
+    from parquet_pipeline_spark.operators.vectors import (
+        exact_knn_join,
+        ivf_centroids,
+        ivf_knn_join,
+        write_ivf_index,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, [0.6, 0.8]), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    got = exact_knn_join(emb, [(9, [1.0, 0.0])], k=10).collect()
+    assert sorted(r["vec_id"] for r in got) == [0, 2]  # null rows skipped
+
+    cents = ivf_centroids(emb, k=2)  # seeds 0 and 2 (the non-null rows)
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(emb, cents, idx)
+    got2 = ivf_knn_join(
+        spark, idx, cents, [(9, [1.0, 0.0])], k=10, nprobe=2
+    ).collect()
+    assert sorted(r["vec_id"] for r in got2) == [0, 2]
+
+
+def test_semdedup_skips_null_embeddings(spark):
+    from parquet_pipeline_spark.operators.dedup import (
+        semdedup_pairs,
+        semdedup_pairs_hierarchical,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [1.0, 0.001]), (4, None), (5, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = semdedup_pairs(emb, n_centroids=1, threshold=0.99).collect()
+    assert {(r["keep_id"], r["dup_id"]) for r in pairs} == {(1, 3)}
+    hier = semdedup_pairs_hierarchical(
+        emb, coarse_cells=1, cluster_size=8, threshold=0.99
+    ).collect()
+    assert {(r["keep_id"], r["dup_id"]) for r in hier} == {(1, 3)}
+
+
+def test_degenerate_text_fingerprint_semantics(spark):
+    """Null-text docs collide with null-text docs, empty with empty
+    (two empty docs ARE trivially identical), and neither collides
+    with real text — the documented behavior behind the 'route
+    degenerate docs through exact dedup first' scale note."""
+    from parquet_pipeline_spark.operators.dedup import (
+        banded_minhash,
+        incremental_near_dups,
+    )
+
+    corpus = spark.createDataFrame(
+        [(10, None), (11, ""), (12, "a real document with several words")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(20, None), (21, ""), (22, "completely different real content")],
+        "doc_id long, text string",
+    )
+    flags = {
+        r["doc_id"]: (r["dup_of"], r["is_dup"])
+        for r in incremental_near_dups(batch, banded_minhash(corpus)).collect()
+    }
+    assert flags[20] == (10, 1)   # null ≈ null
+    assert flags[21] == (11, 1)   # empty ≈ empty
+    assert flags[22] == (-1, 0)   # real text matches neither
+    # and the operator never crashed on the null-text rows
+    assert len(flags) == 3
