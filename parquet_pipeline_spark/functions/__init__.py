@@ -31,8 +31,14 @@ def l2_norm(a: Column | str) -> Column:
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity (the reference's score is 1 − cosine
     *distance*, i.e. exactly this — reference:
-    chroma_retrieval_util.py:128-129)."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    chroma_retrieval_util.py:128-129).
+
+    NULL for a zero-norm side: similarity to the zero vector is
+    undefined, and under ANSI mode a plain division would abort the
+    whole job on the first degenerate row (a real embedding pipeline
+    emits them — failed encodes, padded batches). Retrieval
+    operators treat the NULL as "not a candidate"."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def char_ngrams(col: Column | str, n: int = 3) -> Column:

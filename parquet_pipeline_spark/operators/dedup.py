@@ -31,8 +31,14 @@ from pyspark.sql import types as T
 
 logger = logging.getLogger(__name__)
 
-from parquet_pipeline_spark.functions import char_ngrams, jaccard, cosine_similarity
+from parquet_pipeline_spark.functions import char_ngrams, jaccard, cosine_similarity, dot
 from parquet_pipeline_spark.registry import register
+
+
+def _dot_self(vec_col: str) -> Column:
+    """Squared L2 norm of an array column — the zero-norm guard used
+    by the semantic-dedup paths (zero vectors have no direction)."""
+    return dot(F.col(vec_col), F.col(vec_col))
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -499,6 +505,8 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
     FROM embeddings a, embeddings b
     WHERE a.vec_id < b.vec_id AND a.vec_id < 100 AND b.vec_id < 100
+      AND list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) > 0
+      AND list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0
     ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
              a.vec_id, b.vec_id
     LIMIT 20
@@ -514,6 +522,7 @@ def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos_sim", cosine_similarity(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("cos_sim").isNotNull())  # zero-norm: not comparable
         .orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")
         .limit(20)
         .select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
@@ -1232,6 +1241,7 @@ def semdedup_pairs(
     # first-max argmax == "ties to lowest cid"
     cent_rows = (
         emb.filter(F.col(vec_col).isNotNull())
+        .filter(_dot_self(vec_col) > 0)
         .orderBy(id_col)
         .limit(n_centroids)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
@@ -1249,10 +1259,12 @@ def semdedup_pairs(
     cnorm[cnorm == 0.0] = 1.0
     cmat = cmat / cnorm[:, None]
 
-    # null-embedding rows would break the assignment matmul (object
-    # array); drop them JVM-side — a vector that doesn't exist can't
-    # be a semantic duplicate of anything
-    src = emb.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col)
+    # null or zero-norm embedding rows would break / distort the
+    # assignment matmul; drop them JVM-side — a vector that doesn't
+    # exist (or has no direction) can't be a semantic duplicate
+    src = emb.filter(F.col(vec_col).isNotNull()).filter(
+        _dot_self(vec_col) > 0
+    ).select(id_col, vec_col)
     assign_schema = T.StructType(
         [
             src.schema[id_col],
@@ -1340,6 +1352,7 @@ def semdedup_pairs_hierarchical(
 
     coarse = (
         emb.filter(F.col(vec_col).isNotNull())
+        .filter(_dot_self(vec_col) > 0)
         .orderBy(id_col)
         .limit(coarse_cells)
         .select(id_col, vec_col)
@@ -1356,8 +1369,10 @@ def semdedup_pairs_hierarchical(
     cn[cn == 0.0] = 1.0
     cmat = cmat / cn[:, None]
 
-    # same null-embedding guard as semdedup_pairs
-    src = emb.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col)
+    # same null/zero-norm guard as semdedup_pairs
+    src = emb.filter(F.col(vec_col).isNotNull()).filter(
+        _dot_self(vec_col) > 0
+    ).select(id_col, vec_col)
     assign_schema = T.StructType(
         [
             src.schema[id_col],
@@ -1419,12 +1434,18 @@ def semdedup_pairs_hierarchical(
 @register(
     "d08_semdedup_pairs",
     oracle="""
-    WITH cents AS (
+    WITH nz AS (
+      -- null/zero-norm rows are not dedupable (no direction) —
+      -- matches the Spark-side guard in semdedup_pairs
+      SELECT vec_id, embedding FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    ), cents AS (
       -- the TRUE 8 lowest ids (matches orderBy(vec_id).limit(8) on
       -- the Spark side even for offset/sparse id layouts; a
       -- vec_id < 8 pin would only coincide for contiguous-from-0)
       SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-      FROM (SELECT vec_id, embedding FROM embeddings
+      FROM (SELECT vec_id, embedding FROM nz
             ORDER BY vec_id LIMIT 8)
     ), scored AS (
       SELECT e.vec_id, c.cid,
@@ -1432,7 +1453,7 @@ def semdedup_pairs_hierarchical(
                PARTITION BY e.vec_id
                ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
                         c.cid) AS rn
-      FROM embeddings e, cents c
+      FROM nz e, cents c
     ), assign AS (
       SELECT vec_id, cid AS cluster_id FROM scored WHERE rn = 1
     )
@@ -1440,9 +1461,9 @@ def semdedup_pairs_hierarchical(
            ROUND(list_cosine_similarity(x.embedding::DOUBLE[],
                                         y.embedding::DOUBLE[]), 6) AS cos_sim
     FROM assign a
-    JOIN embeddings x ON a.vec_id = x.vec_id
+    JOIN nz x ON a.vec_id = x.vec_id
     JOIN assign b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
-    JOIN embeddings y ON b.vec_id = y.vec_id
+    JOIN nz y ON b.vec_id = y.vec_id
     WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.30
     """,
 )

@@ -67,19 +67,26 @@ def scored(df: DataFrame, query_vec: list[float], out: str = "score") -> DataFra
 
     The query norm is a per-row constant, so it's computed once on
     the driver and inlined — the row expression is one dot product +
-    one row-norm instead of three array aggregates."""
+    one row-norm instead of three array aggregates. Zero-norm rows
+    (or a zero-norm query) score NULL — try_divide, not `/`, so one
+    degenerate vector can't abort the job under ANSI mode."""
     qnorm = sum(v * v for v in query_vec) ** 0.5
     q = F.array(*[F.lit(v) for v in query_vec])
     return df.withColumn(
-        out, dot(F.col("embedding"), q) / (l2_norm(F.col("embedding")) * F.lit(qnorm))
+        out,
+        F.try_divide(
+            dot(F.col("embedding"), q), l2_norm(F.col("embedding")) * F.lit(qnorm)
+        ),
     )
 
 
 def topk(df: DataFrame, query_vec: list[float], k: int = 10) -> DataFrame:
     """Exact cosine top-k (reference A31). Deterministic tiebreak on
-    vec_id so results are stable under reordering."""
+    vec_id so results are stable under reordering. Zero-norm vectors
+    (NULL score) are not retrievable."""
     return (
         scored(df, query_vec)
+        .filter(F.col("score").isNotNull())
         .orderBy(F.col("score").desc(), F.col("vec_id"))
         .limit(k)
     )
@@ -96,6 +103,8 @@ def topk(df: DataFrame, query_vec: list[float], k: int = 10) -> DataFrame:
            ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
     FROM embeddings e, q
     WHERE e.vec_id <> 0
+      -- zero-norm vectors are not retrievable (cosine undefined)
+      AND list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0
     ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id
     LIMIT 10
     """,
@@ -121,6 +130,7 @@ def v01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_vectors
     FROM embeddings e, q
     WHERE e.vec_id <> 0
+      AND list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0
     GROUP BY label
     HAVING MAX(list_cosine_similarity(e.embedding::DOUBLE[], q.qv)) >= 0.2
     ORDER BY best_score DESC, label
@@ -132,6 +142,7 @@ def v02_collection_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
     return (
         scored(emb, qv)
+        .filter(F.col("score").isNotNull())  # zero-norm: not scoreable
         .groupBy("label")
         .agg(
             F.max("score").alias("_best"),
@@ -161,7 +172,9 @@ def v02_collection_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY q.vec_id
                ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
                         e.vec_id) AS INT) AS rn
-      FROM embeddings q JOIN embeddings e ON e.vec_id >= 5
+      FROM embeddings q JOIN embeddings e
+        ON e.vec_id >= 5
+       AND list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0
       WHERE q.vec_id < 5
     ) WHERE rn <= 3
     """,
@@ -310,6 +323,7 @@ def lsh_bucket_topk(
     )
     return (
         cands.withColumn("score", cosine_similarity(F.col("embedding"), F.col("q_emb")))
+        .filter(F.col("score").isNotNull())  # zero-norm: not retrievable
         .orderBy(F.col("score").desc(), F.col("vec_id"))
         .limit(k)
         .select("vec_id", *extra_cols, F.round("score", 6).alias("score"))
@@ -337,6 +351,7 @@ def a01_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
       FROM embeddings e, q
       WHERE e.vec_id <> 0
+        AND list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0
       ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id
       LIMIT 5
     )
@@ -377,6 +392,9 @@ def ivf_assign(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> Data
         # was empty; a zero-element F.array() literal has VOID element
         # type and the transform below would fail analysis
         return emb.withColumn("cell", F.lit(None).cast("int"))
+    # zero-norm vectors have undefined cell affinity (NULL cosine to
+    # every centroid) — excluded here so they never enter an index
+    emb = emb.filter(dot(F.col("embedding"), F.col("embedding")) > 0)
     cent = F.array(
         *[
             F.struct(F.lit(cid).alias("cid"), F.array(*[F.lit(v) for v in vec]).alias("cv"))
@@ -404,7 +422,9 @@ def ivf_centroids(emb: DataFrame, k: int = 16, id_col: str = "vec_id") -> list[t
     step = max(n // k, 1)
     rows = (
         emb.filter((F.col(id_col) % step == 0) & (F.col(id_col) < step * k))
-        .filter(F.col("embedding").isNotNull())  # a null row can't seed a cell
+        # a null or zero-norm row can't seed a cell
+        .filter(F.col("embedding").isNotNull())
+        .filter(dot(F.col("embedding"), F.col("embedding")) > 0)
         .select(id_col, "embedding")
         .collect()
     )
@@ -532,6 +552,12 @@ def ivf_knn_join(
     import numpy as np
     import pandas as pd
 
+    # zero-norm queries have undefined similarity to everything:
+    # they contribute no result rows (matches the NULL-score contract
+    # of the expression path)
+    query_rows = [
+        q for q in query_rows if any(float(x) != 0.0 for x in q[1])
+    ]
     if not query_rows:
         return spark.createDataFrame([], f"q_id long, {id_col} long, score double")
     q_ids = np.array([q[0] for q in query_rows], dtype=np.int64)
@@ -558,7 +584,10 @@ def ivf_knn_join(
             cells = pdf["cell"].to_numpy()
             m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             norms = np.sqrt((m * m).sum(axis=1))
-            norms[norms == 0.0] = 1.0
+            keep = norms > 0.0  # zero-norm vectors are not retrievable
+            ids, cells, m, norms = ids[keep], cells[keep], m[keep], norms[keep]
+            if not len(ids):
+                continue
             sims = (m / norms[:, None]) @ qm.T  # (batch, n_queries)
             kk = min(k, len(ids))
             qi_out, id_out, sc_out = [], [], []
@@ -624,6 +653,8 @@ def ivf_knn_join(
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
       FROM corpus, params
       WHERE vec_id % step = 0 AND vec_id < step * 16
+        -- zero-norm rows can't seed a cell (matches ivf_centroids)
+        AND list_dot_product(v, v) > 0
     ),
     q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
     probed AS (
@@ -637,6 +668,8 @@ def ivf_knn_join(
                PARTITION BY vec_id
                ORDER BY list_cosine_similarity(v, cv) DESC, cid DESC) AS rn
       FROM corpus, cents
+      -- zero-norm rows never enter the index (matches ivf_assign)
+      WHERE list_dot_product(v, v) > 0
     )
     SELECT a.vec_id, a.label,
            ROUND(list_cosine_similarity(a.v, q.qv), 6) AS score
@@ -677,6 +710,7 @@ def a04_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
       FROM corpus, params
       WHERE vec_id % step = 0 AND vec_id < step * 16
+        AND list_dot_product(v, v) > 0
     ),
     q AS (
       SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
@@ -699,6 +733,7 @@ def a04_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  PARTITION BY vec_id
                  ORDER BY list_cosine_similarity(v, cv) DESC, cid DESC) AS rn
         FROM corpus, cents
+        WHERE list_dot_product(v, v) > 0
       ) WHERE rn = 1
     )
     SELECT q_id, vec_id, score FROM (
@@ -873,6 +908,7 @@ def ann_knn_join(
         c.join(q, ["band_id", "band_val"])
         .dropDuplicates([q_id_col, id_col])
         .withColumn("score", cosine_similarity(F.col("embedding"), F.col(q_emb_col)))
+        .filter(F.col("score").isNotNull())  # zero-norm: not retrievable
     )
     w = W.partitionBy(q_id_col).orderBy(F.col("score").desc(), F.col(id_col))
     return (
@@ -976,6 +1012,7 @@ def _register_ann_oracle_twin():
                ROUND(list_cosine_similarity(s.v, q.qv), 6) AS score
         FROM sigs s, q
         WHERE s.vec_id <> 0
+          AND list_dot_product(s.v, s.v) > 0
           AND (CAST(floor(s.sig / 1.0) AS BIGINT) % 256 = CAST(floor(q.qsig / 1.0) AS BIGINT) % 256
                OR CAST(floor(s.sig / 256.0) AS BIGINT) % 256 = CAST(floor(q.qsig / 256.0) AS BIGINT) % 256
                OR CAST(floor(s.sig / 65536.0) AS BIGINT) % 256 = CAST(floor(q.qsig / 65536.0) AS BIGINT) % 256)
@@ -1045,6 +1082,7 @@ def _register_batch_knn_oracle_twin():
           FROM cand c
           JOIN e ON e.vec_id = c.vec_id
           JOIN q ON q.q_id = c.q_id
+          WHERE list_dot_product(e.v, e.v) > 0
         ) WHERE rn <= 3
         """,
     )
@@ -1095,6 +1133,12 @@ def exact_knn_join(
         return corpus.sparkSession.createDataFrame(
             [], f"q_id long, {id_col} long, score double"
         )
+    # same zero-norm query contract as ivf_knn_join
+    query_rows = [q for q in query_rows if any(float(x) != 0.0 for x in q[1])]
+    if not query_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], f"q_id long, {id_col} long, score double"
+        )
     q_ids = np.array([q[0] for q in query_rows], dtype=np.int64)
     qm = np.array([list(q[1]) for q in query_rows], dtype=np.float64)
     qn = np.sqrt((qm * qm).sum(axis=1))
@@ -1114,7 +1158,10 @@ def exact_knn_join(
             ids = pdf[id_col].to_numpy()
             m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             norms = np.sqrt((m * m).sum(axis=1))
-            norms[norms == 0.0] = 1.0
+            keep = norms > 0.0  # zero-norm vectors are not retrievable
+            ids, m, norms = ids[keep], m[keep], norms[keep]
+            if not len(ids):
+                continue
             sims = (m / norms[:, None]) @ qm.T  # (batch, n_queries)
             kk = min(k, len(ids))
             # Per query keep the batch's k best with the SAME

@@ -77,3 +77,62 @@ def test_degenerate_text_fingerprint_semantics(spark):
     assert flags[22] == (-1, 0)   # real text matches neither
     # and the operator never crashed on the null-text rows
     assert len(flags) == 3
+
+
+def test_zero_norm_vectors_not_retrievable(spark, tmp_path):
+    """A single all-zeros embedding (failed encode) must not abort
+    the job under ANSI mode (DIVIDE_BY_ZERO) and must never be
+    retrieved or deduped — cosine against it is undefined. Pinned
+    across the expression path (topk), the kernel paths (exact/IVF
+    k-NN), the index path, and semantic dedup."""
+    from parquet_pipeline_spark.operators.dedup import semdedup_pairs
+    from parquet_pipeline_spark.operators.vectors import (
+        ann_knn_join,
+        exact_knn_join,
+        ivf_centroids,
+        ivf_knn_join,
+        topk,
+        write_ivf_index,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 0.0]),   # zero norm
+            (2, [0.6, 0.8]),
+            (3, [0.0, 0.0]),   # zero norm
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    qv = [1.0, 0.0]
+
+    got = topk(emb, qv, k=10).collect()  # would raise DIVIDE_BY_ZERO before
+    assert sorted(r["vec_id"] for r in got) == [0, 2]
+
+    got = exact_knn_join(emb, [(9, qv)], k=10).collect()
+    assert sorted(r["vec_id"] for r in got) == [0, 2]
+
+    cents = ivf_centroids(emb, k=2)
+    assert all(any(x != 0 for x in vec) for _cid, vec in cents)
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(emb, cents, idx)
+    got = ivf_knn_join(spark, idx, cents, [(9, qv)], k=10, nprobe=2).collect()
+    assert sorted(r["vec_id"] for r in got) == [0, 2]
+
+    queries = spark.createDataFrame(
+        [(9, qv), (8, [0.0, 0.0])], "q_id long, q_emb array<double>"
+    )
+    got = ann_knn_join(emb, queries, dim=2, k=10, n_planes=4, n_bands=4).collect()
+    assert all(r["q_id"] == 9 for r in got)          # zero query: no rows
+    assert sorted({r["vec_id"] for r in got}) == [0, 2]
+
+    pairs = semdedup_pairs(
+        emb.unionByName(
+            spark.createDataFrame([(4, [1.0, 0.001])], "vec_id long, embedding array<double>")
+        ),
+        n_centroids=1,
+        threshold=0.99,
+    ).collect()
+    ids = {r["keep_id"] for r in pairs} | {r["dup_id"] for r in pairs}
+    assert 1 not in ids and 3 not in ids
+    assert {(r["keep_id"], r["dup_id"]) for r in pairs} == {(0, 4)}

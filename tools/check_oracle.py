@@ -39,7 +39,12 @@ def normalize(pdf):
             # on accumulation order (measured: 5 cents on 3.2e11).
             sig = os.environ.get("ORACLE_SIG_DIGITS")
             fmt = (lambda v: f"{v:.{int(sig)}g}") if sig else (lambda v: f"{v:.6f}")
-            pdf[c] = col.map(lambda v: "NULL" if pd.isna(v) else fmt(v))
+            # +0.0 normalization: IEEE -0.0 == 0.0, but "-0.000000"
+            # != "0.000000" as strings (engines disagree on the sign
+            # a ±1e-20 rounds to)
+            pdf[c] = col.map(
+                lambda v: "NULL" if pd.isna(v) else fmt(v + 0.0 if v != 0 else 0.0)
+            )
         elif str(col.dtype).startswith(("datetime", "date")):
             pdf[c] = col.map(lambda v: "NULL" if pd.isna(v) else str(v))
         else:
