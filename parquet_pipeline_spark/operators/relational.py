@@ -542,7 +542,7 @@ def q15_monthly_volumes(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CEIL(l_quantity / 7.0) AS BIGINT)      AS qty_bucket,
            CAST(FLOOR(l_extendedprice / 10000) AS BIGINT) AS price_decile,
            ROUND(ABS(l_extendedprice - 30000.0), 2)    AS dist_from_30k,
-           ROUND(SQRT(l_quantity), 4)                  AS sqrt_qty
+           ROUND(CASE WHEN l_quantity >= 0 THEN SQRT(l_quantity) END, 4) AS sqrt_qty
     FROM lineitem
     WHERE l_orderkey < 500
     """,
@@ -563,7 +563,11 @@ def q16_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ceil(F.col("l_quantity") / 7.0).alias("qty_bucket"),
             F.floor(F.col("l_extendedprice") / 10000).alias("price_decile"),
             F.round(F.abs(F.col("l_extendedprice") - 30000.0), 2).alias("dist_from_30k"),
-            F.round(F.sqrt("l_quantity"), 4).alias("sqrt_qty"),
+            # sqrt of a negative is undefined and the engines diverge
+            # on it (Spark NaN, DuckDB errors) — NULL by contract
+            F.round(
+                F.when(F.col("l_quantity") >= 0, F.sqrt("l_quantity")), 4
+            ).alias("sqrt_qty"),
         )
     )
 
