@@ -785,15 +785,24 @@ def q23_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 3) AS avg_k,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+           -- malformed props / wrong-typed k -> NULL (engines would
+           -- otherwise diverge: Spark's get_json_object is lenient,
+           -- DuckDB's json functions and ANSI casts throw)
+           ROUND(AVG(TRY_CAST(CASE WHEN json_valid(props)
+                                   THEN json_extract_string(props, '$.k')
+                              END AS BIGINT)), 3) AS avg_k,
+           CAST(SUM(TRY_CAST(CASE WHEN json_valid(props)
+                                  THEN json_extract_string(props, '$.k')
+                             END AS BIGINT)) AS BIGINT) AS sum_k
     FROM events
     GROUP BY event_type
     """,
 )
 def q24_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).withColumn(
-        "k", F.get_json_object("props", "$.k").cast("bigint")
+        # try_cast: wrong-typed k ('{"k": "str"}') must yield NULL,
+        # not an ANSI cast error aborting the job
+        "k", F.get_json_object("props", "$.k").try_cast("bigint")
     )
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -814,6 +823,7 @@ def q24_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_events,
            ROUND(SUM(value), 3)     AS total_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -1218,9 +1228,11 @@ def q37_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q38_events_sliding",
     oracle="""
     WITH assigned AS (
-      SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type, value FROM events
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type, value
+      FROM events WHERE ts IS NOT NULL
       UNION ALL
-      SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour' AS wstart, event_type, value FROM events
+      SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour' AS wstart, event_type, value
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
@@ -1969,11 +1981,15 @@ def q78_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                 AS BOOLEAN) AS is_current
     FROM events
-    WHERE user_id < 50
+    WHERE user_id < 50 AND ts IS NOT NULL
     """,
 )
 def q79_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir).filter(F.col("user_id") < 50)
+    # null-ts change records have no validity interval (and window
+    # NULL ordering diverges between engines) — excluded by contract
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 50).filter(
+        F.col("ts").isNotNull()
+    )
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = F.lead("ts").over(w)
     return ev.select(

@@ -56,6 +56,18 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     back = direction == "backward"
     by = by or []
+    # rows without a timestamp have no position in time: a null-ts
+    # probe can never match and a null-ts quote can never be matched —
+    # excluded by contract (otherwise the bucket expression silently
+    # loses them, and engines disagree on NULL ordering). A quote with
+    # a NULL value is not a quote either: the window's ignorenulls
+    # fill would otherwise skip PAST it to an older quote, which no
+    # SQL ASOF join would do — excluding it makes "nearest quote"
+    # mean the same thing on both sides.
+    probe = probe.filter(F.col(ts_col).isNotNull())
+    quote = quote.filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    )
     q = quote.select(
         *by, F.col(ts_col).alias(ts_col), F.col(value_col).alias("_q_val")
     ).withColumn("_is_probe", F.lit(0))
@@ -129,7 +141,11 @@ def sessionize(
     """Gap-based session assignment: a new session starts when the
     time since the entity's previous event exceeds ``gap_seconds``.
     Adds ``session_id`` (0-based per entity). One shuffle on the
-    entity key; state is a window, bounded per entity."""
+    entity key; state is a window, bounded per entity. Events with a
+    NULL timestamp are excluded by contract — they have no position
+    in time (and Spark's NULLS-FIRST vs SQL's NULLS-LAST window
+    ordering would otherwise diverge)."""
+    events = events.filter(F.col(ts_col).isNotNull())
     w = W.partitionBy(entity_col).orderBy(ts_col, order_tiebreak)
     # unix_timestamp: epoch seconds for TIMESTAMP, and (crucially)
     # UTC-interpreted wall-clock seconds for TIMESTAMP_NTZ — i.e.
@@ -201,11 +217,13 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH quotes AS (
       SELECT time_bucket(INTERVAL '1 hour', ts) AS qts,
              AVG(value) AS rate
-      FROM events WHERE event_type = 'purchase'
+      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
       GROUP BY 1
+      HAVING AVG(value) IS NOT NULL
     ),
     probes AS (
-      SELECT event_id, ts FROM events WHERE event_type = 'click'
+      -- null-ts rows have no position in time (matches asof_join)
+      SELECT event_id, ts FROM events WHERE event_type = 'click' AND ts IS NOT NULL
     )
     SELECT p.event_id,
            strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
@@ -252,7 +270,7 @@ def x01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, ts, event_id,
                FLOOR(epoch(ts)) - lag(FLOOR(epoch(ts)))
                  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
-        FROM events
+        FROM events WHERE ts IS NOT NULL
       )
     )
     GROUP BY user_id, session_id
@@ -309,7 +327,7 @@ def x03_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, ts, event_id,
                FLOOR(epoch(ts)) - lag(FLOOR(epoch(ts)))
                  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
-        FROM events
+        FROM events WHERE ts IS NOT NULL
       )
     )
     GROUP BY user_id, session_id
@@ -344,11 +362,13 @@ def x04_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH quotes AS (
       SELECT time_bucket(INTERVAL '1 hour', ts) AS qts,
              AVG(value) AS rate
-      FROM events WHERE event_type = 'purchase'
+      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
       GROUP BY 1
+      HAVING AVG(value) IS NOT NULL
     ),
     probes AS (
-      SELECT event_id, ts FROM events WHERE event_type = 'click'
+      -- null-ts rows have no position in time (matches asof_join)
+      SELECT event_id, ts FROM events WHERE event_type = 'click' AND ts IS NOT NULL
     )
     SELECT p.event_id,
            strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
@@ -499,12 +519,19 @@ def x06_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x07_last_touch_attribution",
     oracle="""
     WITH clicks AS (
-      SELECT user_id, ts,
-             'ch' || CAST(CAST(props ->> 'k' AS INT) % 4 AS VARCHAR) AS channel
-      FROM events WHERE event_type = 'click'
+      -- malformed props -> NULL channel -> not an attributable touch
+      -- (asof_join excludes null-valued quotes); null-ts excluded
+      SELECT * FROM (
+        SELECT user_id, ts,
+               'ch' || CAST(TRY_CAST(CASE WHEN json_valid(props)
+                                          THEN props ->> 'k' END AS INT) % 4
+                            AS VARCHAR) AS channel
+        FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+      ) WHERE channel IS NOT NULL
     ),
     purchases AS (
-      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+      SELECT user_id, ts, value
+      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
     )
     SELECT COALESCE(c.channel, 'none') AS channel,
            CAST(COUNT(*) AS BIGINT) AS n_purchases,
@@ -521,7 +548,7 @@ def x07_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.concat(
             F.lit("ch"),
-            (F.get_json_object("props", "$.k").cast("int") % 4).cast("string"),
+            (F.get_json_object("props", "$.k").try_cast("int") % 4).cast("string"),
         ).alias("channel"),
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(

@@ -136,3 +136,45 @@ def test_zero_norm_vectors_not_retrievable(spark, tmp_path):
     ids = {r["keep_id"] for r in pairs} | {r["dup_id"] for r in pairs}
     assert 1 not in ids and 3 not in ids
     assert {(r["keep_id"], r["dup_id"]) for r in pairs} == {(0, 4)}
+
+
+def test_temporal_null_ts_and_null_value_contract(spark):
+    """Time operators exclude rows that have no position in time
+    (NULL ts) and as-of quotes that carry no value — otherwise
+    Spark's NULLS-FIRST window ordering vs SQL's NULLS-LAST silently
+    diverges, and ignorenulls fills skip PAST a null-valued quote to
+    an older one no SQL ASOF join would pick."""
+    import datetime as dt
+
+    from parquet_pipeline_spark.operators.temporal import asof_join, sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    events = spark.createDataFrame(
+        [
+            (1, 100, t0),
+            (2, 100, None),                       # no position in time
+            (3, 100, t0 + dt.timedelta(seconds=10)),
+            (4, 100, t0 + dt.timedelta(hours=2)),  # new session
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    sess = sessionize(events, "user_id", "ts", "event_id", gap_seconds=1800)
+    got = {r["event_id"]: r["session_id"] for r in sess.collect()}
+    assert got == {1: 0, 3: 0, 4: 1}  # null-ts event 2 excluded
+
+    probe = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=30)), (2, None)],
+        "event_id long, ts timestamp",
+    )
+    quote = spark.createDataFrame(
+        [
+            (t0, 1.0),
+            (t0 + dt.timedelta(minutes=10), None),  # null-valued quote
+        ],
+        "ts timestamp, rate double",
+    )
+    got = {r["event_id"]: r["rate"] for r in asof_join(probe, quote, "ts", "rate").collect()}
+    # probe 1's nearest REAL quote is t0 (the null-valued one is not
+    # a quote); the null-ts probe is excluded entirely
+    assert got == {1: 1.0}

@@ -5,16 +5,22 @@ cd "$(dirname "$0")/.."
 
 fail=0
 
-echo "=== 1/4 oracle gate (sf0.01) ==="
+echo "=== 1/5 oracle gate (sf0.01) ==="
 python tools/check_oracle.py | tail -1 || fail=1
 
-echo "=== 2/4 test suite ==="
+echo "=== 2/5 test suite ==="
 python -m pytest tests/ -q 2>&1 | tail -1 || fail=1
 
-echo "=== 3/4 differential fuzz (100 cases) ==="
+echo "=== 3/5 differential fuzz (100 cases) ==="
 python tools/fuzz_oracle.py 100 "${FUZZ_SEED:-7}" 2>/dev/null | tail -1 || fail=1
 
-echo "=== 4/4 bench ==="
+echo "=== 4/5 adversarial fixtures (dirty docs / embeddings / lineitem / events) ==="
+python tools/adversarial_docs_check.py "${FUZZ_SEED:-7}" 2>/dev/null | tail -1 || fail=1
+python tools/adversarial_emb_check.py "${FUZZ_SEED:-7}" 2>/dev/null | tail -1 || fail=1
+python tools/adversarial_lineitem_check.py "${FUZZ_SEED:-7}" 2>/dev/null | tail -1 || fail=1
+python tools/adversarial_events_check.py "${FUZZ_SEED:-7}" 2>/dev/null | tail -1 || fail=1
+
+echo "=== 5/5 bench ==="
 python bench.py 2>/dev/null | tail -1 || fail=1
 
 exit $fail
