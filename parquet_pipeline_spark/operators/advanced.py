@@ -190,7 +190,8 @@ def q63_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey,
            ROUND(SUM(o_totalprice) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate NULLS FIRST, o_orderkey
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS rolling_spend
     FROM orders
     WHERE o_custkey < 100
@@ -885,10 +886,11 @@ def q92_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q93_cumulative_distinct_users",
     oracle="""
     WITH months AS (
-      SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS month FROM orders
+      SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS month
+      FROM orders WHERE o_orderdate IS NOT NULL
     ), firsts AS (
       SELECT o_custkey, MIN(strftime(o_orderdate, '%Y-%m')) AS fm
-      FROM orders GROUP BY o_custkey
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY o_custkey
     )
     SELECT m.month, CAST(COUNT(f.o_custkey) AS BIGINT) AS cum_users
     FROM months m JOIN firsts f ON f.fm <= m.month
@@ -896,8 +898,14 @@ def q92_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q93_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_custkey", F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        # dateless orders have no month (same contract as the
+        # null-ts exclusion in the time operators); an order without
+        # a customer isn't a user (COUNT(col) semantics in the oracle)
+        .filter(F.col("o_orderdate").isNotNull())
+        .filter(F.col("o_custkey").isNotNull())
+        .select("o_custkey", F.date_format("o_orderdate", "yyyy-MM").alias("month"))
     )
     firsts_per_month = (
         orders.groupBy("o_custkey")
@@ -970,9 +978,24 @@ def table_diff(
     compare_cols: list[str],
 ) -> DataFrame:
     """(key, status) per key in either snapshot; status in
-    {added, removed, changed, unchanged}."""
+    {added, removed, changed, unchanged}.
+
+    Fingerprint canonicalization (cross-engine portable): NULL cells
+    map to a \\x00 sentinel — concat_ws would silently SKIP them, so
+    (NULL, 'a') and ('a', NULL) would collide and a NULL-vs-value
+    change would go undetected; floats stringify via DECIMAL(38,6) —
+    a plain double→string cast is engine-specific ('1.0E9' in Spark,
+    '1000000000.0' in DuckDB), which would flag every large value as
+    changed against a snapshot written by another engine."""
     def fingerprint(df: DataFrame) -> DataFrame:
-        fp = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in compare_cols]))
+        dtypes = dict(df.dtypes)
+        parts = []
+        for c in compare_cols:
+            col = F.col(c)
+            if dtypes[c] in ("double", "float"):
+                col = col.cast("decimal(38,6)")
+            parts.append(F.coalesce(col.cast("string"), F.lit("\x00")))
+        fp = F.md5(F.concat_ws("\x1f", *parts))
         return df.select(F.col(key), fp.alias("_fp"))
 
     o = fingerprint(old).withColumnRenamed("_fp", "_fp_old")
@@ -994,15 +1017,20 @@ def table_diff(
     "q96_snapshot_diff",
     oracle="""
     WITH old_v AS (
+      -- canonical fp: NULL -> chr(0) sentinel, floats via
+      -- DECIMAL(38,6) (plain double->string casts are
+      -- engine-specific; see table_diff docstring)
       SELECT o_orderkey,
-             md5(CAST(o_custkey AS VARCHAR) || chr(31) || CAST(o_totalprice AS VARCHAR)) AS fp
+             md5(COALESCE(CAST(o_custkey AS VARCHAR), chr(0)) || chr(31) ||
+                 COALESCE(CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS VARCHAR), chr(0))) AS fp
       FROM orders WHERE o_orderkey < 1000
     ), new_v AS (
       SELECT o_orderkey,
-             md5(CAST(o_custkey AS VARCHAR) || chr(31) ||
-                 CAST(CASE WHEN o_orderkey BETWEEN 800 AND 899
-                           THEN ROUND(o_totalprice * 1.1, 2)
-                           ELSE o_totalprice END AS VARCHAR)) AS fp
+             md5(COALESCE(CAST(o_custkey AS VARCHAR), chr(0)) || chr(31) ||
+                 COALESCE(CAST(CAST(CASE WHEN o_orderkey BETWEEN 800 AND 899
+                                         THEN ROUND(o_totalprice * 1.1, 2)
+                                         ELSE o_totalprice END AS DECIMAL(38,6))
+                               AS VARCHAR), chr(0))) AS fp
       FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1500
     )
     SELECT status, CAST(COUNT(*) AS BIGINT) AS n_keys FROM (

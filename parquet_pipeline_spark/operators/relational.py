@@ -671,7 +671,8 @@ def q19_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey, o_orderkey,
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
            ROUND(SUM(o_totalprice) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate NULLS FIRST, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
     FROM orders
     WHERE o_custkey < 50
@@ -1272,7 +1273,8 @@ def q38_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(first_value(o_totalprice) OVER w, 2) AS first_price
     FROM orders
     WHERE o_custkey < 30
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    -- NULLS FIRST pins Spark's ASC default (DuckDB defaults NULLS LAST)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey)
     """,
 )
 def q39_window_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
