@@ -14,12 +14,10 @@ python -m pytest tests/ -q 2>&1 | tail -1 || fail=1
 echo "=== 3/5 differential fuzz (100 cases) ==="
 python tools/fuzz_oracle.py 100 "${FUZZ_SEED:-7}" 2>/dev/null | tail -1 || fail=1
 
-echo "=== 4/5 adversarial fixtures (dirty docs / embeddings / lineitem / events / orders) ==="
-python tools/adversarial_docs_check.py "${FUZZ_SEED:-7}" 2>/dev/null | tail -1 || fail=1
-python tools/adversarial_emb_check.py "${FUZZ_SEED:-7}" 2>/dev/null | tail -1 || fail=1
-python tools/adversarial_lineitem_check.py "${FUZZ_SEED:-7}" 2>/dev/null | tail -1 || fail=1
-python tools/adversarial_events_check.py "${FUZZ_SEED:-7}" 2>/dev/null | tail -1 || fail=1
-python tools/adversarial_orders_check.py "${FUZZ_SEED:-7}" 2>/dev/null | tail -1 || fail=1
+echo "=== 4/5 adversarial all-dirty fixture (full oracled registry) ==="
+# composes all five per-table dirty fixtures (tools/adversarial_*_check.py
+# run them individually for failure isolation)
+python tools/adversarial_all_check.py "${FUZZ_SEED:-7}" 2>/dev/null | tail -1 || fail=1
 
 echo "=== 5/5 bench ==="
 python bench.py 2>/dev/null | tail -1 || fail=1
