@@ -236,3 +236,62 @@ def test_bloom_no_false_negatives_any_keys(keys):
     bitmap = build_bloom(members, "k")
     hits = with_bloom_hit(members, bitmap, "k").filter(F.col("_bloom_hit")).count()
     assert hits == len(keys)  # every member passes, whatever the keys
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=10_000)),
+        min_size=1,
+        max_size=20,
+    ),
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=10_000)),
+            st.one_of(
+                st.none(),
+                st.floats(min_value=-100, max_value=100, allow_nan=False),
+            ),
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_asof_join_null_contract_matches_naive(probe_secs, quotes_raw):
+    """The r7 dirty-data contract under random dirt: null-ts probes
+    are excluded, null-ts or null-valued quotes are never matched —
+    checked against a contract-aware naive reference on arbitrary
+    (possibly degenerate) inputs."""
+    from parquet_pipeline_spark.operators.temporal import asof_join
+    from parquet_pipeline_spark.session import get_spark
+
+    spark = get_spark("tests")
+    base = dt.datetime(2024, 1, 1)
+
+    def to_ts(s):
+        return None if s is None else base + dt.timedelta(seconds=s)
+
+    probes = spark.createDataFrame(
+        [(i, to_ts(s)) for i, s in enumerate(probe_secs)],
+        "id long, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [(to_ts(s), v) for s, v in quotes_raw],
+        "ts timestamp, rate double",
+    )
+    got = {
+        r["id"]: r["rate"]
+        for r in asof_join(probes, quotes, "ts", "rate", bucket="1 hour").collect()
+    }
+
+    real_quotes = [(qs, v) for qs, v in quotes_raw if qs is not None and v is not None]
+
+    def naive(s):
+        eligible = [(qs, v) for qs, v in real_quotes if qs <= s]
+        return max(eligible)[1] if eligible else None
+
+    expected = {
+        i: naive(s) for i, s in enumerate(probe_secs) if s is not None
+    }
+    assert got == expected
