@@ -31,14 +31,16 @@ from pyspark.sql import types as T
 
 logger = logging.getLogger(__name__)
 
-from parquet_pipeline_spark.functions import char_ngrams, jaccard, cosine_similarity, dot
+from parquet_pipeline_spark.functions import char_ngrams, jaccard, cosine_similarity
 from parquet_pipeline_spark.registry import register
 
 
-def _dot_self(vec_col: str) -> Column:
-    """Squared L2 norm of an array column — the zero-norm guard used
-    by the semantic-dedup paths (zero vectors have no direction)."""
-    return dot(F.col(vec_col), F.col(vec_col))
+def _nonzero_vec(vec_col: str) -> Column:
+    """Zero-norm guard for the semantic-dedup paths (zero vectors
+    have no direction): exists() short-circuits at the first nonzero
+    element, so the guard costs ~1 comparison per row instead of a
+    full dot product."""
+    return F.exists(F.col(vec_col), lambda x: x != F.lit(0.0))
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -520,9 +522,12 @@ def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        # zero-norm: not comparable (input-side exists guard — a
+        # filter on the computed cos_sim would duplicate the dot
+        # product into the pushed-down predicate)
+        a.filter(_nonzero_vec("emb_a"))
+        .join(b.filter(_nonzero_vec("emb_b")), F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos_sim", cosine_similarity(F.col("emb_a"), F.col("emb_b")))
-        .filter(F.col("cos_sim").isNotNull())  # zero-norm: not comparable
         .orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")
         .limit(20)
         .select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
@@ -1241,7 +1246,7 @@ def semdedup_pairs(
     # first-max argmax == "ties to lowest cid"
     cent_rows = (
         emb.filter(F.col(vec_col).isNotNull())
-        .filter(_dot_self(vec_col) > 0)
+        .filter(_nonzero_vec(vec_col))
         .orderBy(id_col)
         .limit(n_centroids)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
@@ -1263,7 +1268,7 @@ def semdedup_pairs(
     # assignment matmul; drop them JVM-side — a vector that doesn't
     # exist (or has no direction) can't be a semantic duplicate
     src = emb.filter(F.col(vec_col).isNotNull()).filter(
-        _dot_self(vec_col) > 0
+        _nonzero_vec(vec_col)
     ).select(id_col, vec_col)
     assign_schema = T.StructType(
         [
@@ -1352,7 +1357,7 @@ def semdedup_pairs_hierarchical(
 
     coarse = (
         emb.filter(F.col(vec_col).isNotNull())
-        .filter(_dot_self(vec_col) > 0)
+        .filter(_nonzero_vec(vec_col))
         .orderBy(id_col)
         .limit(coarse_cells)
         .select(id_col, vec_col)
@@ -1371,7 +1376,7 @@ def semdedup_pairs_hierarchical(
 
     # same null/zero-norm guard as semdedup_pairs
     src = emb.filter(F.col(vec_col).isNotNull()).filter(
-        _dot_self(vec_col) > 0
+        _nonzero_vec(vec_col)
     ).select(id_col, vec_col)
     assign_schema = T.StructType(
         [
