@@ -898,22 +898,25 @@ def q92_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q93_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = (
+    # dateless orders have no month (same contract as the null-ts
+    # exclusion in the time operators). The custkey filter applies
+    # ONLY to the user counts, NOT the spine: a month whose only
+    # orders have NULL o_custkey still appears (carrying the running
+    # cum_users), exactly like the oracle's months CTE, which filters
+    # on the date alone while COUNT(f.o_custkey) skips NULL users.
+    dated = (
         _t(spark, sf_dir, "orders")
-        # dateless orders have no month (same contract as the
-        # null-ts exclusion in the time operators); an order without
-        # a customer isn't a user (COUNT(col) semantics in the oracle)
         .filter(F.col("o_orderdate").isNotNull())
-        .filter(F.col("o_custkey").isNotNull())
         .select("o_custkey", F.date_format("o_orderdate", "yyyy-MM").alias("month"))
     )
     firsts_per_month = (
-        orders.groupBy("o_custkey")
+        dated.filter(F.col("o_custkey").isNotNull())
+        .groupBy("o_custkey")
         .agg(F.min("month").alias("fm"))
         .groupBy(F.col("fm").alias("month"))
         .agg(F.count("*").alias("new_users"))
     )
-    spine = orders.select("month").distinct()
+    spine = dated.select("month").distinct()
     w = W.orderBy("month").rowsBetween(W.unboundedPreceding, W.currentRow)
     return (
         spine.join(firsts_per_month, "month", "left")
@@ -976,6 +979,7 @@ def table_diff(
     new: DataFrame,
     key: str,
     compare_cols: list[str],
+    float_scale: int = 6,
 ) -> DataFrame:
     """(key, status) per key in either snapshot; status in
     {added, removed, changed, unchanged}.
@@ -983,18 +987,32 @@ def table_diff(
     Fingerprint canonicalization (cross-engine portable): NULL cells
     map to a \\x00 sentinel — concat_ws would silently SKIP them, so
     (NULL, 'a') and ('a', NULL) would collide and a NULL-vs-value
-    change would go undetected; floats stringify via DECIMAL(38,6) —
-    a plain double→string cast is engine-specific ('1.0E9' in Spark,
-    '1000000000.0' in DuckDB), which would flag every large value as
-    changed against a snapshot written by another engine."""
+    change would go undetected; floats stringify via
+    DECIMAL(38, float_scale) — a plain double→string cast is
+    engine-specific ('1.0E9' in Spark, '1000000000.0' in DuckDB),
+    which would flag every large value as changed against a snapshot
+    written by another engine. The decimal cast is a try_cast so a
+    value the decimal can't hold (>= 1e32, NaN, ±Inf) degrades to
+    the engine-native double→string form instead of aborting the
+    whole diff under ANSI mode — still distinct per value, and never
+    colliding with the NULL sentinel. Trade-off: two doubles that
+    differ only beyond `float_scale` decimal places fingerprint as
+    unchanged (quantization is the price of portability; raise
+    float_scale if that matters for your data)."""
     def fingerprint(df: DataFrame) -> DataFrame:
         dtypes = dict(df.dtypes)
         parts = []
         for c in compare_cols:
             col = F.col(c)
             if dtypes[c] in ("double", "float"):
-                col = col.cast("decimal(38,6)")
-            parts.append(F.coalesce(col.cast("string"), F.lit("\x00")))
+                part = F.coalesce(
+                    col.try_cast(f"decimal(38,{float_scale})").cast("string"),
+                    col.cast("string"),
+                    F.lit("\x00"),
+                )
+            else:
+                part = F.coalesce(col.cast("string"), F.lit("\x00"))
+            parts.append(part)
         fp = F.md5(F.concat_ws("\x1f", *parts))
         return df.select(F.col(key), fp.alias("_fp"))
 

@@ -1100,13 +1100,13 @@ def _register_incremental_dedup_indexed():
         inside the hash-checked path. Oracle identical to d10 —
         the persisted layout must not change a single flag."""
         import os as _os
-        import tempfile
+        from parquet_pipeline_spark.scratch import scratch_dir
 
         docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
         corpus = docs.filter(F.col("doc_id") % 5 != 0)
         batch = docs.filter(F.col("doc_id") % 5 == 0)
         idx_path = _os.path.join(
-            tempfile.mkdtemp(prefix="d11_minhash_idx_"), "idx"
+            scratch_dir("d11_minhash_idx_"), "idx"
         )
         banded_minhash(
             corpus, num_hashes=16, bands=4, hash_fn="md5"
@@ -1135,16 +1135,16 @@ def s01_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFra
     _batch_id dynamic partition overwrite."""
     import json as _json
     import os as _os
-    import tempfile
     import time as _time
 
+    from parquet_pipeline_spark.scratch import scratch_dir
     from parquet_pipeline_spark.streaming.events import (
         streaming_incremental_dedup,
     )
 
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
-    tmp = tempfile.mkdtemp(prefix="s01_stream_dedup_")
+    tmp = scratch_dir("s01_stream_dedup_")
     idx = _os.path.join(tmp, "idx")
     banded_minhash(corpus, num_hashes=16, bands=4).write.partitionBy(
         "band_id"
@@ -1191,16 +1191,146 @@ def s01_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.read.parquet(dest).select("doc_id", "dup_of", "is_dup")
 
 
-@register("d12_semdedup_hierarchical")  # rows-only: two-level approximation
+@register("s02_streaming_batch_equivalence", oracle=_INCREMENTAL_DEDUP_ORACLE)
+def s02_streaming_batch_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming≡batch equivalence as a HASH-GREEN driver row
+    (r8, VERDICT item 4): the same corpus/batch split as d10/d11,
+    but the flags are computed by the STREAMING sink — two file
+    micro-batches through foreachBatch, exactly-once _batch_id
+    dynamic partition overwrite — and hash-compared against the
+    d10/d11 SQL oracle verbatim. ``update_index=False`` pins both
+    micro-batches to the corpus-only index so the stream's flags are
+    by-contract identical to the batch operator's (the growing-index
+    variant, whose flags legitimately depend on micro-batch
+    boundaries, remains s01's rows-only entry). md5 fingerprints for
+    cross-engine portability, exactly like d10/d11."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from parquet_pipeline_spark.scratch import scratch_dir
+    from parquet_pipeline_spark.streaming.events import (
+        streaming_incremental_dedup,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    tmp = scratch_dir("s02_stream_equiv_")
+    idx = _os.path.join(tmp, "idx")
+    banded_minhash(corpus, num_hashes=16, bands=4, hash_fn="md5").write.partitionBy(
+        "band_id"
+    ).parquet(idx)
+
+    rows = sorted(
+        (
+            (r["doc_id"], r["text"])
+            for r in docs.filter(F.col("doc_id") % 5 == 0)
+            .select("doc_id", "text")
+            .collect()  # bounded: <= 60 rows at any sf (doc_id < 300)
+        )
+    )
+    src = _os.path.join(tmp, "src")
+    _os.makedirs(src)
+    half = len(rows) // 2
+    now = _time.time()
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        p = _os.path.join(src, f"b{i}.jsonl")
+        with open(p, "w") as fh:
+            fh.write(
+                "\n".join(
+                    _json.dumps({"doc_id": d, "text": t}) for d, t in chunk
+                )
+            )
+        # strictly increasing mtimes: FileStreamSource batch order
+        _os.utime(p, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    dest = _os.path.join(tmp, "flags")
+    q = streaming_incremental_dedup(
+        stream, idx, dest, _os.path.join(tmp, "ckpt"),
+        num_hashes=16, bands=4, hash_fn="md5", update_index=False,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("s02 streaming dedup did not finish in 300s")
+    return spark.read.parquet(dest).select("doc_id", "dup_of", "is_dup")
+
+
+@register(
+    "d12_semdedup_hierarchical",
+    oracle="""
+    WITH nz AS (
+      -- null/zero-norm rows are not dedupable (no direction) —
+      -- matches the Spark-side guard in semdedup_pairs_hierarchical
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    ), ccents AS (
+      -- 16 fixed coarse centroids: the TRUE lowest ids (matches
+      -- orderBy(vec_id).limit(16) even for sparse id layouts)
+      SELECT vec_id AS ccid, emb AS cv
+      FROM (SELECT vec_id, emb FROM nz ORDER BY vec_id LIMIT 16)
+    ), cassign AS (
+      -- coarse assign: argmax cosine, ties -> lowest ccid (numpy
+      -- first-max over centroids sorted by id)
+      SELECT vec_id, ccid FROM (
+        SELECT e.vec_id, c.ccid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.emb, c.cv) DESC,
+                          c.ccid) AS rn
+        FROM nz e, ccents c
+      ) WHERE rn = 1
+    ), cells AS (
+      SELECT a.vec_id, a.ccid, n.emb,
+             ROW_NUMBER() OVER (PARTITION BY a.ccid ORDER BY a.vec_id)
+               AS id_rank,
+             COUNT(*) OVER (PARTITION BY a.ccid) AS cell_n
+      FROM cassign a JOIN nz n USING (vec_id)
+    ), fcents AS (
+      -- fine centroids: the cell's lowest ids, one per 32 members
+      -- (kernel: m[:max(len//32, 1)] on the id-sorted cell)
+      SELECT ccid, vec_id AS fcid, emb AS fv
+      FROM cells WHERE id_rank <= GREATEST(cell_n // 32, 1)
+    ), fassign AS (
+      -- fine assign WITHIN the cell: ties -> lowest fine index,
+      -- which is id order (centroids are the cell's lowest ids)
+      SELECT vec_id, ccid, fcid FROM (
+        SELECT e.vec_id, e.ccid, f.fcid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.emb, f.fv) DESC,
+                          f.fcid) AS rn
+        FROM cells e JOIN fcents f USING (ccid)
+      ) WHERE rn = 1
+    )
+    SELECT a.fcid AS cluster_id, a.vec_id AS keep_id, b.vec_id AS dup_id,
+           ROUND(list_cosine_similarity(x.emb, y.emb), 6) AS cos_sim
+    FROM fassign a
+    JOIN fassign b
+      ON a.ccid = b.ccid AND a.fcid = b.fcid AND a.vec_id < b.vec_id
+    JOIN nz x ON a.vec_id = x.vec_id
+    JOIN nz y ON b.vec_id = y.vec_id
+    WHERE list_cosine_similarity(x.emb, y.emb) >= 0.30
+    """,
+)
 def d12_semdedup_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The billions-of-vectors SemDeDup shape as an official driver
-    entry (rows-only by design — the double quantization is a
-    deliberate approximation of d08's flat clustering, whose
-    machinery is hash-pinned there; pair-recall floors vs flat are
-    asserted in tests/test_dedup.py): 16 fixed coarse cells,
-    cell-local fine centroids at one per 32 members, pairwise
-    confined to (coarse, fine) clusters. Assignment is n·16 flops —
-    linear where d09's n/64 policy is n²/64."""
+    entry — GRADUATED to hash-green in r8: with all parameters
+    pinned (16 fixed coarse cells, one fine centroid per 32 members,
+    fine centroids = the cell's lowest ids), the whole coarse-assign
+    → fine-split → within-cluster-pairs machinery is deterministic
+    and SQL-expressible, so the oracle above replays both
+    quantization levels in DuckDB and value-hashes the pairs
+    (the d08/a10 twin pattern applied in place — no separate twin
+    needed since d12's own params were already fixed). Pair-recall
+    floors vs flat clustering are asserted in tests/test_dedup.py.
+    Assignment is n·16 flops — linear where d09's n/64 policy is
+    n²/64."""
     emb = _emb(spark, sf_dir)
     return semdedup_pairs_hierarchical(
         emb, coarse_cells=16, cluster_size=32, threshold=0.30

@@ -767,7 +767,7 @@ def a09_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     = the rest, k=5, nprobe=4 over 16 cells. The index is written to
     a scratch dir and read back so the query exercises the
     partition-pruned parquet scan, not an in-memory shortcut."""
-    import tempfile
+    from parquet_pipeline_spark.scratch import scratch_dir
 
     emb = _emb(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") >= 5)
@@ -779,7 +779,7 @@ def a09_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .collect()
     ]
-    path = tempfile.mkdtemp(prefix="a09_ivf_idx_")
+    path = scratch_dir("a09_ivf_idx_")
     write_ivf_index(corpus.select("vec_id", "embedding"), cents, path)
     return ivf_knn_join(spark, path, cents, q_rows, k=5, nprobe=4)
 

@@ -39,12 +39,19 @@ def normalize(pdf):
             # on accumulation order (measured: 5 cents on 3.2e11).
             sig = os.environ.get("ORACLE_SIG_DIGITS")
             fmt = (lambda v: f"{v:.{int(sig)}g}") if sig else (lambda v: f"{v:.6f}")
-            # +0.0 normalization: IEEE -0.0 == 0.0, but "-0.000000"
-            # != "0.000000" as strings (engines disagree on the sign
-            # a ±1e-20 rounds to)
-            pdf[c] = col.map(
-                lambda v: "NULL" if pd.isna(v) else fmt(v + 0.0 if v != 0 else 0.0)
-            )
+
+            # signed-zero normalization AFTER formatting: engines
+            # disagree on the sign of a ±1e-20, and under fixed 6dp
+            # BOTH ±1e-20 and -0.0 format to "-0.000000"/"0.000000".
+            # Any string that parses back to zero drops its sign, so
+            # every value that ROUNDS to zero hashes identically.
+            def _fmtz(v, _fmt=fmt):
+                s = _fmt(v)
+                if s.startswith("-") and float(s) == 0.0:
+                    s = s.lstrip("-")
+                return s
+
+            pdf[c] = col.map(lambda v: "NULL" if pd.isna(v) else _fmtz(v))
         elif str(col.dtype).startswith(("datetime", "date")):
             pdf[c] = col.map(lambda v: "NULL" if pd.isna(v) else str(v))
         else:
