@@ -55,6 +55,24 @@ HEADLINE = [
     "a08_bloom_prejoin",
 ]
 
+# Calibration normalization (VERDICT r7 item 3): two rounds in a row
+# the driver-battery total moved ±20% while solo re-runs were flat —
+# shared-box concurrency, not code. These five queries' operators
+# have been untouched since r5 (the drift-adjudication probes of
+# BENCH_NOTES r6/r7), so their full-suite r5 medians are pinned here
+# and any uniform movement in them measures the BOX, not the code:
+# value_normalized = value ÷ median(measured_pin / pinned_pin).
+# Valid only for the default suite at sf0.1 (pins are full-suite
+# composition at that sf — BENCH_NOTES §Methodology: subset runs are
+# not comparable); omitted otherwise.
+CALIBRATION_PINS = {
+    "q01_pricing_summary": 0.473,
+    "q08_join_multiway": 0.916,
+    "d01_exact_dedup": 0.246,
+    "t05_token_count": 0.179,
+    "v01_cosine_topk": 0.423,
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -147,21 +165,25 @@ def main() -> None:
     timings_min["e2e_engine_ask_multi"] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_min": timings_min,
-                "runs": repeat,
-                "e2e_engine_ask_ok": e2e_ok,
-                "e2e_engine_ask_multi_ok": multi_ok,
-                "sf": sf,
-            }
+    out = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_min": timings_min,
+        "runs": repeat,
+        "e2e_engine_ask_ok": e2e_ok,
+        "e2e_engine_ask_multi_ok": multi_ok,
+        "sf": sf,
+    }
+    if sf == 0.1 and all(n in timings for n in CALIBRATION_PINS):
+        factors = sorted(
+            timings[n] / pin for n, pin in CALIBRATION_PINS.items()
         )
-    )
+        cal = factors[len(factors) // 2]  # median: robust to one outlier
+        out["calibration_factor"] = round(cal, 3)
+        out["value_normalized"] = round(total / cal, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

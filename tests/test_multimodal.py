@@ -202,3 +202,122 @@ def test_frame_sample_zero_frames_emits_nothing(spark):
     out = frame_sample(decoded, every_n=1).toPandas()
     assert sorted(out[out["media_id"] == 2]["frame_idx"]) == [0, 1, 2]
     assert len(out[out["media_id"] == 1]) == 0
+
+
+# ---------------------------------------------------------------------------
+# Optional-codec seam (VERDICT r7 item 7): the import is faked BOTH
+# ways. Unit-level against _decode_any/_resize_any — the kernels run
+# in separate python worker processes under Spark, where a driver
+# monkeypatch wouldn't reach, so the branch wiring is what these pin;
+# the distributed plumbing is covered by the fake/PPM tests above.
+# ---------------------------------------------------------------------------
+class _FakeRGB:
+    def __init__(self, w, h, frames=1):
+        self.size = (w, h)
+        self.n_frames = frames
+
+    def convert(self, mode):
+        assert mode == "RGB"
+        return self
+
+    def resize(self, wh, resample=None):
+        return _FakeRGB(wh[0], wh[1])
+
+    def __array__(self, dtype=None, copy=None):
+        import numpy as np
+
+        w, h = self.size
+        return np.full((h, w, 3), 128, dtype=dtype or np.uint8)
+
+
+class _FakePILImage:
+    NEAREST = 0
+
+    @staticmethod
+    def open(buf):
+        raw = buf.read()
+        if not raw.startswith(b"\x89PNG"):
+            raise OSError("cannot identify image file")
+        return _FakeRGB(10, 6, frames=3)
+
+
+def test_decode_uses_pillow_when_present(monkeypatch):
+    from parquet_pipeline_spark.operators import multimodal
+
+    monkeypatch.setattr(
+        multimodal,
+        "_codec",
+        lambda name: _FakePILImage if name == "PIL.Image" else None,
+    )
+    w, h, nf, feat = multimodal._decode_any(b"\x89PNG\r\n\x1a\nxxxx", fake=False)
+    assert (w, h, nf) == (10, 6, 3)
+    # per-channel mean of a constant-128 image, std 0
+    assert feat[:3] == pytest.approx([128 / 255] * 3)
+    assert feat[3:] == pytest.approx([0.0] * 3)
+    # PPM must still take the stdlib path, not Pillow
+    ppm = _make_ppm(2, 2, (10, 20, 30))
+    assert multimodal._decode_any(ppm, fake=False)[:2] == (2, 2)
+
+
+def test_decode_uses_soundfile_when_present(monkeypatch):
+    import numpy as np
+
+    from parquet_pipeline_spark.operators import multimodal
+
+    class _FakeSoundfile:
+        @staticmethod
+        def read(buf, dtype=None, always_2d=False):
+            raw = buf.read()
+            if not raw.startswith(b"fLaC"):
+                raise RuntimeError("unknown format")
+            return np.full((1600, 2), 0.5, dtype=np.float64), 16000
+
+    monkeypatch.setattr(
+        multimodal,
+        "_codec",
+        lambda name: _FakeSoundfile if name == "soundfile" else None,
+    )
+    ch, khz, nf, feat = multimodal._decode_any(b"fLaCxxxx", fake=False)
+    assert (ch, khz, nf) == (2, 16, 1600)
+    assert feat == pytest.approx([0.5] * 8)
+
+
+def test_decode_codec_absent_keeps_honest_paths(monkeypatch):
+    """With no codecs importable: fake=False raises, fake=True runs
+    the deterministic stub, PPM/WAV still decode for real."""
+    from parquet_pipeline_spark.operators import multimodal
+
+    monkeypatch.setattr(multimodal, "_codec", lambda name: None)
+    with pytest.raises(NotImplementedError, match="pillow/soundfile"):
+        multimodal._decode_any(b"\x89PNGxxxx", fake=False)
+    w, h, nf, feat = multimodal._decode_any(b"\x89PNGxxxx", fake=True)
+    assert w and h and nf and len(feat) == 16
+    ppm = _make_ppm(2, 2, (10, 20, 30))
+    assert multimodal._decode_any(ppm, fake=False)[:2] == (2, 2)
+
+
+def test_resize_uses_pillow_when_present(monkeypatch):
+    from parquet_pipeline_spark.operators import multimodal
+
+    monkeypatch.setattr(
+        multimodal,
+        "_codec",
+        lambda name: _FakePILImage if name == "PIL.Image" else None,
+    )
+    out = multimodal._resize_any(b"\x89PNG\r\n\x1a\nxxxx", 4, 3, fake=False)
+    # re-encoded as canonical P6 of the target size, decodable by the
+    # stdlib path
+    assert out.startswith(b"P6\n4 3\n255\n")
+    w, h, _, feat = multimodal._decode_any(out, fake=False)
+    assert (w, h) == (4, 3)
+    assert feat[:3] == pytest.approx([128 / 255] * 3)
+
+
+def test_resize_codec_absent_raises(monkeypatch):
+    from parquet_pipeline_spark.operators import multimodal
+
+    monkeypatch.setattr(multimodal, "_codec", lambda name: None)
+    with pytest.raises(NotImplementedError, match="pillow"):
+        multimodal._resize_any(b"\x89PNGxxxx", 4, 3, fake=False)
+    out = multimodal._resize_any(b"\x89PNGxxxx", 4, 3, fake=True)
+    assert out.startswith(b"P6\n4 3\n255\n")
