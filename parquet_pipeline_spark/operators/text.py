@@ -25,6 +25,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from parquet_pipeline_spark.functions import word_shingles, word_tokens
 from parquet_pipeline_spark.registry import register
@@ -939,4 +940,122 @@ def t22_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("logp"), 6).alias("avg_logp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t24 — training-sequence packing (sample packing): the INVERSE of
+# chunking — combine short documents into fixed token-budget training
+# sequences, the op every pretraining pipeline runs between curation
+# and the trainer. Greedy first-fit-in-order per source (the
+# granularity curation already orders by), so packing is sequential
+# per group and embarrassingly parallel across groups — the same
+# distribution contract as greedy_chunk, and at 100 TB the group key
+# is the natural file/shard unit so no task ever holds more than one
+# source. Token cost = the t05 BPE-ish estimate (ceil(chars/4)),
+# portable to the oracle; swap in bpe_regex_tokens or a real
+# tokenizer count column without touching the packer.
+# ---------------------------------------------------------------------------
+def pack_sequences(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    tokens_col: str,
+    budget: int = 256,
+) -> DataFrame:
+    """Assign each row (document) to a training sequence: a new
+    sequence opens when adding the next document would push the
+    running token count past ``budget`` and the sequence is
+    non-empty. An OVERSIZED document (tokens > budget) therefore
+    gets a sequence of its own — the assignment stays total and
+    auditable; truncating or splitting it is the trainer's policy,
+    not the packer's. Returns the input columns + ``seq_id``
+    (per-group, 0-based). Exact-greedy (sequentially dependent), so
+    it runs via applyInPandas one group per task; the prefix-sum
+    approximation of the same policy is ``assign_chunks``."""
+    out_schema = T.StructType(
+        [
+            df.schema[group_col],
+            df.schema[order_col],
+            df.schema[tokens_col],
+            T.StructField("seq_id", T.LongType()),
+        ]
+    )
+
+    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        seq_ids = []
+        cur = 0
+        sid = 0
+        n_in = 0
+        for t in pdf[tokens_col]:
+            t = 0 if pd.isna(t) else int(t)
+            if n_in and cur + t > budget:
+                sid += 1
+                cur = 0
+                n_in = 0
+            seq_ids.append(sid)
+            cur += t
+            n_in += 1
+        out = pdf[[group_col, order_col, tokens_col]].copy()
+        out["seq_id"] = seq_ids
+        return out
+
+    return df.select(group_col, order_col, tokens_col).groupBy(
+        group_col
+    ).applyInPandas(pack, schema=out_schema)
+
+
+@register(
+    "t24_sequence_packing",
+    oracle="""
+    WITH RECURSIVE rows_ord AS (
+      SELECT source, doc_id,
+             COALESCE(CAST(CEIL(length(text) / 4.0) AS BIGINT), 0) AS toks,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, rn, doc_id, toks,
+             CAST(0 AS BIGINT) AS seq_id, toks AS cur_toks
+      FROM rows_ord WHERE rn = 1
+      UNION ALL
+      SELECT r.source, r.rn, r.doc_id, r.toks,
+             CASE WHEN p.cur_toks + r.toks > 256
+                  THEN p.seq_id + 1 ELSE p.seq_id END,
+             CASE WHEN p.cur_toks + r.toks > 256
+                  THEN r.toks ELSE p.cur_toks + r.toks END
+      FROM packed p
+      JOIN rows_ord r ON r.source = p.source AND r.rn = p.rn + 1
+    )
+    SELECT source, seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(cur_toks) AS BIGINT) AS seq_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+           ROUND(MAX(cur_toks) / 256.0, 6) AS fill_ratio
+    FROM packed
+    GROUP BY source, seq_id
+    """,
+)
+def t24_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence packing report at budget 256: doc count, token
+    fill, doc-id span, fill ratio (the packing-efficiency number
+    every pipeline tracks — waste = 1 - mean fill). The oracle
+    replays the greedy recurrence as a recursive CTE (the t07
+    pattern), so every sequence boundary is value-hash-checked."""
+    docs = _docs(spark, sf_dir).select(
+        "source",
+        "doc_id",
+        F.coalesce(
+            F.ceil(F.length("text") / 4.0).cast("bigint"), F.lit(0)
+        ).alias("toks"),
+    )
+    packed = pack_sequences(docs, "source", "doc_id", "toks", budget=256)
+    return packed.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.round(F.sum("toks") / 256.0, 6).alias("fill_ratio"),
     )

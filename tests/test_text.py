@@ -101,3 +101,67 @@ def test_quality_percentile_filter_per_source_quartile(spark, sf_dir):
     for src, n in total.items():
         frac = kept.get(src, 0) / n
         assert 0.6 <= frac <= 0.8, (src, frac)
+
+
+# ---------------------------------------------------------------------------
+# t24 sequence packing (r8): greedy first-fit-in-order semantics
+# ---------------------------------------------------------------------------
+def test_pack_sequences_greedy_boundaries(spark):
+    """Budget 10 over token counts [4, 4, 4, 3, 9]: [4,4] fill seq 0
+    (4+4=8, next 4 would hit 12), [4,3] seq 1, [9] seq 2."""
+    from parquet_pipeline_spark.operators.text import pack_sequences
+
+    df = spark.createDataFrame(
+        [("a", 1, 4), ("a", 2, 4), ("a", 3, 4), ("a", 4, 3), ("a", 5, 9)],
+        "source string, doc_id long, toks long",
+    )
+    out = {
+        r["doc_id"]: r["seq_id"]
+        for r in pack_sequences(df, "source", "doc_id", "toks", budget=10).collect()
+    }
+    assert out == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2}
+
+
+def test_pack_sequences_oversized_doc_gets_own_sequence(spark):
+    """A doc over budget opens (and monopolizes) its own sequence —
+    never dropped, never merged."""
+    from parquet_pipeline_spark.operators.text import pack_sequences
+
+    df = spark.createDataFrame(
+        [("a", 1, 3), ("a", 2, 25), ("a", 3, 3), ("a", 4, 3)],
+        "source string, doc_id long, toks long",
+    )
+    out = {
+        r["doc_id"]: r["seq_id"]
+        for r in pack_sequences(df, "source", "doc_id", "toks", budget=10).collect()
+    }
+    assert out == {1: 0, 2: 1, 3: 2, 4: 2}
+
+
+def test_pack_sequences_null_tokens_pack_free_and_groups_independent(spark):
+    """NULL token counts cost 0 (the NULL-text contract), and each
+    group packs independently from seq_id 0."""
+    from parquet_pipeline_spark.operators.text import pack_sequences
+
+    df = spark.createDataFrame(
+        [("a", 1, 8), ("a", 2, None), ("a", 3, 2), ("b", 1, 9), ("b", 2, 9)],
+        "source string, doc_id long, toks long",
+    )
+    out = {
+        (r["source"], r["doc_id"]): r["seq_id"]
+        for r in pack_sequences(df, "source", "doc_id", "toks", budget=10).collect()
+    }
+    assert out == {("a", 1): 0, ("a", 2): 0, ("a", 3): 0,
+                   ("b", 1): 0, ("b", 2): 1}
+
+
+def test_t24_fill_never_exceeds_budget_except_oversized(spark, sf_dir):
+    """Invariant over the real fixture: every sequence's token fill
+    is <= budget unless it holds exactly one (oversized) doc."""
+    from parquet_pipeline_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["t24_sequence_packing"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["seq_tokens"] <= 256 or r["n_docs"] == 1
