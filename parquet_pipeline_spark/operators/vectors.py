@@ -959,10 +959,27 @@ def mmr_rerank(
     k: int = 10,
     pool: int = 50,
     lam: float = 0.7,
+    quantize: int | None = None,
 ) -> list[tuple]:
     """Returns k (vec_id, score, mmr_score) tuples, diversity-aware.
     ``pool`` caps the driver-side candidate list (top-``pool`` by
-    plain cosine, computed distributedly first)."""
+    plain cosine, computed distributedly first).
+
+    ``quantize`` (r8, the v08 oracle contract): when set, the
+    relevance score and each redundancy cosine are snapped to an
+    INTEGER grid of 10^-quantize units and the whole MMR combine
+    runs in integer arithmetic — mmr_units = L·s_u − (100−L)·r_u
+    with L = round(100·lam) — so BOTH the selection key and the
+    reported mmr are exact integers (scaled back by one exact
+    division for display). Why integers, not rounded floats: with
+    grid-quantized float inputs the combined mmr lands ON 6dp
+    rounding boundaries a large fraction of the time, where
+    python's banker's rounding and SQL half-away rounding disagree
+    (observed at sf0.1: 0.190526 vs 0.190527) — integers have no
+    rounding step to disagree on. The only float rounding left is
+    the initial snap of RAW cosines to the grid, where a boundary
+    hit is measure-zero. lam must be a 2-decimal value for L to be
+    exact."""
     cands = [
         (r["vec_id"], r["score"], list(r["embedding"]))
         for r in topk(df.select("vec_id", "embedding"), query_vec, k=pool).collect()
@@ -976,19 +993,117 @@ def mmr_rerank(
     selected: list[tuple] = []
     chosen_vecs: list[list] = []
     remaining = list(cands)
+    grid = 10**quantize if quantize is not None else None
+    lam_units = round(100 * lam)
     while remaining and len(selected) < k:
         best = None
         for vid, score, vec in remaining:
-            redundancy = max((cos(vec, s) for s in chosen_vecs), default=0.0)
-            mmr = lam * score - (1.0 - lam) * redundancy
+            if quantize is None:
+                redundancy = max((cos(vec, s) for s in chosen_vecs), default=0.0)
+                mmr = lam * score - (1.0 - lam) * redundancy
+            else:
+                red_u = max(
+                    (round(cos(vec, s) * grid) for s in chosen_vecs),
+                    default=0,
+                )
+                mmr = lam_units * round(score * grid) - (100 - lam_units) * red_u
             key = (mmr, -vid)
             if best is None or key > best[0]:
                 best = (key, vid, score, vec, mmr)
         _, vid, score, vec, mmr = best
-        selected.append((vid, score, round(mmr, 6)))
+        if quantize is None:
+            mmr_out = round(mmr, 6)
+        else:
+            # one exact integer/constant division — bit-identical in
+            # any IEEE engine, no rounding boundary to disagree on
+            mmr_out = mmr / (100 * grid)
+        selected.append((vid, score, mmr_out))
         chosen_vecs.append(vec)
         remaining = [c for c in remaining if c[0] != vid]
     return selected
+
+
+# ---------------------------------------------------------------------------
+# v08 — MMR diversity re-rank as an OFFICIAL hash-green entry (r8):
+# the greedy selection loop is replayed in DuckDB as a recursive CTE
+# whose state row carries the chosen-id list AND the chosen-vector
+# list, with a windowed argmax per step — so the selection ORDER
+# itself (which candidate wins each round, not just the final
+# scores) is value-hash-checked cross-engine. Inputs are quantized
+# at 6dp on both sides before the combine (see mmr_rerank.quantize)
+# and lam = 0.75 keeps both multipliers exactly representable.
+# Scale shape: the distributed part is the top-`pool` cosine scan
+# (v01's plan); the greedy loop is driver-side over a BOUNDED pool
+# (50 rows) — the standard re-rank topology. The combine runs in
+# integer micro-units (quantize=6, lam=0.75 -> 75/25), so neither
+# the selection key nor the reported mmr touches a float rounding
+# boundary — the flaw the first (rounded-float) design hit at sf0.1.
+# ---------------------------------------------------------------------------
+def _register_mmr_rerank():
+    @register(
+        "v08_mmr_rerank",
+        oracle="""
+        WITH RECURSIVE q AS (
+          SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+        ),
+        pool AS (
+          SELECT e.vec_id,
+                 list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS score,
+                 e.embedding::DOUBLE[] AS v
+          FROM embeddings e, q
+          WHERE e.vec_id <> 0
+            AND list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0
+          ORDER BY score DESC, e.vec_id
+          LIMIT 50
+        ),
+        sel AS (
+          -- integer micro-unit MMR (see mmr_rerank.quantize):
+          -- mmr_units = 75*s_u - 25*r_u over a 1e-6 grid, exact
+          SELECT 1 AS step, vec_id, score,
+                 75 * CAST(ROUND(score * 1000000, 0) AS BIGINT) AS mmr_u,
+                 [vec_id] AS chosen, [v] AS chosen_vecs
+          FROM (SELECT * FROM pool ORDER BY score DESC, vec_id LIMIT 1)
+          UNION ALL
+          SELECT step + 1, vec_id, score, mmr_u,
+                 list_append(chosen, vec_id), list_append(chosen_vecs, v)
+          FROM (
+            SELECT s.step, p.vec_id, p.score, p.v, s.chosen, s.chosen_vecs,
+                   75 * CAST(ROUND(p.score * 1000000, 0) AS BIGINT)
+                   - 25 * COALESCE(list_max(
+                       [CAST(ROUND(list_cosine_similarity(p.v, cv) * 1000000, 0) AS BIGINT)
+                        FOR cv IN s.chosen_vecs]), 0) AS mmr_u,
+                   ROW_NUMBER() OVER (
+                     ORDER BY 75 * CAST(ROUND(p.score * 1000000, 0) AS BIGINT)
+                              - 25 * COALESCE(list_max(
+                                  [CAST(ROUND(list_cosine_similarity(p.v, cv) * 1000000, 0) AS BIGINT)
+                                   FOR cv IN s.chosen_vecs]), 0) DESC,
+                              p.vec_id) AS rn
+            FROM sel s JOIN pool p ON NOT list_contains(s.chosen, p.vec_id)
+            WHERE s.step < 10
+          ) WHERE rn = 1
+        )
+        SELECT CAST(step AS INT) AS rank, vec_id,
+               ROUND(score, 6) AS score,
+               mmr_u / 100000000.0 AS mmr_score
+        FROM sel
+        """,
+    )
+    def v08_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+        qv = _query_vector(spark, sf_dir, vec_id=0)
+        emb = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
+        sel = mmr_rerank(emb, qv, k=10, pool=50, lam=0.75, quantize=6)
+        rows = [
+            (i + 1, int(vid), round(float(score), 6), float(mmr))
+            for i, (vid, score, mmr) in enumerate(sel)
+        ]
+        return spark.createDataFrame(
+            rows, "rank int, vec_id bigint, score double, mmr_score double"
+        )
+
+    return v08_mmr_rerank
+
+
+_register_mmr_rerank()
 
 
 # ---------------------------------------------------------------------------

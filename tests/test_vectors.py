@@ -422,3 +422,52 @@ def test_knn_joins_empty_query_batch(spark, sf_dir, tmp_path):
     write_ivf_index(emb, cents, path)
     out = ivf_knn_join(spark, path, cents, [], k=5)
     assert out.count() == 0 and out.columns == ["q_id", "vec_id", "score"]
+
+
+# ---------------------------------------------------------------------------
+# v08 (r8): quantized MMR — the oracle-portable integer-unit path
+# ---------------------------------------------------------------------------
+def test_mmr_quantized_selects_same_order_as_raw_on_clean_data(spark, sf_dir):
+    """On the fixture corpus (no engineered near-ties) the integer
+    micro-unit path must pick the same vectors in the same order as
+    the raw-float path — quantization changes the arithmetic, not
+    the decisions."""
+    from parquet_pipeline_spark.operators.vectors import mmr_rerank
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        "vec_id != 0"
+    )
+    q = [
+        float(x)
+        for x in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter("vec_id = 0")
+        .first()["embedding"]
+    ]
+    raw = mmr_rerank(emb, q, k=8, pool=30, lam=0.75)
+    quant = mmr_rerank(emb, q, k=8, pool=30, lam=0.75, quantize=6)
+    assert [v for v, _, _ in raw] == [v for v, _, _ in quant]
+
+
+def test_v08_mmr_invariants(spark, sf_dir):
+    """Greedy MMR invariants: rank 1 is the plain cosine top-1,
+    selected mmr scores are non-increasing (redundancy only grows as
+    the chosen set grows, so a later winner could never have beaten
+    an earlier one), and all ids are distinct."""
+    from parquet_pipeline_spark import registry
+    from parquet_pipeline_spark.operators.vectors import topk
+
+    registry.load_all()
+    rows = sorted(
+        registry.QUERIES["v08_mmr_rerank"](spark, sf_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert len(rows) == 10
+    assert len({r["vec_id"] for r in rows}) == 10
+    mmrs = [r["mmr_score"] for r in rows]
+    assert all(a >= b for a, b in zip(mmrs, mmrs[1:]))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    top1 = topk(
+        emb.filter("vec_id != 0").select("vec_id", "embedding"), q, k=1
+    ).first()["vec_id"]
+    assert rows[0]["vec_id"] == top1
