@@ -751,12 +751,19 @@ def q75_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CUME_DIST() OVER w, 6) AS cd
     FROM customer
     WHERE c_custkey < 500
-    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    -- NULLS FIRST pinned: Spark ASC defaults to NULLS FIRST, DuckDB
+    -- to NULLS LAST — silent divergence once c_acctbal is nullable
+    -- (the r7 window-null lesson, caught again by the dirty-dims
+    -- battery in r8)
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal NULLS FIRST, c_custkey)
     """,
 )
 def q76_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
-    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc_nulls_first(), "c_custkey"
+    )
     return cust.select(
         "c_mktsegment",
         "c_custkey",

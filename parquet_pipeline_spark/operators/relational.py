@@ -479,7 +479,12 @@ def q13_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            LOWER(p_type)                          AS type_l,
            SUBSTRING(p_name, 1, 8)                AS name_prefix,
            CAST(LENGTH(p_name) AS INT)            AS name_len,
-           CONCAT(p_brand, ':', p_type)           AS brand_type,
+           -- CONCAT_WS, not CONCAT: on a NULL p_brand Spark's
+           -- concat_ws drops the value AND its separator while
+           -- CONCAT(NULL, ':', x) keeps the ':' — concat_ws has
+           -- identical skip-null semantics in both engines (caught
+           -- by the dirty-dims battery, r8)
+           CONCAT_WS(':', p_brand, p_type)        AS brand_type,
            REPLACE(p_brand, 'Brand#', 'B')        AS brand_short
     FROM part
     WHERE p_name LIKE '%red%'
@@ -1542,12 +1547,21 @@ def q48_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_size").cast("double").alias("size_val"),
         )
     )
-    return p.unpivot(
-        ids=["p_partkey"],
-        values=["retail_price", "size_val"],
-        variableColumnName="metric",
-        valueColumnName="_v",
-    ).select("p_partkey", "metric", F.round("_v", 2).alias("val"))
+    return (
+        p.unpivot(
+            ids=["p_partkey"],
+            values=["retail_price", "size_val"],
+            variableColumnName="metric",
+            valueColumnName="_v",
+        )
+        # standard-SQL UNPIVOT contract (and DuckDB's default):
+        # NULL cells produce NO row. Spark's DataFrame unpivot is
+        # melt-shaped and RETAINS them — filter to pin the SQL
+        # semantics (caught by the dirty-dims battery: NULL
+        # p_retailprice/p_size rows, r8)
+        .filter(F.col("_v").isNotNull())
+        .select("p_partkey", "metric", F.round("_v", 2).alias("val"))
+    )
 
 
 # ---------------------------------------------------------------------------

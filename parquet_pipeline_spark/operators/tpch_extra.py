@@ -149,9 +149,22 @@ def q82_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q83_product_profit",
     oracle="""
+    -- profit in EXACT DECIMAL (r8, caught by the dirty-dims
+    -- battery): a double SUM rounded at 2dp flaps when planted
+    -- part prices put the true sum on an exact .xx5 boundary —
+    -- Spark rounds the shortest-decimal rendering HALF_UP while
+    -- DuckDB rounds the binary double. Decimal inputs make every
+    -- product, the sum, and the final ROUND exact and identical
+    -- in both engines (and model the right practice for money:
+    -- TPC-H itself types these columns DECIMAL).
     SELECT sn.n_name AS nation, CAST(year(l.l_shipdate) AS INT) AS ship_year,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
-                     - 0.5 * p.p_retailprice * l.l_quantity), 2) AS profit
+           CAST(ROUND(SUM(
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+             - CAST(0.5 AS DECIMAL(2,1))
+               * CAST(p.p_retailprice AS DECIMAL(18,2))
+               * CAST(l.l_quantity AS DECIMAL(18,2))
+           ), 2) AS DOUBLE) AS profit
     FROM lineitem l
     JOIN part p     ON l.l_partkey = p.p_partkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -172,9 +185,13 @@ def q83_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # exact-decimal money arithmetic (see the oracle comment)
     profit = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        - F.lit("0.5").cast("decimal(2,1)")
+        * F.col("p_retailprice").cast("decimal(18,2)")
+        * F.col("l_quantity").cast("decimal(18,2)")
     )
     return (
         li.join(part, li.l_partkey == part.p_partkey)
@@ -183,7 +200,7 @@ def q83_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("n_name").alias("nation"), F.year("l_shipdate").alias("ship_year")
         )
-        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
     )
 
 

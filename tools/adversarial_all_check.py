@@ -1,9 +1,10 @@
 """Capstone adversarial battery: EVERY dirty fixture at once.
 
-The five per-table batteries prove each contract in isolation; this
-one composes them — documents, embeddings, lineitem, events, AND
-orders all rebuilt with their planted dirt in a single sf dir — and
-re-runs the ENTIRE oracled registry. Queries that join two dirty
+The six per-table batteries prove each contract in isolation; this
+one composes them — documents, embeddings, lineitem, events, orders,
+AND the dimension tables (customer/supplier/part, r8) all rebuilt
+with their planted dirt in a single sf dir — and re-runs the ENTIRE
+oracled registry. Queries that join two dirty
 tables (orphaned orders against dirty lineitem, dirty events against
 dirty docs contexts) exercise contract COMBINATIONS no single-table
 battery reaches.
@@ -28,6 +29,7 @@ BASE_SF = "/root/testdata/sf0.001"
 def main() -> int:
     import shutil
 
+    import adversarial_dims_check as dims
     import adversarial_docs_check as docs
     import adversarial_emb_check as emb
     import adversarial_events_check as events
@@ -49,6 +51,11 @@ def main() -> int:
         d = tempfile.mkdtemp(prefix=f"adv_stage_{name}_")
         mod.build_fixture(d, seed)
         staging[name] = d
+    # the dims battery dirties three tables in one fixture dir
+    d = tempfile.mkdtemp(prefix="adv_stage_dims_")
+    dims.build_fixture(d, seed)
+    for t in ("customer", "supplier", "part"):
+        staging[t] = d
     for f in os.listdir(BASE_SF):
         table = f.replace(".parquet", "")
         src_dir = staging.get(table, BASE_SF)

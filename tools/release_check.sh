@@ -15,7 +15,7 @@ echo "=== 3/5 differential fuzz (100 cases) ==="
 python tools/fuzz_oracle.py 100 "${FUZZ_SEED:-7}" 2>/dev/null | tail -1 || fail=1
 
 echo "=== 4/5 adversarial all-dirty fixture (full oracled registry) ==="
-# composes all five per-table dirty fixtures (tools/adversarial_*_check.py
+# composes all six dirty fixtures incl. dims (tools/adversarial_*_check.py
 # run them individually for failure isolation)
 python tools/adversarial_all_check.py "${FUZZ_SEED:-7}" 2>/dev/null | tail -1 || fail=1
 
