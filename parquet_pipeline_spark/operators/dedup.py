@@ -895,6 +895,96 @@ _register_lsh_oracle_twin()
 
 
 # ---------------------------------------------------------------------------
+# d13 — transitive dedup GRADUATED to hash-green (r8): the iterative
+# min-label propagation (connected_components — join+aggregate
+# rounds, the standard large-graph pattern) over d07's md5 LSH pair
+# graph, with the ORACLE computing the same components via a
+# recursive reachability closure + per-node min. Pytest pinned the
+# chain/cluster semantics since r2; this makes the component labels
+# themselves part of the official cross-engine record. The closure
+# formulation is oracle-only — quadratic in cluster size, which is
+# fine for DuckDB on bounded fixtures and exactly the thing the
+# iterative Spark operator exists to avoid at scale.
+# ---------------------------------------------------------------------------
+def _register_transitive_components():
+    @register(
+        "d13_transitive_components",
+        oracle="""
+        WITH RECURSIVE g AS (
+          SELECT doc_id,
+                 list_distinct([text[i:i+2] FOR i IN range(1, greatest(length(text)-1, 2))]) AS gs
+          FROM documents WHERE doc_id < 200
+        ),
+        sigs AS (
+          SELECT doc_id,
+                 [list_min([CAST(list_sum([(strpos('0123456789abcdef',
+                                                   substr(md5(gr || '_' || s), i, 1)) - 1)
+                                            * 16 ** (8 - i) FOR i IN range(1, 9)]) AS BIGINT)
+                            FOR gr IN gs]) FOR s IN range(0, 16)] AS sig
+          FROM g
+        ),
+        exploded AS (
+          SELECT doc_id, b AS band_id,
+                 CAST(list_sum([(strpos('0123456789abcdef',
+                                        substr(md5(array_to_string(sig[b*4+1 : b*4+4], ',')), i, 1)) - 1)
+                                 * 16 ** (8 - i) FOR i IN range(1, 9)]) AS BIGINT) AS band_val
+          FROM sigs, unnest(range(0, 4)) AS t(b)
+        ),
+        ranked AS (
+          SELECT doc_id, band_id, band_val,
+                 ROW_NUMBER() OVER (PARTITION BY band_id, band_val ORDER BY doc_id) AS rn,
+                 MIN(doc_id) OVER (PARTITION BY band_id, band_val) AS min_id
+          FROM exploded
+        ),
+        head AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM ranked a JOIN ranked b
+            ON a.band_id = b.band_id AND a.band_val = b.band_val
+          WHERE a.rn < b.rn AND b.rn <= 8
+        ),
+        overflow AS (
+          SELECT min_id AS doc_a, doc_id AS doc_b FROM ranked WHERE rn > 8
+        ),
+        pairs AS (
+          SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT * FROM head UNION ALL SELECT * FROM overflow
+          )
+        ),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION
+          SELECT doc_b AS a, doc_a AS b FROM pairs
+        ),
+        reach AS (
+          -- transitive closure (UNION dedup = cycle-safe); component
+          -- of a node = min id it can reach, including itself
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        )
+        SELECT a AS node, LEAST(a, MIN(b)) AS component
+        FROM reach GROUP BY a
+        """,
+    )
+    def d13_transitive_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+        pairs = lsh_candidate_pairs(
+            docs,
+            num_hashes=16,
+            bands=4,
+            ngram=3,
+            bucket_cap=8,
+            hash_fn="md5",
+        )
+        return connected_components(pairs, "id_a", "id_b")
+
+    return d13_transitive_components
+
+
+_register_transitive_components()
+
+
+# ---------------------------------------------------------------------------
 # d10 — INCREMENTAL cross-snapshot dedup: flag a NEW document batch
 # against an EXISTING corpus fingerprint index (the banded_minhash
 # projection, persisted as parquet at snapshot time) without
