@@ -74,6 +74,27 @@ CALIBRATION_PINS = {
 }
 
 
+def calibration(timings: dict, sf: float, total: float) -> dict:
+    """Normalized-total fields, or {} when the run is not comparable.
+
+    Guard (ADVICE r8): the pins are FULL-SUITE medians — a subset run
+    that happens to include the five pins would normalize against
+    incomparable numbers (cold codegen, different cache pressure), so
+    the timed set must cover the whole default HEADLINE composition
+    at sf0.1 before calibration_factor/value_normalized are emitted.
+    """
+    if sf != 0.1 or not set(HEADLINE) <= set(timings):
+        return {}
+    if not all(n in timings for n in CALIBRATION_PINS):
+        return {}
+    factors = sorted(timings[n] / pin for n, pin in CALIBRATION_PINS.items())
+    cal = factors[len(factors) // 2]  # median: robust to one outlier
+    return {
+        "calibration_factor": round(cal, 3),
+        "value_normalized": round(total / cal, 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -176,13 +197,7 @@ def main() -> None:
         "e2e_engine_ask_multi_ok": multi_ok,
         "sf": sf,
     }
-    if sf == 0.1 and all(n in timings for n in CALIBRATION_PINS):
-        factors = sorted(
-            timings[n] / pin for n, pin in CALIBRATION_PINS.items()
-        )
-        cal = factors[len(factors) // 2]  # median: robust to one outlier
-        out["calibration_factor"] = round(cal, 3)
-        out["value_normalized"] = round(total / cal, 3)
+    out.update(calibration(timings, sf, total))
     print(json.dumps(out))
 
 

@@ -544,6 +544,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    strict: bool = False,
 ) -> DataFrame:
     """Min-label propagation over the similarity graph: every node
     starts as its own label; each iteration every node adopts the
@@ -555,7 +556,9 @@ def connected_components(
     If the label propagation is still changing after
     ``max_iterations`` (a near-dup chain longer than the cap), a
     warning is logged — the returned labels would silently split
-    such a cluster otherwise."""
+    such a cluster otherwise. With ``strict=True`` non-convergence
+    RAISES instead (ADVICE r8): an oracle-checked caller must fail
+    loudly, not hand a silently-split labeling to a hash gate."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -592,11 +595,13 @@ def connected_components(
         if changed == 0:
             break
     else:
-        logger.warning(
+        msg = (
             "connected_components: hit max_iterations=%d without converging; "
-            "labels may split long near-dup chains (raise max_iterations)",
-            max_iterations,
+            "labels may split long near-dup chains (raise max_iterations)"
         )
+        if strict:
+            raise RuntimeError(msg % max_iterations)
+        logger.warning(msg, max_iterations)
     return labels
 
 
@@ -976,7 +981,12 @@ def _register_transitive_components():
             bucket_cap=8,
             hash_fn="md5",
         )
-        return connected_components(pairs, "id_a", "id_b")
+        # strict + a generous cap: divergence must be a loud error,
+        # never a puzzling hash mismatch (ADVICE r8); dedup-cluster
+        # diameter is tiny, so 50 rounds is far past any real chain
+        return connected_components(
+            pairs, "id_a", "id_b", max_iterations=50, strict=True
+        )
 
     return d13_transitive_components
 

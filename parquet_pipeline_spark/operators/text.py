@@ -354,7 +354,10 @@ def t06_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN p.cur_len + r.len + 1 > 1000
                   THEN 1 ELSE p.n_in_chunk + 1 END
       FROM packed p
-      JOIN rows_ord r ON r.source = p.source AND r.rn = p.rn + 1
+      -- IS NOT DISTINCT FROM: a NULL-source group must recurse too
+      -- (plain = would strand it at its rn=1 row; ADVICE r8)
+      JOIN rows_ord r ON r.source IS NOT DISTINCT FROM p.source
+                     AND r.rn = p.rn + 1
     )
     SELECT source, chunk_id,
            CAST(MAX(cur_len) AS INT) AS chunk_len,
@@ -1026,7 +1029,10 @@ def pack_sequences(
              CASE WHEN p.cur_toks + r.toks > 256
                   THEN r.toks ELSE p.cur_toks + r.toks END
       FROM packed p
-      JOIN rows_ord r ON r.source = p.source AND r.rn = p.rn + 1
+      -- IS NOT DISTINCT FROM: a NULL-source group must recurse too
+      -- (plain = would strand it at its rn=1 row; ADVICE r8)
+      JOIN rows_ord r ON r.source IS NOT DISTINCT FROM p.source
+                     AND r.rn = p.rn + 1
     )
     SELECT source, seq_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -1062,7 +1062,12 @@ def _register_mmr_rerank():
           SELECT 1 AS step, vec_id, score,
                  75 * CAST(ROUND(score * 1000000, 0) AS BIGINT) AS mmr_u,
                  [vec_id] AS chosen, [v] AS chosen_vecs
-          FROM (SELECT * FROM pool ORDER BY score DESC, vec_id LIMIT 1)
+          -- anchor ordered by the QUANTIZED key too (ADVICE r8):
+          -- raw-score order can disagree with the integer micro-unit
+          -- order exactly at a 1e-6 rounding boundary
+          FROM (SELECT * FROM pool
+                ORDER BY CAST(ROUND(score * 1000000, 0) AS BIGINT) DESC,
+                         vec_id LIMIT 1)
           UNION ALL
           SELECT step + 1, vec_id, score, mmr_u,
                  list_append(chosen, vec_id), list_append(chosen_vecs, v)

@@ -18,6 +18,7 @@ cross-dimension queries see composed dirt.
 from __future__ import annotations
 
 import os
+import re
 import random
 import shutil
 import subprocess
@@ -96,11 +97,12 @@ def dim_touching_oracled() -> list[str]:
     from parquet_pipeline_spark import registry
 
     registry.load_all()
+    # word-boundary match (ADVICE r8): substring probes silently
+    # dropped oracles that reference e.g. `part,` / `part)` / a
+    # trailing `FROM part`, quietly shrinking battery coverage
+    pat = re.compile(r"\b(customer|supplier|part)\b", re.IGNORECASE)
     return sorted(
-        name
-        for name, sql in registry.ORACLES.items()
-        if any(t in sql for t in ("customer", "supplier", "part "))
-        or "part\n" in sql
+        name for name, sql in registry.ORACLES.items() if pat.search(sql)
     )
 
 
