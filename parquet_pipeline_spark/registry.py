@@ -55,4 +55,5 @@ def load_all() -> None:
         advanced,
         tpch_extra,
         corpus,
+        ingestion,
     )

@@ -124,3 +124,81 @@ def read_xlsx(path) -> dict[str, tuple[list[str], list[list]]]:
             ]
             out[name] = (header, data)
     return out
+
+
+def write_xlsx(path, sheets: dict[str, tuple[list[str], list[list]]]) -> None:
+    """Build a minimal flat-tabular .xlsx — the inverse of
+    ``read_xlsx`` and the same layout the reference ingests (1 header
+    row + data rows; reference: duckdb_util.py:263 reads exactly this
+    shape). Strings go through the shared-string table, ints/floats
+    as numeric cells, bools as ``t="b"``, None as an omitted cell.
+    Driver-side by design: a workbook is a single unsplittable zip,
+    and this writer exists so ingestion round-trips (i01) and tests
+    can fabricate inputs without openpyxl."""
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    def col_letter(i: int) -> str:
+        s = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            s = chr(ord("A") + r) + s
+        return s
+
+    strings: dict[str, int] = {}
+
+    def cell(r: int, c: int, v) -> str:
+        ref = f"{col_letter(c)}{r}"
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        s = str(v)
+        if s not in strings:
+            strings[s] = len(strings)
+        return f'<c r="{ref}" t="s"><v>{strings[s]}</v></c>'
+
+    sheet_xmls = []
+    for header, rows in sheets.values():
+        body = []
+        for ri, row in enumerate([list(header)] + [list(r) for r in rows], start=1):
+            cells = "".join(cell(ri, ci, v) for ci, v in enumerate(row))
+            body.append(f'<row r="{ri}">{cells}</row>')
+        sheet_xmls.append(
+            '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            f"<sheetData>{''.join(body)}</sheetData></worksheet>"
+        )
+
+    names = list(sheets)
+    wb = (
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>'
+        + "".join(
+            f'<sheet name="{escape(n)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+            for i, n in enumerate(names)
+        )
+        + "</sheets></workbook>"
+    )
+    rels = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        + "".join(
+            f'<Relationship Id="rId{i + 1}" Type="http://schemas.openxmlformats.org/'
+            f'officeDocument/2006/relationships/worksheet" Target="worksheets/sheet{i + 1}.xml"/>'
+            for i in range(len(names))
+        )
+        + "</Relationships>"
+    )
+    sst = (
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        + "".join(f"<si><t>{escape(t)}</t></si>" for t in strings)
+        + "</sst>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/sharedStrings.xml", sst)
+        for i, x in enumerate(sheet_xmls):
+            z.writestr(f"xl/worksheets/sheet{i + 1}.xml", x)

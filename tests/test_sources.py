@@ -203,70 +203,13 @@ def test_upsert_parquet(spark, tmp_path):
 
 
 def _make_xlsx(path, sheets):
-    """Hand-build a minimal .xlsx: {sheet_name: (header, rows)}."""
-    import zipfile
+    """Hand-build a minimal .xlsx: {sheet_name: (header, rows)} —
+    delegates to the package writer (sources/xlsx.py:write_xlsx) so
+    the reader is tested against the same flat-tabular layout the
+    i01 ingestion round-trip fabricates."""
+    from parquet_pipeline_spark.sources.xlsx import write_xlsx
 
-    def col_letter(i):
-        s = ""
-        i += 1
-        while i:
-            i, r = divmod(i - 1, 26)
-            s = chr(ord("A") + r) + s
-        return s
-
-    strings: list[str] = []
-
-    def cell(r, c, v):
-        ref = f"{col_letter(c)}{r}"
-        if isinstance(v, bool):
-            return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
-        if isinstance(v, (int, float)):
-            return f'<c r="{ref}"><v>{v}</v></c>'
-        if v is None:
-            return ""
-        if v not in strings:
-            strings.append(v)
-        return f'<c r="{ref}" t="s"><v>{strings.index(v)}</v></c>'
-
-    sheet_xmls = []
-    for header, rows in sheets.values():
-        body = []
-        for ri, row in enumerate([header] + rows, start=1):
-            cells = "".join(cell(ri, ci, v) for ci, v in enumerate(row))
-            body.append(f'<row r="{ri}">{cells}</row>')
-        sheet_xmls.append(
-            '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
-            f'<sheetData>{"".join(body)}</sheetData></worksheet>'
-        )
-
-    names = list(sheets)
-    wb = (
-        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
-        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>'
-        + "".join(
-            f'<sheet name="{n}" sheetId="{i+1}" r:id="rId{i+1}"/>' for i, n in enumerate(names)
-        )
-        + "</sheets></workbook>"
-    )
-    rels = (
-        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
-        + "".join(
-            f'<Relationship Id="rId{i+1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet{i+1}.xml"/>'
-            for i in range(len(names))
-        )
-        + "</Relationships>"
-    )
-    sst = (
-        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
-        + "".join(f"<si><t>{t}</t></si>" for t in strings)
-        + "</sst>"
-    )
-    with zipfile.ZipFile(path, "w") as z:
-        z.writestr("xl/workbook.xml", wb)
-        z.writestr("xl/_rels/workbook.xml.rels", rels)
-        z.writestr("xl/sharedStrings.xml", sst)
-        for i, x in enumerate(sheet_xmls):
-            z.writestr(f"xl/worksheets/sheet{i+1}.xml", x)
+    write_xlsx(path, sheets)
 
 
 def test_native_xlsx_reader_multisheet(spark, tmp_path):
@@ -583,3 +526,16 @@ def test_compact_partitioned_preserves_layout(spark, sf_dir, tmp_path):
     # pruning still works on the compacted layout
     plan = back.filter("band_id = 2")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "band_id" in plan.split("PartitionFilters")[1][:120], plan
+
+
+def test_write_xlsx_escapes_xml_specials(tmp_path):
+    """write_xlsx must XML-escape cell strings and sheet names —
+    ingestion round-trips carry arbitrary document text."""
+    from parquet_pipeline_spark.sources.xlsx import read_xlsx, write_xlsx
+
+    path = str(tmp_path / "esc.xlsx")
+    rows = [["a < b & c > d", 1], ["<tag attr=\"x\">&amp;</tag>", 2]]
+    write_xlsx(path, {"S&P": (["Txt", "N"], rows)})
+    (header, got) = read_xlsx(path)["S&P"]
+    assert header == ["Txt", "N"]
+    assert got == rows
