@@ -189,3 +189,114 @@ def a08_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a11/a12 — the a02/a03 accuracy floors GRADUATED to hash-green
+# assertion rows (VERDICT r8 item 4, the s02 pattern applied to
+# sketches). Sketch values themselves stay engine-specific (a02/a03
+# remain rows-only by design), but the accuracy CONTRACT is
+# hash-checkable: Spark computes approx AND exact side by side and
+# emits per-group within-bound BOOLEANS next to the exact values;
+# the oracle recomputes the exact values and emits literal TRUE.
+# A hash match therefore asserts (a) the exact aggregates agree
+# cross-engine and (b) every group's sketch sits inside its error
+# bound — a broken HLL/t-digest flips a boolean and fails the gate.
+# ---------------------------------------------------------------------------
+@register(
+    "a11_hll_accuracy",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS orders_within, TRUE AS parts_within
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a11_hll_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HLL++ vs exact distinct with a 3×rsd bound (the
+    tests/test_sketches.py floor, now in the official record). The
+    absolute-slack floor of 3 keeps tiny/dirty groups (exact ≤ ~50,
+    where relative error is meaningless) from flapping; at any real
+    cardinality the 6% relative bound dominates. One pass for the
+    sketches + one exact distinct (the oracle side of the assertion
+    — at 100 TB you'd keep only the one-pass sketch; the exact
+    column IS the point here)."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("ap_o"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap_p"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+    def within(ap, exact):
+        bound = F.greatest(0.06 * F.col(exact), F.lit(3.0))
+        return F.abs(F.col(ap) - F.col(exact)) <= bound
+
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        "exact_parts",
+        within("ap_o", "exact_orders").alias("orders_within"),
+        within("ap_p", "exact_parts").alias("parts_within"),
+    )
+
+
+@register(
+    "a12_tdigest_accuracy",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(l_extendedprice) AS BIGINT) AS n_vals,
+           TRUE AS p50_within, TRUE AS p99_within
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a12_tdigest_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx vs exact RANK containment per group: the
+    approx p50/p99 value must sit within 1%·n ranks of the true
+    quantile position (rank displacement — robust to value scale and
+    to ties, the tests/test_sketches.py methodology). Containment
+    with ties: rows-strictly-below(ap) ≤ q·n + tol AND
+    rows-at-or-below(ap) ≥ q·n − tol. A group with no non-null
+    prices is vacuously within (ap IS NULL on both quantiles).
+    Plan: one groupBy for the sketches, broadcast the ≤|groups|-row
+    result back onto lineitem, one second groupBy for the rank
+    counts — no sort, no window, scales as two map-side-combined
+    shuffles of |groups| rows."""
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    ap = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("ap50"),
+        F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)).alias("ap99"),
+    )
+    # null-safe equi-join: a NULL group key is a real group for the
+    # quantile sketches (groupBy keeps it), and a plain `=` join
+    # would silently drop it from the assertion (the dirty-lineitem
+    # battery catches exactly this)
+    joined = li.join(
+        F.broadcast(ap.withColumnRenamed("l_returnflag", "g")),
+        F.col("l_returnflag").eqNullSafe(F.col("g")),
+    ).drop("g")
+    counted = joined.groupBy("l_returnflag").agg(
+        F.count("l_extendedprice").alias("n_vals"),
+        F.max("ap50").alias("ap50"),
+        F.max("ap99").alias("ap99"),
+        F.sum((F.col("l_extendedprice") < F.col("ap50")).cast("long")).alias("lt50"),
+        F.sum((F.col("l_extendedprice") <= F.col("ap50")).cast("long")).alias("le50"),
+        F.sum((F.col("l_extendedprice") < F.col("ap99")).cast("long")).alias("lt99"),
+        F.sum((F.col("l_extendedprice") <= F.col("ap99")).cast("long")).alias("le99"),
+    )
+    tol = 0.01 * F.col("n_vals") + 1
+
+    def within(q, ap, lt, le):
+        contained = (F.col(lt) <= q * F.col("n_vals") + tol) & (
+            F.col(le) >= q * F.col("n_vals") - tol
+        )
+        return F.col(ap).isNull() | contained
+
+    return counted.select(
+        "l_returnflag",
+        "n_vals",
+        within(0.5, "ap50", "lt50", "le50").alias("p50_within"),
+        within(0.99, "ap99", "lt99", "le99").alias("p99_within"),
+    )

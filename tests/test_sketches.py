@@ -127,3 +127,29 @@ def test_percentile_approx_generated_distributions(spark, seed, dist):
 
         rank_ap = bisect.bisect_left(svals, row["ap"])
         assert abs(rank_ap - q * len(svals)) <= 0.01 * len(svals) + 1, (dist, q)
+
+
+def test_a11_a12_accuracy_rows_keep_null_group(spark, tmp_path):
+    """The graduated accuracy-assertion rows must keep a NULL group
+    key: a plain `=` join back onto the fact table silently drops the
+    NULL l_returnflag group (the dirty-lineitem battery class) — the
+    join is null-safe by contract."""
+    import os
+
+    from parquet_pipeline_spark import registry
+
+    registry.load_all()
+    rows = [(i, i % 50, float(900 + (i * 37) % 200), None if i % 3 == 0 else "R")
+            for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "l_orderkey LONG, l_partkey LONG, l_extendedprice DOUBLE, l_returnflag STRING"
+    )
+    sf = str(tmp_path / "sf")
+    df.write.parquet(os.path.join(sf, "lineitem.parquet"))
+
+    for name in ("a11_hll_accuracy", "a12_tdigest_accuracy"):
+        out = registry.QUERIES[name](spark, sf).collect()
+        keys = {r["l_returnflag"] for r in out}
+        assert keys == {None, "R"}, (name, keys)
+        bool_cols = [c for c in out[0].asDict() if c.endswith("_within")]
+        assert all(r[c] for r in out for c in bool_cols), (name, out)
