@@ -85,10 +85,17 @@ def download_to_temp(url: str, timeout: int = 300, chunk_size: int = 8192) -> st
 
 
 def read_csv(spark: SparkSession, path: str, sep: str = ",", clean: bool = True) -> DataFrame:
+    # escape = '"' pins the RFC 4180 dialect (doubled quotes inside a
+    # quoted field), which is what Excel, csv.writer, and pandas —
+    # i.e. the reference's own reader (ingestion_pipeline_langgraph.py
+    # :175-289) — all emit. Spark's default escape is backslash, which
+    # silently mangles `"g""h"` into `"g""h"` raw (found by the
+    # dirty-sources battery, tools/adversarial_sources_check.py).
     df = (
         spark.read.option("header", "true")
         .option("inferSchema", "true")
         .option("sep", sep)
+        .option("escape", '"')
         .csv(path)
     )
     return clean_columns(df) if clean else df

@@ -539,3 +539,22 @@ def test_write_xlsx_escapes_xml_specials(tmp_path):
     (header, got) = read_xlsx(path)["S&P"]
     assert header == ["Txt", "N"]
     assert got == rows
+
+
+def test_read_csv_rfc4180_doubled_quotes(spark, tmp_path):
+    """RFC 4180 doubled quotes inside quoted fields — what Excel,
+    csv.writer, and pandas (the reference's reader) all emit — must
+    unescape. Spark's default backslash escape mangled `"g""h"`
+    (found by tools/adversarial_sources_check.py)."""
+    import csv
+
+    from parquet_pipeline_spark.sources.readers import read_csv
+
+    path = str(tmp_path / "q.csv")
+    rows = [['say "hi"', 'a,b'], ['""', 'plain']]
+    with open(path, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["Quoted", "Comma"])
+        w.writerows(rows)
+    got = sorted(tuple(r) for r in read_csv(spark, path).collect())
+    assert got == sorted(tuple(r) for r in rows)

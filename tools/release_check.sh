@@ -5,21 +5,24 @@ cd "$(dirname "$0")/.."
 
 fail=0
 
-echo "=== 1/5 oracle gate (sf0.01) ==="
+echo "=== 1/6 oracle gate (sf0.01) ==="
 python tools/check_oracle.py | tail -1 || fail=1
 
-echo "=== 2/5 test suite ==="
+echo "=== 2/6 test suite ==="
 python -m pytest tests/ -q 2>&1 | tail -1 || fail=1
 
-echo "=== 3/5 differential fuzz (100 cases) ==="
+echo "=== 3/6 differential fuzz (100 cases) ==="
 python tools/fuzz_oracle.py 100 "${FUZZ_SEED:-7}" 2>/dev/null | tail -1 || fail=1
 
-echo "=== 4/5 adversarial all-dirty fixture (full oracled registry) ==="
+echo "=== 4/6 adversarial all-dirty fixture (full oracled registry) ==="
 # composes all six dirty fixtures incl. dims (tools/adversarial_*_check.py
 # run them individually for failure isolation)
 python tools/adversarial_all_check.py "${FUZZ_SEED:-7}" 2>/dev/null | tail -1 || fail=1
 
-echo "=== 5/5 bench ==="
+echo "=== 5/6 adversarial dirty SOURCE files (readers) ==="
+python tools/adversarial_sources_check.py "${FUZZ_SEED:-7}" 2>/dev/null | tail -1 || fail=1
+
+echo "=== 6/6 bench ==="
 python bench.py 2>/dev/null | tail -1 || fail=1
 
 exit $fail
