@@ -73,6 +73,32 @@ CALIBRATION_PINS = {
     "v01_cosine_topk": 0.423,
 }
 
+# sf5 pin set (VERDICT r8 item 2): the sf0.1 pins only probe the
+# small-working-set regime, and the sf5 headline total drifted
+# +10-15% across r7→r8 on untouched code. These are r9 full-suite
+# sf5 medians of the same five untouched operators, measured solo
+# (BENCH_NOTES §sf5 calibration pins) — a uniform movement in them
+# measures large-working-set box pressure (page cache, memory
+# bandwidth), normalizing the sf5 total the same way the sf0.1
+# pins normalize the driver battery.
+CALIBRATION_PINS_BY_SF = {
+    0.1: CALIBRATION_PINS,
+    # r9 base: per-pin min of the medians from two solo back-to-back
+    # full-suite runs (totals 65.6/65.3 s). The r7→r8 sf5 drift
+    # (57.7 → ~65.5) reproduced exactly on untouched code and is
+    # concentrated in the scan-bound queries (q02/q08/q09 +24-43%)
+    # while CPU-bound ones (v01/v02/d01/d03) are flat — a stable
+    # environment-level shift in the large-working-set regime, now
+    # absorbed into this base rather than re-litigated per round.
+    5.0: {
+        "q01_pricing_summary": 1.759,
+        "q08_join_multiway": 10.650,
+        "d01_exact_dedup": 0.813,
+        "t05_token_count": 0.197,
+        "v01_cosine_topk": 1.497,
+    },
+}
+
 
 def calibration(timings: dict, sf: float, total: float) -> dict:
     """Normalized-total fields, or {} when the run is not comparable.
@@ -81,13 +107,15 @@ def calibration(timings: dict, sf: float, total: float) -> dict:
     that happens to include the five pins would normalize against
     incomparable numbers (cold codegen, different cache pressure), so
     the timed set must cover the whole default HEADLINE composition
-    at sf0.1 before calibration_factor/value_normalized are emitted.
+    at a pinned sf before calibration_factor/value_normalized are
+    emitted.
     """
-    if sf != 0.1 or not set(HEADLINE) <= set(timings):
+    pins = CALIBRATION_PINS_BY_SF.get(sf)
+    if pins is None or not set(HEADLINE) <= set(timings):
         return {}
-    if not all(n in timings for n in CALIBRATION_PINS):
+    if not all(n in timings for n in pins):
         return {}
-    factors = sorted(timings[n] / pin for n, pin in CALIBRATION_PINS.items())
+    factors = sorted(timings[n] / pin for n, pin in pins.items())
     cal = factors[len(factors) // 2]  # median: robust to one outlier
     return {
         "calibration_factor": round(cal, 3),

@@ -146,6 +146,62 @@ def run_dir(spark, sf_dir: str) -> dict:
 
     n_flags = timed("s01_stream", run_stream)
     out["s01_flag_rows"] = n_flags
+
+    # --- r8 registrations at full scale (VERDICT r8 item 6) --------
+    # v08: MMR re-rank — the bounded driver greedy is O(pool²·k)
+    # regardless of corpus; what grows is the distributed top-pool
+    # scan, so this probe times the full-corpus path end to end.
+    from parquet_pipeline_spark.operators.vectors import mmr_rerank
+
+    q_vec = q_rows[0][1]
+    timed(
+        "v08_mmr",
+        lambda: mmr_rerank(corpus, q_vec, k=10, pool=50, lam=0.75, quantize=6),
+    )
+
+    # d13: connected components over the FULL-corpus LSH pair graph —
+    # pair generation (banded candidates, hot-bucket capped) + the
+    # iterative min-label propagation join rounds.
+    from parquet_pipeline_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+    )
+
+    def d13_full():
+        pairs = lsh_candidate_pairs(
+            docs.select("doc_id", "text"),
+            num_hashes=16,
+            bands=4,
+            ngram=3,
+            bucket_cap=8,
+        )
+        return (
+            connected_components(pairs, "id_a", "id_b", max_iterations=50)
+            .agg(F.count(F.lit(1)), F.countDistinct("component"))
+            .collect()
+        )
+
+    timed("d13_components", d13_full)
+
+    # t24: sequence packing over the full documents table — one
+    # exchange on source, applyInPandas greedy per group.
+    from parquet_pipeline_spark.operators.text import pack_sequences
+
+    def t24_full():
+        toks = docs.select(
+            "source",
+            "doc_id",
+            F.coalesce(
+                F.ceil(F.length("text") / 4.0).cast("bigint"), F.lit(0)
+            ).alias("toks"),
+        )
+        return (
+            pack_sequences(toks, "source", "doc_id", "toks", budget=256)
+            .agg(F.count(F.lit(1)), F.max("seq_id"))
+            .collect()
+        )
+
+    timed("t24_pack", t24_full)
     return out
 
 
