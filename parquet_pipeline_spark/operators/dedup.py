@@ -559,12 +559,19 @@ def connected_components(
     such a cluster otherwise. With ``strict=True`` non-convergence
     RAISES instead (ADVICE r8): an oracle-checked caller must fail
     loudly, not hand a silently-split labeling to a hash gate."""
+    # materialize the edge set ONCE: `pairs` is typically the whole
+    # LSH candidate pipeline (shingle → minhash → band → bucket-join),
+    # and without this checkpoint every iteration's joins + the
+    # convergence count re-run that pipeline 2-3× per round — measured
+    # 39 s for a 5k-doc corpus at sf0.1 vs ~2 s with the pin
+    # (tools/persisted_probe.py, r9)
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "component", F.col("node")
@@ -575,6 +582,8 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
+        # checkpoint BEFORE the convergence count so the count is a
+        # cheap join of two materialized label sets, not a re-derive
         updated = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
@@ -583,6 +592,7 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
             )
+            .localCheckpoint(eager=True)  # truncate lineage per round
         )
         changed = (
             updated.alias("u")
@@ -591,7 +601,7 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = updated.localCheckpoint(eager=True)  # truncate lineage per round
+        labels = updated
         if changed == 0:
             break
     else:
