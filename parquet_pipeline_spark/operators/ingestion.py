@@ -111,14 +111,22 @@ def i01_xlsx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "i02_csv_roundtrip",
     oracle="""
-    SELECT doc_id, text, lang, source, n_chars
+    SELECT doc_id,
+           -- CSV's data model has ONE empty token: NULL and '' both
+           -- serialize to nothing and both deserialize to NULL (the
+           -- reference's pandas reader has the same blindness — both
+           -- become NaN). The round-trip contract therefore maps ''
+           -- to NULL on the oracle side too.
+           NULLIF(text, '') AS text,
+           lang, source, n_chars
     FROM documents WHERE doc_id >= 165 AND doc_id < 330
     """,
 )
 def i02_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5+A10+A15+A11+A12: documents slice → CSV file → ``read_any``
-    dispatch (extension→csv, header inference, cleaning) → zstd
-    parquet WRITE of the even rows + APPEND of the odd rows — the
+    dispatch (extension→csv, header inference, cleaning, RFC 4180
+    quoting incl. embedded newlines via multiline) → zstd parquet
+    WRITE of the even rows + APPEND of the odd rows — the
     reference's chunked COPY + INSERT INTO append shape
     (duckdb_util.py:315-317) — → read-back of the combined table."""
     rows = _slice_rows(spark, sf_dir, 165, 330)
@@ -129,7 +137,7 @@ def i02_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.writerow(_DIRTY_HEADERS)
         w.writerows(rows)
 
-    (df,) = read_any(spark, path).values()
+    (df,) = read_any(spark, path, multiline=True).values()
     assert df.columns == _CANONICAL, df.columns
 
     dest = os.path.join(tmp, "out.parquet")

@@ -84,18 +84,34 @@ def download_to_temp(url: str, timeout: int = 300, chunk_size: int = 8192) -> st
     return local
 
 
-def read_csv(spark: SparkSession, path: str, sep: str = ",", clean: bool = True) -> DataFrame:
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    sep: str = ",",
+    clean: bool = True,
+    multiline: bool = False,
+) -> DataFrame:
     # escape = '"' pins the RFC 4180 dialect (doubled quotes inside a
     # quoted field), which is what Excel, csv.writer, and pandas —
     # i.e. the reference's own reader (ingestion_pipeline_langgraph.py
     # :175-289) — all emit. Spark's default escape is backslash, which
     # silently mangles `"g""h"` into `"g""h"` raw (found by the
     # dirty-sources battery, tools/adversarial_sources_check.py).
+    #
+    # multiline = True parses RFC 4180 quoted fields that EMBED
+    # newlines. Off by default on purpose: multiLine makes the scan
+    # non-splittable (one task per file), the wrong trade for big
+    # machine-written CSV; flip it for human/Excel exports where
+    # embedded newlines are common. NULL-vs-empty-string is NOT
+    # representable either way — CSV's data model has one empty
+    # token, so both arrive as NULL (pandas has the same blindness:
+    # both become NaN).
     df = (
         spark.read.option("header", "true")
         .option("inferSchema", "true")
         .option("sep", sep)
         .option("escape", '"')
+        .option("multiLine", str(multiline).lower())
         .csv(path)
     )
     return clean_columns(df) if clean else df
@@ -303,9 +319,13 @@ def read_excel_fleet(
     return out
 
 
-def read_any(spark: SparkSession, path: str, clean: bool = True) -> dict[str, DataFrame]:
+def read_any(
+    spark: SparkSession, path: str, clean: bool = True, multiline: bool = False
+) -> dict[str, DataFrame]:
     """Format-dispatched read: returns {logical_name: DataFrame}
-    (a dict because Excel fans out to one table per sheet)."""
+    (a dict because Excel fans out to one table per sheet).
+    ``multiline`` applies to the delimited formats (embedded-newline
+    quoted fields; see read_csv for the splittability trade)."""
     if path.startswith(("http://", "https://")):
         path = download_to_temp(path)
     fmt = detect_file_format(path)
@@ -315,9 +335,9 @@ def read_any(spark: SparkSession, path: str, clean: bool = True) -> dict[str, Da
     if fmt == "excel":
         return read_excel_sheets(spark, path, clean=clean)
     if fmt == "csv":
-        return {base: read_csv(spark, path, clean=clean)}
+        return {base: read_csv(spark, path, clean=clean, multiline=multiline)}
     if fmt == "tsv":
-        return {base: read_tsv(spark, path, clean=clean)}
+        return {base: read_csv(spark, path, sep="\t", clean=clean, multiline=multiline)}
     if fmt == "json":
         return {base: read_json(spark, path, clean=clean)}
     if fmt == "parquet":

@@ -558,3 +558,21 @@ def test_read_csv_rfc4180_doubled_quotes(spark, tmp_path):
         w.writerows(rows)
     got = sorted(tuple(r) for r in read_csv(spark, path).collect())
     assert got == sorted(tuple(r) for r in rows)
+
+
+def test_read_csv_multiline_embedded_newlines(spark, tmp_path):
+    """RFC 4180 quoted fields may embed newlines; multiline=True
+    parses them (at the documented splittability cost). The i02
+    round-trip relies on this for dirty document texts."""
+    import csv
+
+    from parquet_pipeline_spark.sources.readers import read_csv
+
+    path = str(tmp_path / "nl.csv")
+    rows = [["one\ntwo\nthree", 1], ["plain", 2]]
+    with open(path, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["Txt", "N"])
+        w.writerows(rows)
+    got = sorted(tuple(r) for r in read_csv(spark, path, multiline=True).collect())
+    assert got == sorted(tuple(r) for r in rows)
