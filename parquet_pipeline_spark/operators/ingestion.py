@@ -176,3 +176,34 @@ def i03_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_parquet(df, dest)
     (back,) = read_any(spark, dest).values()  # A8 passthrough branch
     return _finish(back)
+
+
+@register(
+    "i04_tsv_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           NULLIF(text, '') AS text,  -- one empty token, as in i02
+           lang, source, n_chars
+    FROM documents WHERE doc_id >= 165 AND doc_id < 330
+    """,
+)
+def i04_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6+A10+A15+A11: the tab-delimited variant of i02 — fields
+    containing tabs/newlines are RFC-4180-quoted by the writer and
+    parsed back by the same escaped-quote reader with sep='\\t'
+    (reference: ingestion_pipeline_langgraph.py:158-172 routes .tsv
+    through the same chunked pandas path as .csv)."""
+    rows = _slice_rows(spark, sf_dir, 165, 330)
+    tmp = scratch_dir("i04_tsv_")
+    path = os.path.join(tmp, "docs_roundtrip.tsv")
+    with open(path, "w", newline="") as fh:
+        w = _csv.writer(fh, dialect="excel-tab")
+        w.writerow(_DIRTY_HEADERS)
+        w.writerows(rows)
+
+    (df,) = read_any(spark, path, multiline=True).values()
+    assert df.columns == _CANONICAL, df.columns
+
+    dest = os.path.join(tmp, "out.parquet")
+    write_parquet(df, dest)
+    return _finish(spark.read.parquet(dest))
