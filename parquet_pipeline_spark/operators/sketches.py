@@ -223,11 +223,43 @@ def a11_hll_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     — at 100 TB you'd keep only the one-pass sketch; the exact
     column IS the point here)."""
     li = _t(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    # SPLIT aggregation, not COUNT(DISTINCT a), COUNT(DISTINCT b) in
+    # one agg: two distinct columns force Spark's Expand rewrite
+    # (every row replicated per distinct group before the hash
+    # aggregate) — measured 329 s at sf1 vs ~8 s split. Each exact
+    # count is distinct-pairs → count (two map-side-combined
+    # shuffles of the distinct key space); the sketches stay one
+    # clean pass; the per-group results are tiny null-safe joins.
+    ap = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("ap_o"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap_p"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+    def exact_distinct(key, alias):
+        return (
+            li.filter(F.col(key).isNotNull())  # COUNT(DISTINCT) skips NULLs
+            .select("l_returnflag", key)
+            .distinct()
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    def nsjoin(left, right):
+        r = right.withColumnRenamed("l_returnflag", "g")
+        return left.join(
+            r, F.col("l_returnflag").eqNullSafe(F.col("g")), "left"
+        ).drop("g")
+
+    agg = nsjoin(
+        nsjoin(ap, exact_distinct("l_orderkey", "exact_orders")),
+        exact_distinct("l_partkey", "exact_parts"),
+    ).select(
+        "l_returnflag",
+        # an all-NULL-key group has zero countable values
+        F.coalesce("exact_orders", F.lit(0)).alias("exact_orders"),
+        F.coalesce("exact_parts", F.lit(0)).alias("exact_parts"),
+        "ap_o",
+        "ap_p",
     )
 
     def within(ap, exact):
