@@ -207,3 +207,57 @@ def i04_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     dest = os.path.join(tmp, "out.parquet")
     write_parquet(df, dest)
     return _finish(spark.read.parquet(dest))
+
+
+@register(
+    "i05_upsert_roundtrip",
+    oracle="""
+    -- the upserted table: updates replace same-key rows, new keys
+    -- insert; replayed relationally (anti-join ∪ updates)
+    WITH base AS (
+      SELECT doc_id, text, lang, source, n_chars
+      FROM documents WHERE doc_id < 165
+    ),
+    updates AS (
+      SELECT doc_id,
+             'UPDATED:' || COALESCE(text, '') AS text,
+             lang, source, n_chars + 1000000 AS n_chars
+      FROM documents WHERE doc_id >= 100 AND doc_id < 220
+    )
+    SELECT b.doc_id, b.text, b.lang, b.source, b.n_chars
+    FROM base b LEFT JOIN updates u ON b.doc_id = u.doc_id
+    WHERE u.doc_id IS NULL
+    UNION ALL
+    SELECT doc_id, text, lang, source, n_chars FROM updates
+    """,
+)
+def i05_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style upsert driver-gated: write the doc_id<165 slice as
+    the parquet target, upsert rows 100-219 with marked text and
+    shifted n_chars (65 overlapping keys replaced in place + 55 new
+    keys inserted), read the swapped table back. The oracle replays
+    the delete-free MERGE relationally, so the hash pins the
+    anti-join ∪ union ∪ atomic-swap chain (writers.py:upsert_parquet
+    — the operator shape Delta/Iceberg/Hudi implement with metadata;
+    reference analog: the INSERT INTO append path,
+    duckdb_util.py:315-317, which has no replace semantics at all)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        *_CANONICAL
+    )
+    from parquet_pipeline_spark.sources.writers import upsert_parquet
+
+    tmp = scratch_dir("i05_upsert_")
+    dest = os.path.join(tmp, "target.parquet")
+    write_parquet(docs.filter(F.col("doc_id") < 165), dest)
+
+    updates = docs.filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 220)
+    ).select(
+        "doc_id",
+        F.concat(F.lit("UPDATED:"), F.coalesce("text", F.lit(""))).alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + 1000000).alias("n_chars"),
+    )
+    upsert_parquet(spark, dest, updates, ["doc_id"])
+    return _finish(spark.read.parquet(dest))
