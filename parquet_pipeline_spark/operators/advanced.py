@@ -219,7 +219,11 @@ def q64_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q65_returned_item_revenue",
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           -- exact DECIMAL money (the q83 contract, extended r9: the
+           -- seed-11 dirty-lineitem battery flapped this query's
+           -- double SUM by a half cent on a .xx5 boundary)
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -244,10 +248,17 @@ def q65_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, orders.o_orderkey == li.l_orderkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
+        # exact DECIMAL (q83 contract; this query flapped at seed 11)
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
@@ -562,7 +573,12 @@ def q69_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     GROUP BY l_partkey
     HAVING ROUND(SUM(l_extendedprice * l_quantity), 2) >
-           (SELECT ROUND(SUM(l_extendedprice * l_quantity) * 0.0006, 2)
+           -- threshold in exact DECIMAL: SUM*0.0006 is a scale-6
+           -- value rounded at 2dp — the same boundary class as q65
+           -- (the per-part sums themselves are scale-2, safe at 2dp)
+           (SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(l_quantity AS DECIMAL(18,2)))
+                     * CAST(0.0006 AS DECIMAL(7,4)), 2) AS DOUBLE)
             FROM lineitem)
     """,
 )
@@ -571,7 +587,15 @@ def q70_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", (F.col("l_extendedprice") * F.col("l_quantity")).alias("v")
     )
     per_part = li.groupBy("l_partkey").agg(F.round(F.sum("v"), 2).alias("value"))
-    threshold = li.agg(F.round(F.sum("v") * 0.0006, 2).alias("_thr"))
+    # threshold in exact DECIMAL (see the oracle comment)
+    vd = F.col("l_extendedprice").cast("decimal(18,2)") * F.col(
+        "l_quantity"
+    ).cast("decimal(18,2)")
+    threshold = _t(spark, sf_dir, "lineitem").agg(
+        F.round(F.sum(vd) * F.lit("0.0006").cast("decimal(7,4)"), 2)
+        .cast("double")
+        .alias("_thr")
+    )
     return (
         per_part.crossJoin(F.broadcast(threshold))
         .filter(F.col("value") > F.col("_thr"))

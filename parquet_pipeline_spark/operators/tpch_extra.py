@@ -89,12 +89,32 @@ def q81_priority_late_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 # directions, by ship year. The two nation dims broadcast; the
 # OR-of-pairings is a post-join filter on two tiny dim columns.
 # ---------------------------------------------------------------------------
+def _dec_revenue():
+    """l_extendedprice * (1 - l_discount) in EXACT DECIMAL — the q83
+    half-cent contract (see q83's oracle comment), extended r9 to the
+    non-headline money queries after the seed-11 dirty-lineitem
+    battery flapped q65's double sum on a .xx5 boundary. The five
+    HEADLINE money queries (q01/q08/q09/q33/q63) deliberately stay on
+    double: measured at sf5, Decimal128 aggregation is 5.5x slower
+    (11.6 s vs 2.1 s on the q01 shape) and integer-cents-in-double
+    loses exactness past 2^53 (observed at the sf5 full-table sum) —
+    the wrong trade for the hot path; their 2dp rounding keeps a
+    100x error margin and the boundary class is documented in
+    BENCH_NOTES."""
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+
+
 @register(
     "q82_nation_pair_volume",
     oracle="""
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS INT) AS ship_year,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           -- exact DECIMAL money (the q83 contract, extended r9 after
+           -- the seed-11 battery flapped q65 by a half cent)
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -134,9 +154,7 @@ def q82_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        )
+        F.round(F.sum(_dec_revenue()), 2).cast("double").alias("revenue")
     )
 
 
@@ -334,7 +352,9 @@ def q86_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             -- exact DECIMAL money (q83 contract, r9)
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
       GROUP BY l_suppkey)
@@ -349,9 +369,7 @@ def q87_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "total_revenue"
-        )
+        F.round(F.sum(_dec_revenue()), 2).cast("double").alias("total_revenue")
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -456,7 +474,9 @@ def q89_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q90_disjunctive_predicates",
     oracle="""
-    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    SELECT -- exact DECIMAL money (q83 contract, r9)
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#5'  AND p.p_size BETWEEN 1 AND 10
@@ -484,11 +504,7 @@ def q90_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(F.round(F.sum(_dec_revenue()), 2).cast("double").alias("revenue"))
     )
 
 
