@@ -104,3 +104,42 @@ def test_scd2_intervals_chain_and_current(spark, sf_dir):
         for a, b in zip(recs, recs[1:]):
             assert a["valid_to"] == b["valid_from"], (uid, a, b)
             assert a["valid_from"] <= a["valid_to"], (uid, a)
+
+
+def test_q100_basket_pairs_multiplicity_and_nulls(spark, tmp_path):
+    """The basket-array rewrite must keep the self-join's exact
+    semantics: a part appearing k times in an order pairs k times
+    with each greater part, and NULL partkeys drop (x < y three-
+    valued, like the join predicate). Verified against the DuckDB
+    oracle on a crafted fixture."""
+    import os
+
+    import duckdb
+
+    from parquet_pipeline_spark import registry
+
+    registry.load_all()
+    rows = [
+        (1, 10), (1, 10), (1, 20), (1, None),   # dup part + null
+        (2, 10), (2, 20), (2, 30),
+        (3, None), (3, None),                    # null-only order
+        (4, 5),                                  # singleton order
+    ]
+    df = spark.createDataFrame(rows, "l_orderkey LONG, l_partkey LONG")
+    sf = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(os.path.join(sf, "lineitem.parquet"))
+
+    got = sorted(
+        tuple(r) for r in registry.QUERIES["q100_basket_pairs"](spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM read_parquet("
+        f"'{os.path.join(sf, 'lineitem.parquet')}/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(
+        registry.ORACLES["q100_basket_pairs"]
+    ).fetchall())
+    assert got == want
+    # the duplicated 10 in order 1 pairs TWICE with 20
+    assert (10, 20, 3) in got  # order1 ×2 + order2 ×1
