@@ -577,12 +577,17 @@ def q69_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     GROUP BY l_partkey
     HAVING ROUND(SUM(l_extendedprice * l_quantity), 2) >
-           -- threshold in exact DECIMAL: SUM*0.0006 is a scale-6
-           -- value rounded at 2dp — the same boundary class as q65
-           -- (the per-part sums themselves are scale-2, safe at 2dp)
+           -- threshold in exact DECIMAL, scale-matched on both
+           -- engines (ADVICE r9: SUM*DECIMAL(7,4) let Spark's
+           -- allowPrecisionLoss reduce the product to scale 6 while
+           -- DuckDB kept scale 8 — a half-cent boundary class).
+           -- ROUND(SUM*6, -2)/10000 ≡ ROUND(SUM*0.0006, 2) but the
+           -- decimal math is integer-scaled and exact everywhere:
+           -- multiply by INT 6 (scale preserved), round to a
+           -- multiple of 100, cast, divide by the exact double 1e4.
            (SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                     * CAST(l_quantity AS DECIMAL(18,2)))
-                     * CAST(0.0006 AS DECIMAL(7,4)), 2) AS DOUBLE)
+                     * CAST(l_quantity AS DECIMAL(18,2))) * 6, -2) AS DOUBLE)
+                   / 10000
             FROM lineitem)
     """,
 )
@@ -596,8 +601,7 @@ def q70_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity"
     ).cast("decimal(18,2)")
     threshold = _t(spark, sf_dir, "lineitem").agg(
-        F.round(F.sum(vd) * F.lit("0.0006").cast("decimal(7,4)"), 2)
-        .cast("double")
+        (F.round(F.sum(vd) * F.lit(6), -2).cast("double") / F.lit(10000.0))
         .alias("_thr")
     )
     return (

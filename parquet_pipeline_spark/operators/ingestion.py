@@ -116,9 +116,13 @@ def i01_xlsx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- serialize to nothing and both deserialize to NULL (the
            -- reference's pandas reader has the same blindness — both
            -- become NaN). The round-trip contract therefore maps ''
-           -- to NULL on the oracle side too.
+           -- to NULL on the oracle side too — uniformly, for EVERY
+           -- string column (ADVICE r9: text-only NULLIF left lang/
+           -- source as latent data-dependent flakes).
            NULLIF(text, '') AS text,
-           lang, source, n_chars
+           NULLIF(lang, '') AS lang,
+           NULLIF(source, '') AS source,
+           n_chars
     FROM documents WHERE doc_id >= 165 AND doc_id < 330
     """,
 )
@@ -182,8 +186,12 @@ def i03_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "i04_tsv_roundtrip",
     oracle="""
     SELECT doc_id,
-           NULLIF(text, '') AS text,  -- one empty token, as in i02
-           lang, source, n_chars
+           -- one empty token, as in i02 — uniform across ALL string
+           -- columns (ADVICE r9)
+           NULLIF(text, '') AS text,
+           NULLIF(lang, '') AS lang,
+           NULLIF(source, '') AS source,
+           n_chars
     FROM documents WHERE doc_id >= 165 AND doc_id < 330
     """,
 )

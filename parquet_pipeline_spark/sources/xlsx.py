@@ -30,6 +30,10 @@ from xml.etree import ElementTree as ET
 
 _NS = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
 
+# Code points XML 1.0 cannot carry even as entity references; any of
+# these in emitted text would make the whole part unparseable.
+_XML_INVALID_RE = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+
 
 def _col_index(cell_ref: str) -> int:
     """'A1' → 0, 'AB7' → 27."""
@@ -134,9 +138,23 @@ def write_xlsx(path, sheets: dict[str, tuple[list[str], list[list]]]) -> None:
     as numeric cells, bools as ``t="b"``, None as an omitted cell.
     Driver-side by design: a workbook is a single unsplittable zip,
     and this writer exists so ingestion round-trips (i01) and tests
-    can fabricate inputs without openpyxl."""
+    can fabricate inputs without openpyxl.
+
+    The emitted zip is a *valid OOXML package* — it carries
+    ``[Content_Types].xml`` and the root ``_rels/.rels`` so openpyxl
+    (and Excel itself) can open it, not just our stdlib reader
+    (ADVICE r9: without those parts, environments WITH openpyxl
+    crashed on read-back). Attribute values escape double quotes and
+    cell strings are stripped of XML-1.0-invalid control characters
+    (\\x00-\\x08, \\x0b, \\x0c, \\x0e-\\x1f) — arbitrary document
+    text must never yield an unparseable workbook."""
     import zipfile
-    from xml.sax.saxutils import escape
+    from xml.sax.saxutils import escape, quoteattr
+
+    def xml_safe(s: str) -> str:
+        # XML 1.0 cannot represent these code points at all (even
+        # escaped) — drop them rather than emit a broken part.
+        return _XML_INVALID_RE.sub("", s)
 
     def col_letter(i: int) -> str:
         s = ""
@@ -156,7 +174,7 @@ def write_xlsx(path, sheets: dict[str, tuple[list[str], list[list]]]) -> None:
             return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
         if isinstance(v, (int, float)):
             return f'<c r="{ref}"><v>{v}</v></c>'
-        s = str(v)
+        s = xml_safe(str(v))
         if s not in strings:
             strings[s] = len(strings)
         return f'<c r="{ref}" t="s"><v>{strings[s]}</v></c>'
@@ -177,7 +195,7 @@ def write_xlsx(path, sheets: dict[str, tuple[list[str], list[list]]]) -> None:
         '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
         'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>'
         + "".join(
-            f'<sheet name="{escape(n)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+            f"<sheet name={quoteattr(xml_safe(n))} sheetId=\"{i + 1}\" r:id=\"rId{i + 1}\"/>"
             for i, n in enumerate(names)
         )
         + "</sheets></workbook>"
@@ -192,13 +210,37 @@ def write_xlsx(path, sheets: dict[str, tuple[list[str], list[list]]]) -> None:
         + "</Relationships>"
     )
     sst = (
-        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
-        + "".join(f"<si><t>{escape(t)}</t></si>" for t in strings)
+        f'<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        f'count="{len(strings)}" uniqueCount="{len(strings)}">'
+        + "".join(f'<si><t xml:space="preserve">{escape(t)}</t></si>' for t in strings)
         + "</sst>"
     )
+    content_types = (
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-'
+        'officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-'
+        'officedocument.spreadsheetml.sharedStrings+xml"/>'
+        + "".join(
+            f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" ContentType="application/'
+            'vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+            for i in range(len(names))
+        )
+        + "</Types>"
+    )
+    root_rels = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/'
+        'relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>'
+    )
+    xml_decl = '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
     with zipfile.ZipFile(path, "w") as z:
-        z.writestr("xl/workbook.xml", wb)
-        z.writestr("xl/_rels/workbook.xml.rels", rels)
-        z.writestr("xl/sharedStrings.xml", sst)
+        z.writestr("[Content_Types].xml", xml_decl + content_types)
+        z.writestr("_rels/.rels", xml_decl + root_rels)
+        z.writestr("xl/workbook.xml", xml_decl + wb)
+        z.writestr("xl/_rels/workbook.xml.rels", xml_decl + rels)
+        z.writestr("xl/sharedStrings.xml", xml_decl + sst)
         for i, x in enumerate(sheet_xmls):
-            z.writestr(f"xl/worksheets/sheet{i + 1}.xml", x)
+            z.writestr(f"xl/worksheets/sheet{i + 1}.xml", xml_decl + x)

@@ -541,6 +541,65 @@ def test_write_xlsx_escapes_xml_specials(tmp_path):
     assert got == rows
 
 
+def test_write_xlsx_valid_ooxml_package(tmp_path):
+    """ADVICE r9 (medium): the emitted zip must be a real OOXML
+    package — [Content_Types].xml + root _rels/.rels present and all
+    XML parts well-formed — so environments WITH openpyxl (where
+    read_excel_sheets prefers pandas) can open i01's fabricated
+    workbooks instead of crashing with KeyError. When openpyxl is
+    installed, prove it by actually opening the file with it."""
+    import zipfile
+    from xml.etree import ElementTree as ET
+
+    from parquet_pipeline_spark.sources.xlsx import write_xlsx
+
+    path = str(tmp_path / "pkg.xlsx")
+    write_xlsx(
+        path,
+        {
+            "Data": (["a", "b"], [["x", 1], ["y", 2.5]]),
+            "Other": (["c"], [[True]]),
+        },
+    )
+    with zipfile.ZipFile(path) as z:
+        names = set(z.namelist())
+        assert "[Content_Types].xml" in names
+        assert "_rels/.rels" in names
+        for part in names:
+            ET.fromstring(z.read(part))  # every part parses
+        ct = z.read("[Content_Types].xml").decode()
+        assert "/xl/workbook.xml" in ct and "/xl/worksheets/sheet1.xml" in ct
+        rels = z.read("_rels/.rels").decode()
+        assert "officeDocument" in rels and "xl/workbook.xml" in rels
+    try:
+        import openpyxl
+    except ImportError:
+        return
+    wb = openpyxl.load_workbook(path)
+    assert wb.sheetnames == ["Data", "Other"]
+    got = [[c.value for c in row] for row in wb["Data"].iter_rows()]
+    assert got == [["a", "b"], ["x", 1], ["y", 2.5]]
+
+
+def test_write_xlsx_quote_sheet_name_and_control_chars(tmp_path):
+    """ADVICE r9 (low): a double quote in a sheet name must not
+    produce malformed workbook.xml, and XML-1.0-invalid control
+    characters in cell text must not make the package unparseable
+    (they are stripped — XML cannot carry them even escaped)."""
+    from parquet_pipeline_spark.sources.xlsx import read_xlsx, write_xlsx
+
+    path = str(tmp_path / "dirty.xlsx")
+    write_xlsx(
+        path,
+        {'He said "hi"': (["Txt"], [["a\x00b\x1fc", 1], ["tab\tok\nnl", 2]])},
+    )
+    sheets = read_xlsx(path)
+    assert list(sheets) == ['He said "hi"']
+    (header, rows) = sheets['He said "hi"']
+    assert rows[0][0] == "abc"  # invalid control chars stripped
+    assert rows[1][0] == "tab\tok\nnl"  # tab/newline are XML-legal, kept
+
+
 def test_read_csv_rfc4180_doubled_quotes(spark, tmp_path):
     """RFC 4180 doubled quotes inside quoted fields — what Excel,
     csv.writer, and pandas (the reference's reader) all emit — must
