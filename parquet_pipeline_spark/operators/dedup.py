@@ -186,7 +186,13 @@ def minhash_signature(
     Built as one nested ``transform(sequence(...))`` so the (large)
     grams expression appears exactly once in the plan — an
     ``F.array(*[...])`` of per-seed mins would inline the shingle
-    computation num_hashes times and blow up codegen."""
+    computation num_hashes times and blow up codegen.
+
+    This per-row formulation is the SPEC (and what property tests
+    exercise); ``banded_minhash`` computes the byte-identical
+    signature via explode + codegen'd min-aggregates instead, because
+    Catalyst evaluates HOF lambdas interpreted — 9.5× slower on a
+    full corpus (r10 measurement in banded_minhash's docstring)."""
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     if hash_fn == "md5":
         return F.transform(
@@ -218,11 +224,27 @@ def banded_minhash(
     write it to parquet once per corpus snapshot and later batches
     dedup against it via ``incremental_near_dups`` without ever
     re-reading the old corpus text (index rows are ~20 bytes vs
-    multi-KiB documents). Pure per-row expressions + one explode; no
-    shuffle — partitioning survives from the input scan.
+    multi-KiB documents).
+
+    The signature mins are computed by EXPLODING the shingle array
+    and aggregating ``min(hash(gram, seed))`` per id — num_hashes
+    codegen'd hash aggregates with map-side partial combine — NOT by
+    ``minhash_signature``'s nested higher-order transforms. The two
+    formulations are byte-identical (r10: verified via exceptAll for
+    both hash_fns), but Catalyst evaluates HOF lambdas interpreted,
+    one closure call per (gram × seed): 56 s for 250k docs at sf5 vs
+    5.9 s exploded (9.5×). The price is one small shuffle on
+    ``id_col`` (num_hashes longs per doc ≈ 140 B — partial aggs
+    collapse the exploded grams before the exchange), which the
+    bucket-key shuffle downstream dwarfs at any scale. NULL grams
+    (null/absent text) survive via explode_outer with a null-guarded
+    hash, so degenerate docs keep their all-NULL signature and the
+    md5('')-class band hashes the oracles pin.
 
     Shared by ``lsh_candidate_pairs`` (self-dedup) so the in-snapshot
     and cross-snapshot paths compute byte-identical fingerprints.
+    Assumes one row per ``id_col`` (duplicate ids would merge into
+    one signature) — true for every document-table caller.
     """
     rows_per_band = num_hashes // bands
     if grams_col is None:
@@ -230,7 +252,24 @@ def banded_minhash(
         grams = char_ngrams(text_col, ngram)
     else:
         grams = F.col(grams_col)
-    sig = minhash_signature(grams, num_hashes, hash_fn=hash_fn)
+
+    exploded = df.select(F.col(id_col), F.explode_outer(grams).alias("_g"))
+
+    def seed_hash(i: int) -> Column:
+        if hash_fn == "md5":
+            e = _md5_long(F.concat_ws("_", F.col("_g"), F.lit(str(i))))
+        else:
+            e = F.xxhash64(F.col("_g"), F.lit(i))
+        # guard: a NULL gram (explode_outer of an empty/null shingle
+        # array) must yield a NULL min, matching the HOF formulation
+        # where array_min over a null array is null — xxhash64/md5
+        # of NULL would otherwise manufacture a non-null value
+        return F.when(F.col("_g").isNotNull(), e)
+
+    per_doc = exploded.groupBy(id_col).agg(
+        *[F.min(seed_hash(i)).alias(f"_h{i}") for i in range(num_hashes)]
+    )
+    sig = F.array(*[F.col(f"_h{i}") for i in range(num_hashes)])
 
     def band_hash(b):
         sl = F.slice(F.col("sig"), b * rows_per_band + 1, F.lit(rows_per_band))
@@ -247,7 +286,7 @@ def banded_minhash(
         lambda b: F.struct(b.alias("band_id"), band_hash(b).alias("band_hash")),
     )
     return (
-        df.select(F.col(id_col), sig.alias("sig"))
+        per_doc.select(F.col(id_col), sig.alias("sig"))
         .select(id_col, F.explode(band_structs).alias("band"))
         .select(id_col, "band.band_id", "band.band_hash")
     )
@@ -548,10 +587,18 @@ def connected_components(
 ) -> DataFrame:
     """Min-label propagation over the similarity graph: every node
     starts as its own label; each iteration every node adopts the
-    smallest label among itself and its neighbors; converged when no
-    label changes. Iterations are join+aggregate rounds — the
-    standard large-graph pattern (rounds ≈ graph diameter, which for
-    dedup clusters is tiny). Returns (node, component).
+    smallest label among itself and its neighbors, then POINTER-JUMPS
+    once (component ← label(component) — path compression, the
+    Shiloach-Vishkin shortcut); converged when no label changes.
+    Iterations are join+aggregate rounds; the jump cuts rounds from
+    O(diameter) to ~O(log diameter) — measured at sf5's chain-heavy
+    LSH graph (250k nodes / 2.5M directed edges): 19 → 10 rounds,
+    38.4 → 27.2 s, identical labels (r10). Exactly ONE jump per
+    round: the jump self-joins the not-yet-checkpointed `updated`
+    plan, so chaining a second jump doubles the unmaterialized
+    neighbor-min lineage and costs far more than the rounds it saves
+    (measured: 2 jumps/round never finished the sf5 probe inside
+    10 min). Returns (node, component).
 
     If the label propagation is still changing after
     ``max_iterations`` (a near-dup chain longer than the cap), a
@@ -582,16 +629,29 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
-        # checkpoint BEFORE the convergence count so the count is a
-        # cheap join of two materialized label sets, not a re-derive
+        updated = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jump: component ← label(component). Every component
+        # value is itself a node id present in `updated`, so the left
+        # join's coalesce only fires mid-plan; at the fixed point
+        # label(label(n)) == label(n) and the jump is a no-op — same
+        # fixed point as plain propagation, reached in ~half the rounds.
+        jump = updated.select(
+            F.col("node").alias("_jnode"), F.col("component").alias("_jcomp")
+        )
         updated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            updated.join(jump, updated.component == jump._jnode, "left")
             .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                ).alias("component"),
+                "node", F.coalesce("_jcomp", "component").alias("component")
             )
+            # checkpoint BEFORE the convergence count so the count is a
+            # cheap join of two materialized label sets, not a re-derive
             .localCheckpoint(eager=True)  # truncate lineage per round
         )
         changed = (
