@@ -218,6 +218,120 @@ def i04_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "i06_http_roundtrip",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents WHERE doc_id < 165
+    """,
+)
+def i06_http_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9+A4+A10+A15+A11+A8: documents slice → real .xlsx workbook →
+    served by a loopback HTTP server (stdlib http.server, one-shot
+    thread) → ``read_any("http://...")`` which STREAMS it to a temp
+    file via ``download_to_temp`` (8 KB chunks — the reference's
+    remote-ingest leg, ingestion_pipeline_langgraph.py:138-155) →
+    format dispatch on the URL's extension → workbook parse →
+    dirty-header cleaning → zstd parquet sink → read-back. The hash
+    match certifies the whole remote chain; the failure contracts
+    (redirect/timeout/truncation) are pinned by
+    tests/test_sources.py::TestDownloadContract."""
+    import http.server
+    import threading
+
+    from parquet_pipeline_spark.sources.xlsx import write_xlsx
+
+    rows = _slice_rows(spark, sf_dir, 0, 165)
+    tmp = scratch_dir("i06_http_")
+    path = os.path.join(tmp, "docs remote.xlsx")
+    write_xlsx(path, {"Docs": (_DIRTY_HEADERS, [list(r) for r in rows])})
+
+    class _Quiet(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=tmp, **kw)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Quiet)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/docs%20remote.xlsx"
+        tables = read_any(spark, url)
+        (df,) = tables.values()
+        assert df.columns == _CANONICAL, df.columns
+        dest = os.path.join(tmp, "out.parquet")
+        write_parquet(df, dest)
+        return _finish(spark.read.parquet(dest))
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+@register(
+    "i07_orc_roundtrip",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents WHERE doc_id >= 165 AND doc_id < 330
+    """,
+)
+def i07_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10's ORC leg (+A11/A8): documents slice → ORC file (Spark's
+    native columnar writer — the input a Hive/Trino neighbor would
+    hand us) → ``read_any`` dispatch (extension→spark.read.orc,
+    passthrough like parquet: columnar formats carry their own exact
+    schema, so no header cleaning and no NULL-vs-'' blindness) →
+    zstd parquet sink → read-back. Closes the last official-record
+    gap on the read_any dispatch table alongside i01–i06
+    (VERDICT r9 item 3)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        *_CANONICAL
+    )
+    tmp = scratch_dir("i07_orc_")
+    src = os.path.join(tmp, "docs_roundtrip.orc")
+    docs.filter((F.col("doc_id") >= 165) & (F.col("doc_id") < 330)).coalesce(
+        1
+    ).write.orc(src)
+
+    (df,) = read_any(spark, src).values()
+    assert sorted(df.columns) == sorted(_CANONICAL), df.columns
+
+    dest = os.path.join(tmp, "out.parquet")
+    write_parquet(df, dest)
+    return _finish(spark.read.parquet(dest))
+
+
+@register(
+    "i08_json_multiline_roundtrip",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents WHERE doc_id >= 330 AND doc_id < 495
+    """,
+)
+def i08_json_multiline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7's multiLine leg (+A10/A15/A11): documents slice → ONE
+    pretty-printed JSON ARRAY document (the pd.read_json layout the
+    reference ingests, ingestion_pipeline_langgraph.py:291-339 — not
+    splittable JSONL) → ``read_any`` dispatch, where read_json's
+    JSONL-first attempt yields only _corrupt_record and falls back to
+    multiLine=true → dirty-header cleaning → zstd sink → read-back.
+    JSON distinguishes null from '' so the oracle is a plain SELECT —
+    no NULLIF needed, unlike the CSV legs."""
+    rows = _slice_rows(spark, sf_dir, 330, 495)
+    tmp = scratch_dir("i08_mljson_")
+    path = os.path.join(tmp, "docs_roundtrip.json")
+    with open(path, "w") as fh:
+        _json.dump([dict(zip(_DIRTY_HEADERS, r)) for r in rows], fh, indent=2)
+
+    (df,) = read_any(spark, path).values()
+    assert sorted(df.columns) == sorted(_CANONICAL), df.columns
+
+    dest = os.path.join(tmp, "out.parquet")
+    write_parquet(df, dest)
+    return _finish(spark.read.parquet(dest))
+
+
+@register(
     "i05_upsert_roundtrip",
     oracle="""
     -- the upserted table: updates replace same-key rows, new keys

@@ -69,18 +69,45 @@ def detect_file_format(path: str) -> str:
     return FORMAT_EXTENSIONS.get(ext, "unknown")
 
 
-def download_to_temp(url: str, timeout: int = 300, chunk_size: int = 8192) -> str:
+def download_to_temp(url: str, timeout: float = 300, chunk_size: int = 8192) -> str:
     """Stream a remote file to a local temp path (reference:
     ingestion_pipeline_langgraph.py:138-155). Driver-side by design —
-    ingestion inputs are single files, not datasets."""
+    ingestion inputs are single files, not datasets.
+
+    Contract (pinned by tests/test_sources.py::TestDownloadContract
+    and driver-gated end to end by i06):
+    - redirects are followed (urllib default — the reference's
+      requests.get does the same);
+    - a stalled server raises within ``timeout`` seconds (socket-level
+      timeout on every read, not just connect);
+    - a TRUNCATED body — connection closed before the advertised
+      Content-Length — raises instead of returning a silently short
+      file that would parse as a half-ingested table. http.client
+      raises IncompleteRead for chunked short reads; the explicit
+      byte-count check below covers servers that close cleanly."""
     suffix = os.path.splitext(urlparse(url).path)[1] or ".bin"
     fd, local = tempfile.mkstemp(suffix=suffix)
-    with os.fdopen(fd, "wb") as out, urlopen(url, timeout=timeout) as resp:
-        while True:
-            chunk = resp.read(chunk_size)
-            if not chunk:
-                break
-            out.write(chunk)
+    try:
+        with os.fdopen(fd, "wb") as out, urlopen(url, timeout=timeout) as resp:
+            declared = resp.headers.get("Content-Length")
+            received = 0
+            while True:
+                chunk = resp.read(chunk_size)
+                if not chunk:
+                    break
+                received += len(chunk)
+                out.write(chunk)
+        if declared is not None and received != int(declared):
+            raise IOError(
+                f"truncated download from {url!r}: got {received} bytes, "
+                f"Content-Length declared {declared}"
+            )
+    except BaseException:
+        try:
+            os.unlink(local)
+        except OSError:
+            pass
+        raise
     return local
 
 

@@ -635,3 +635,100 @@ def test_read_csv_multiline_embedded_newlines(spark, tmp_path):
         w.writerows(rows)
     got = sorted(tuple(r) for r in read_csv(spark, path, multiline=True).collect())
     assert got == sorted(tuple(r) for r in rows)
+
+
+class TestDownloadContract:
+    """A9 failure contracts for download_to_temp (VERDICT r9 item 2):
+    redirects followed, stalls time out, truncated bodies raise —
+    never a silently short file handed to a reader."""
+
+    @staticmethod
+    def _serve(handler_cls):
+        import http.server
+        import threading
+
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler_cls)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv, f"http://127.0.0.1:{srv.server_address[1]}"
+
+    def test_redirect_followed(self):
+        import http.server
+
+        from parquet_pipeline_spark.sources.readers import download_to_temp
+
+        body = b"doc_id,text\n1,hello\n"
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                if self.path == "/old.csv":
+                    self.send_response(302)
+                    self.send_header("Location", "/new.csv")
+                    self.end_headers()
+                else:
+                    self.send_response(200)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+
+            def log_message(self, *a):
+                pass
+
+        srv, base = self._serve(H)
+        try:
+            local = download_to_temp(f"{base}/old.csv", timeout=10)
+            with open(local, "rb") as fh:
+                assert fh.read() == body
+            os.unlink(local)
+        finally:
+            srv.shutdown()
+            srv.server_close()
+
+    def test_timeout_on_stalled_server(self):
+        import http.server
+        import time as _time
+        from urllib.error import URLError
+
+        from parquet_pipeline_spark.sources.readers import download_to_temp
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                self.send_response(200)
+                self.send_header("Content-Length", "100")
+                self.end_headers()
+                self.wfile.write(b"ten bytes.")
+                _time.sleep(30)  # stall mid-body, far past the timeout
+
+            def log_message(self, *a):
+                pass
+
+        srv, base = self._serve(H)
+        try:
+            with pytest.raises((TimeoutError, URLError, OSError)):
+                download_to_temp(f"{base}/slow.csv", timeout=1)
+        finally:
+            srv.shutdown()
+            srv.server_close()
+
+    def test_truncated_body_raises(self):
+        import http.server
+
+        from parquet_pipeline_spark.sources.readers import download_to_temp
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                self.send_response(200)
+                self.send_header("Content-Length", "1000")
+                self.end_headers()
+                self.wfile.write(b"short body")
+                self.close_connection = True
+
+            def log_message(self, *a):
+                pass
+
+        srv, base = self._serve(H)
+        try:
+            with pytest.raises((IOError, Exception)):
+                download_to_temp(f"{base}/cut.csv", timeout=10)
+        finally:
+            srv.shutdown()
+            srv.server_close()

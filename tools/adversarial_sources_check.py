@@ -243,6 +243,165 @@ def check_xlsx(spark, rng: random.Random, tmp: str) -> list[str]:
     return errs
 
 
+def check_mljson(spark, rng: random.Random, tmp: str) -> list[str]:
+    """multiLine JSON (one pretty-printed array document — i08's
+    format): heterogeneous keys, int-vs-string type conflict
+    (degrades to raw tokens, same contract as JSONL), unicode; a
+    syntactically broken document lands in corrupt_record
+    (error-as-data), never a crash."""
+    from parquet_pipeline_spark.sources.readers import read_any
+
+    truth = make_truth(rng, 100)
+    path = os.path.join(tmp, "dirty_array.json")
+    objs = []
+    expected = []
+    for r in truth:
+        obj: dict = {"id": int(r[0]), "name": r[1]}
+        amt = r[2]
+        obj["amount"] = int(amt) if "." not in amt else amt
+        if r[3] is not None:
+            obj["note"] = r[3]
+        objs.append(obj)
+        expected.append((amt, int(r[0]), r[1], r[3]))
+    with open(path, "w") as fh:
+        json.dump(objs, fh, indent=2, ensure_ascii=False)
+
+    ((_, df),) = read_any(spark, path).items()
+    errs = []
+    if sorted(df.columns) != ["amount", "id", "name", "note"]:
+        errs.append(f"mljson columns: {sorted(df.columns)}")
+        return errs
+    got = _norm_rows(
+        [(r["amount"], r["id"], r["name"], r["note"]) for r in df.collect()]
+    )
+    want = _norm_rows(expected)
+    if got != want:
+        diff = [(g, w) for g, w in zip(got, want) if g != w][:3]
+        errs.append(f"mljson values: {len(got)} vs {len(want)} rows; first diffs {diff}")
+
+    # a broken document: JSONL attempt fails, multiLine retry parses
+    # what it can into corrupt_record — error-as-data, not a crash
+    broken = os.path.join(tmp, "broken_array.json")
+    with open(broken, "w") as fh:
+        fh.write('[{"id": 1, "name": "a"}, {"id": 2, BROKEN')
+    try:
+        ((_, bdf),) = read_any(spark, broken).items()
+        cols = set(bdf.columns)
+        if "corrupt_record" not in cols:
+            errs.append(f"mljson broken doc: no corrupt_record column ({sorted(cols)})")
+    except Exception as exc:  # pragma: no cover - contract violation path
+        errs.append(f"mljson broken doc crashed: {exc}")
+    return errs
+
+
+def check_orc(spark, rng: random.Random, tmp: str) -> list[str]:
+    """ORC passthrough (i07's format): nulls, unicode, XML/CSV
+    specials, and mixed numerics survive byte-exact (columnar formats
+    carry their own schema — no inference ambiguity to fuzz); a
+    TRUNCATED part file raises loudly, never a silent short table."""
+    from parquet_pipeline_spark.sources.readers import read_any
+
+    truth = make_truth(rng, 100)
+    rows = [
+        (int(r[0]), r[1], float(r[2]), r[3] if r[3] is not None else None)
+        for r in truth
+    ]
+    src = os.path.join(tmp, "dirty.orc")
+    spark.createDataFrame(
+        rows, "id bigint, name string, amount double, note string"
+    ).coalesce(1).write.mode("overwrite").orc(src)
+
+    ((_, df),) = read_any(spark, src).items()
+    errs = []
+    if df.columns != ["id", "name", "amount", "note"]:
+        errs.append(f"orc columns: {df.columns}")
+    got = _norm_rows([tuple(r) for r in df.collect()])
+    want = _norm_rows(rows)
+    if got != want:
+        diff = [(g, w) for g, w in zip(got, want) if g != w][:3]
+        errs.append(f"orc values: {len(got)} vs {len(want)} rows; first diffs {diff}")
+
+    part = next(
+        os.path.join(src, f) for f in os.listdir(src) if f.endswith(".orc")
+    )
+    with open(part, "rb") as fh:
+        blob = fh.read()
+    trunc_dir = os.path.join(tmp, "trunc.orc")
+    os.makedirs(trunc_dir, exist_ok=True)
+    with open(os.path.join(trunc_dir, "part-0.orc"), "wb") as fh:
+        fh.write(blob[: max(20, len(blob) // 3)])
+    try:
+        ((_, tdf),) = read_any(spark, trunc_dir).items()
+        tdf.collect()
+        errs.append("orc truncated file did NOT raise")
+    except Exception:
+        pass
+    return errs
+
+
+def check_http(spark, rng: random.Random, tmp: str) -> list[str]:
+    """A9 over dirty content: the same dirty CSV served via loopback
+    HTTP must land identically to the local read — the download leg
+    adds no lossage — and a mid-body truncation (Content-Length lie)
+    raises instead of handing the reader a short file."""
+    import http.server
+    import threading
+
+    from parquet_pipeline_spark.sources.readers import download_to_temp, read_any
+
+    truth = make_truth(rng, 60)
+    path = os.path.join(tmp, "http_dirty.csv")
+    with open(path, "w", newline="", encoding="utf-8") as fh:
+        w = csv.writer(fh)
+        w.writerow(["Id", "Name", "Amount"])
+        w.writerows([r[:3] for r in truth])
+
+    class _Quiet(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=tmp, **kw)
+
+        def log_message(self, *a):
+            pass
+
+    class _Truncating(_Quiet):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Length", "100000")
+            self.end_headers()
+            self.wfile.write(b"Id,Name\n1,short\n")
+
+    errs = []
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Quiet)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/http_dirty.csv"
+        ((_, remote),) = read_any(spark, url).items()
+        ((_, local),) = read_any(spark, path).items()
+        if remote.columns != local.columns:
+            errs.append(f"http columns: {remote.columns} vs {local.columns}")
+        got = _norm_rows([tuple(r) for r in remote.collect()])
+        want = _norm_rows([tuple(r) for r in local.collect()])
+        if got != want:
+            errs.append(f"http values: {len(got)} vs {len(want)} rows")
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    srv2 = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Truncating)
+    threading.Thread(target=srv2.serve_forever, daemon=True).start()
+    try:
+        download_to_temp(
+            f"http://127.0.0.1:{srv2.server_address[1]}/anything.csv", timeout=10
+        )
+        errs.append("http truncated download did NOT raise")
+    except Exception:
+        pass
+    finally:
+        srv2.shutdown()
+        srv2.server_close()
+    return errs
+
+
 def main() -> int:
     seed = int(sys.argv[1]) if len(sys.argv) > 1 else 7
     rng = random.Random(seed)
@@ -256,7 +415,7 @@ def main() -> int:
         extra_conf={"spark.master": "local[8]"},
     )
     failures = []
-    for check in (check_csv, check_jsonl, check_xlsx):
+    for check in (check_csv, check_jsonl, check_xlsx, check_mljson, check_orc, check_http):
         errs = check(spark, rng, tmp)
         status = "PASS" if not errs else "FAIL"
         print(f"{status}  {check.__name__} (seed {seed})")
