@@ -31,7 +31,7 @@ from parquet_pipeline_spark.context import (
     summarize_result,
     to_markdown,
 )
-from parquet_pipeline_spark.errors import run_sql_safe
+from parquet_pipeline_spark.errors import error_frame, run_sql_safe
 from parquet_pipeline_spark.plans.client import LLMClient
 from parquet_pipeline_spark.plans.planner import (
     choose_strategy,
@@ -166,6 +166,16 @@ def run_query_pipeline(
         df.createOrReplaceTempView(name)
     catalog = _catalog_columns(views)
     res = QueryResult(question=question)
+    if not views:
+        # zero registered tables: error-as-data, not a StopIteration
+        # out of the table-selection loop (found while wiring the r10
+        # planner battery)
+        res.sub_queries = [question]
+        res.results[question] = error_frame(
+            spark, "no logical tables registered — ingest or attach data first"
+        )
+        res.summary = summarize_result(question, res.results[question])
+        return res
     res.sub_queries = decompose_query(question, client)
 
     for sub in res.sub_queries:

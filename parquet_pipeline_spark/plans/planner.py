@@ -40,9 +40,15 @@ def decompose_query(question: str, client: LLMClient | None = None) -> list[str]
     if client is not None:
         try:
             out = json.loads(client.complete(_DECOMPOSE_SYSTEM, question, json_mode=True))
-            qs = [q.strip() for q in out["queries"] if q and q.strip()]
-            if qs:
-                return qs
+            raw = out["queries"]
+            # type-validate, don't just duck-type: a bare STRING here
+            # iterates per character and would "succeed" as a list of
+            # one-letter sub-queries (found by the planner battery,
+            # tools/adversarial_planner_check.py)
+            if isinstance(raw, list) and all(isinstance(q, str) for q in raw):
+                qs = [q.strip() for q in raw if q and q.strip()]
+                if qs:
+                    return qs
         except Exception:
             pass
     # deterministic fallback: split only on explicit multi-question
@@ -76,8 +82,27 @@ def identify_tables(
                 client.complete(_SELECT_SYSTEM, f"Catalog:\n{ctx}\n\nQuestion: {question}",
                                 json_mode=True)
             )
-            tables = out.get("tables_required") or ["*"]
-            return tables, out.get("join_key")
+            raw = out.get("tables_required")
+            # validate shape AND content against the catalog: a bare
+            # string iterates per character; hallucinated table names
+            # would make the engine fall back to all views while
+            # REPORTING a selective plan; a non-string / non-shared
+            # join_key flows into df.join(...) and raises mid-pipeline
+            # (all three found by tools/adversarial_planner_check.py)
+            if isinstance(raw, list) and all(isinstance(t, str) for t in raw):
+                if raw == ["*"]:
+                    return ["*"], None
+                tables = [t for t in raw if t in catalog]
+                if tables:
+                    jk = out.get("join_key")
+                    if len(tables) < 2:
+                        jk = None
+                    elif not (
+                        isinstance(jk, str)
+                        and all(jk in catalog.get(t, []) for t in tables)
+                    ):
+                        jk = infer_join_key(tables, catalog)
+                    return tables, jk
         except Exception:
             pass
     # deterministic fallback: token-match table names and column names
@@ -194,9 +219,9 @@ def generate_sql(
                 f"Question: {question}"
             )
             out = json.loads(client.complete(_SQL_SYSTEM, user, json_mode=True))
-            sql = out.get("sql_query", "").strip()
-            if sql:
-                return sql
+            sql = out.get("sql_query", "")
+            if isinstance(sql, str) and sql.strip():
+                return sql.strip()
         except Exception:
             pass
     return _fallback_sql(question, tables)

@@ -231,3 +231,82 @@ def test_semantic_search_diversify_uses_mmr(spark):
     plain_tables = {r["source_table"] for r in plain.collect()}
     diverse_tables = {r["source_table"] for r in diverse.collect()}
     assert len(diverse_tables) > len(plain_tables), (plain_tables, diverse_tables)
+
+
+# --- r10: planner-contract gaps found by the eighth battery ---------------
+# (tools/adversarial_planner_check.py) — each was a real hole before
+# the r10 validation hardening.
+
+
+def test_decompose_rejects_bare_string_payload():
+    """{"queries": "one string"} iterated PER CHARACTER before r10 —
+    a bare string is a list of 1-char strings to duck typing."""
+    from parquet_pipeline_spark.plans.planner import decompose_query
+
+    got = decompose_query(
+        "total by region?", FakeClient(['{"queries": "total by region?"}'])
+    )
+    assert got == ["total by region?"]  # fallback, not 16 one-char queries
+
+
+def test_identify_tables_validates_against_catalog():
+    """Hallucinated tables are dropped; a join_key that is not a
+    string column shared by every selected table is re-inferred
+    (a dict join_key previously flowed into df.join() and raised
+    mid-pipeline)."""
+    from parquet_pipeline_spark.plans.planner import identify_tables
+
+    catalog = {"orders": ["id", "amount"], "customers": ["id", "name"]}
+    tables, jk = identify_tables(
+        "q",
+        catalog,
+        FakeClient(
+            [
+                {
+                    "tables_required": ["orders", "customers", "ghost_table"],
+                    "join_key": {"not": "a string"},
+                }
+            ]
+        ),
+    )
+    assert tables == ["orders", "customers"]
+    assert jk == "id"  # re-inferred shared column
+
+
+def test_identify_tables_bare_string_falls_back():
+    from parquet_pipeline_spark.plans.planner import identify_tables
+
+    catalog = {"orders": ["id", "amount"]}
+    got = identify_tables("orders amount", catalog,
+                          FakeClient(['{"tables_required": "orders"}']))
+    want = identify_tables("orders amount", catalog, None)
+    assert got == want
+
+
+def test_run_sql_safe_refuses_ddl_dml(spark):
+    """Generated SQL is untrusted model output: DDL/DML returns an
+    error frame and the view survives; comment prefixes can't smuggle
+    a DROP past the check."""
+    from parquet_pipeline_spark.errors import is_error_frame, run_sql_safe
+
+    spark.createDataFrame([(1,)], "x long").createOrReplaceTempView("nl_guard")
+    for stmt in (
+        "DROP VIEW nl_guard",
+        "/* hi */ DROP VIEW nl_guard",
+        "INSERT INTO nl_guard VALUES (2)",
+        "CREATE TABLE boom AS SELECT 1",
+    ):
+        assert is_error_frame(run_sql_safe(spark, stmt)), stmt
+    assert spark.table("nl_guard").count() == 1
+    assert not is_error_frame(run_sql_safe(spark, "-- c\nSELECT * FROM nl_guard"))
+
+
+def test_generate_sql_rejects_non_string_sql():
+    from parquet_pipeline_spark.plans.planner import generate_sql
+
+    sql = generate_sql(
+        "count orders",
+        {"orders": ["id"]},
+        FakeClient(['{"sql_query": 123}']),
+    )
+    assert sql == "SELECT COUNT(*) AS n FROM orders"  # deterministic fallback
