@@ -1,0 +1,75 @@
+"""Secondary timed suite: put a cost on record for registry queries
+that postdate the headline bench composition (VERDICT r9 item 7 —
+i01–i05/a11/a12 had no timed record; r10 adds i06–i08).
+
+The headline suite (bench.py) is a PINNED composition — adding
+queries there would break calibration against the historical pins —
+so late registrations get their timings here instead, recorded in
+BENCH_NOTES.md per round. Each query is built fresh and timed over
+``reps`` runs (median); the action is the driver's own shape
+(count()).
+
+Usage:
+    python tools/registry_timed.py [sf_dir] [name ...]
+    # defaults: $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1,
+    #           the i01–i08 + a11/a12 set
+
+Prints one JSON line: {"sf_dir": ..., "reps": N, "timings": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_NAMES = [
+    "i01_xlsx_roundtrip",
+    "i02_csv_roundtrip",
+    "i03_jsonl_roundtrip",
+    "i04_tsv_roundtrip",
+    "i05_upsert_roundtrip",
+    "i06_http_roundtrip",
+    "i07_orc_roundtrip",
+    "i08_json_multiline_roundtrip",
+    "a11_hll_accuracy",
+    "a12_tdigest_accuracy",
+]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    names = sys.argv[2:] or DEFAULT_NAMES
+    reps = int(os.environ.get("REGISTRY_TIMED_REPS", "2"))
+
+    from parquet_pipeline_spark import registry
+    from parquet_pipeline_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark(
+        "registry-timed",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = registry.QUERIES[name]
+        runs = []
+        for _ in range(reps):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            runs.append(time.time() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+    print(json.dumps({"sf_dir": sf_dir, "reps": reps, "timings": timings}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
