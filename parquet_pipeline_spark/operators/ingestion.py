@@ -13,8 +13,10 @@ reader → column cleaning → zstd parquet sink → parquet read-back,
 and return the round-tripped rows; the oracle is a plain SELECT of
 the same slice straight from the canonical table. A value-hash match
 therefore certifies the whole chain: format dispatch (A10), the
-format reader (A4/A5/A7), name normalization (A15), the zstd sink +
-append (A11/A12), and the parquet passthrough (A8).
+format reader (A4/A5/A6/A7 and, since r10, the A9 HTTP download
+leg, the ORC passthrough, and the multiLine JSON fallback — i06/
+i07/i08), name normalization (A15), the zstd sink + append
+(A11/A12), and the parquet passthrough (A8).
 
 Headers are written DIRTY on purpose (`` Doc ID ``, ``Text.``,
 ``N  Chars``) so A15 does real work — they must clean to exactly the
