@@ -209,6 +209,54 @@ def random_query(rng: random.Random) -> tuple[str, list[str]]:
             f"FROM lineitem WHERE {pred} GROUP BY ROLLUP ({', '.join(cols)})"
         )
         return sql, cols
+    if rng.random() < 0.15:
+        # three-way join variant (r10): lineitem⋈orders⋈customer with
+        # predicates on all three levels — the star-shape the q08
+        # family plans; COUNT keyed by a customer-side group
+        c_pred = rng.choice(
+            [
+                f"c_acctbal > {rng.randint(-500, 5000)}",
+                f"c_nationkey < {rng.randint(5, 25)}",
+            ]
+        )
+        grp = rng.choice(["c_nationkey % 5", "o_orderstatus"])
+        sql = (
+            f"SELECT CAST({grp} AS STRING) AS grp, "
+            f"CAST(COUNT(*) AS BIGINT) AS agg_val, "
+            f"ROUND(SUM(l_extendedprice), 2) AS rev "
+            f"FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            f"JOIN customer ON o_custkey = c_custkey "
+            f"WHERE ({pred}) AND {c_pred} GROUP BY 1"
+        )
+        return sql, ["grp"]
+    if rng.random() < 0.15:
+        # HAVING variant (r10): post-aggregate filter on a different
+        # aggregate than the projected one — both engines must agree
+        # on which groups survive; threshold on an exact COUNT so a
+        # float boundary can't flip membership
+        grp = rng.choice(["l_returnflag", "l_linestatus", "l_suppkey % 7"])
+        n = rng.randint(2, 400)
+        sql = (
+            f"SELECT CAST({grp} AS STRING) AS grp, "
+            f"ROUND(AVG(l_quantity), 6) AS agg_val "
+            f"FROM lineitem WHERE {pred} GROUP BY 1 "
+            f"HAVING COUNT(*) >= {n}"
+        )
+        return sql, ["grp"]
+    if rng.random() < 0.15:
+        # distinct-aggregate + CASE variant (r10): COUNT(DISTINCT)
+        # exact in both engines; the CASE-filtered SUM is the
+        # conditional-aggregation idiom (exact: integer quantities)
+        grp = rng.choice(["l_returnflag", "l_linestatus"])
+        flag = rng.choice(["A", "N", "R"])
+        sql = (
+            f"SELECT {grp} AS grp, "
+            f"CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS agg_val, "
+            f"CAST(SUM(CASE WHEN l_returnflag = '{flag}' "
+            f"THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS cond_sum "
+            f"FROM lineitem WHERE {pred} GROUP BY 1"
+        )
+        return sql, ["grp"]
     groups = rng.choice(GROUP_CHOICES)
     sel = (", ".join(groups) + ", " if groups else "") + f"{agg} AS agg_val"
     sql = f"SELECT {sel} FROM lineitem WHERE {pred}"
@@ -281,7 +329,7 @@ def run(n: int = 50, seed: int = 7, quiet: bool = False) -> int:
     spark = get_spark("fuzz")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
-    for t in ("lineitem", "orders"):
+    for t in ("lineitem", "orders", "customer"):
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").createOrReplaceTempView(t)
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
