@@ -509,6 +509,61 @@ def simhash(text_col: str, bits: int = 32) -> Column:
     )
 
 
+def simhash_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    out_col: str = "simhash32",
+) -> DataFrame:
+    """``simhash`` as a table transform: explode the tokens and
+    compute the per-bit majorities as ``bits`` codegen'd integer SUM
+    aggregates instead of the Column form's per-bit interpreted
+    ``filter`` passes (32 HOF scans per document). Byte-identical to
+    ``simhash(text_col, bits)`` — bit counts are integer and
+    order-insensitive, the same argument as banded_minhash's r10
+    rewrite — including the degenerate rows: empty text (zero
+    tokens, ``_n = 0``) sets every bit (0 ≥ 0 majority), NULL text
+    (``_n`` NULL) yields fingerprint 0. Verified by exceptAll in
+    tests/test_dedup.py. Measured 45 → ~6 s for the full sf5 corpus.
+
+    The price is one num-bits-longs-per-doc shuffle on ``id_col``
+    (map-side partial combine collapses the exploded tokens first);
+    the Column form remains the spec and the right shape for
+    row-local uses."""
+    from parquet_pipeline_spark.functions import word_tokens
+
+    assert bits <= 32, "simhash bit source is 32 bits (md5 first 8 hex chars)"
+    pre = df.select(F.col(id_col), word_tokens(text_col).alias("_t"))
+    exploded = pre.select(
+        id_col, F.size("_t").alias("_n"), F.explode_outer("_t").alias("_tok")
+    ).select(
+        id_col,
+        "_n",
+        F.when(
+            F.col("_tok").isNotNull(),
+            F.conv(F.substring(F.md5("_tok"), 1, 8), 16, 10).cast("long"),
+        ).alias("_h"),
+    )
+    per_doc = exploded.groupBy(id_col, "_n").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(0)
+            ).alias(f"_c{j}")
+            for j in range(bits)
+        ]
+    )
+    fp = None
+    for j in range(bits):
+        term = (
+            F.when(F.col(f"_c{j}") * 2 >= F.col("_n"), F.lit(1 << j).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        fp = term if fp is None else fp + term
+    return per_doc.select(F.col(id_col), fp.alias(out_col))
+
+
 @register(
     "d04_simhash",
     oracle="""
@@ -533,7 +588,7 @@ def simhash(text_col: str, bits: int = 32) -> Column:
 )
 def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
-    return docs.select("doc_id", simhash("text", bits=32).alias("simhash32"))
+    return simhash_table(docs, "doc_id", "text", bits=32, out_col="simhash32")
 
 
 # ---------------------------------------------------------------------------

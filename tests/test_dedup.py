@@ -507,3 +507,26 @@ def test_semdedup_hierarchical_recall_floor_across_cells(spark):
         }
         recall = len(got & set(planted)) / len(planted)
         assert recall >= 0.9, (cells, recall)
+
+
+def test_simhash_table_matches_column_form(spark):
+    """r10: simhash_table (explode + codegen integer-majority
+    aggregates) is byte-identical to the Column-form spec, including
+    the degenerate rows — NULL text → 0, zero tokens → all bits set
+    (0 ≥ 0 majority). Integer bit counts are order-insensitive, so
+    the aggregate restructure cannot flip a bit (unlike float folds)."""
+    from parquet_pipeline_spark.operators.dedup import simhash, simhash_table
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "   "),
+        (4, "one"),
+        (5, "a b a b b"),
+        (6, "the quick brown fox jumps over the lazy dog"),
+        (7, "ünïcode tökens\tand\nnewlines everywhere"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    old = df.select("doc_id", simhash("text", 32).alias("s"))
+    new = simhash_table(df, "doc_id", "text", 32, out_col="s")
+    assert old.exceptAll(new).count() == 0 and new.exceptAll(old).count() == 0

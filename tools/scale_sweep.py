@@ -30,7 +30,10 @@ from pyspark.sql import functions as F
 
 
 def probes(spark, sf_dir):
-    from parquet_pipeline_spark.operators.dedup import minhash_near_dups, simhash
+    from parquet_pipeline_spark.operators.dedup import (
+        minhash_near_dups,
+        simhash_table,
+    )
     from parquet_pipeline_spark.operators.embedding import embed_text, hash_embedder
     from parquet_pipeline_spark.operators.text import contamination_hits, greedy_chunk
     from parquet_pipeline_spark.operators.vectors import ann_knn_join
@@ -44,7 +47,10 @@ def probes(spark, sf_dir):
         )
 
     def d04_full():
-        return docs.select(simhash("text").alias("s")).agg(
+        # the table path (r10: explode + codegen integer-majority
+        # aggregates) — what a full-corpus fingerprint run uses;
+        # byte-identical to the Column form (test_dedup pin)
+        return simhash_table(docs, "doc_id", "text", out_col="s").agg(
             F.countDistinct("s"), F.sum("s")
         )
 
@@ -123,6 +129,13 @@ def main() -> None:
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
             out[name] = round(best, 3)
+            # isolate probes from each other: d03's minhash_near_dups
+            # persists its grams projection (by design — shared across
+            # its own stages) and never unpersists; at sf5 that cached
+            # projection pressured every LATER probe in the session
+            # (r10: t12_full read 53 s in-sweep vs 17.3 s solo with the
+            # identical broadcast plan). Each probe starts cache-clean.
+            spark.catalog.clearCache()
         print(json.dumps({"sf_dir": sf_dir, "probes": out}), flush=True)
 
 
