@@ -32,7 +32,8 @@ _NS = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
 
 # Code points XML 1.0 cannot carry even as entity references; any of
 # these in emitted text would make the whole part unparseable.
-_XML_INVALID_RE = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+# (C0 controls minus tab/newline/CR, plus the BMP noncharacters.)
+_XML_INVALID_RE = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f￾￿]")
 
 
 def _col_index(cell_ref: str) -> int:

@@ -295,6 +295,10 @@ def test_run_sql_safe_refuses_ddl_dml(spark):
         "/* hi */ DROP VIEW nl_guard",
         "INSERT INTO nl_guard VALUES (2)",
         "CREATE TABLE boom AS SELECT 1",
+        # multi-statement smuggle: passes the SELECT head check, but
+        # spark.sql's single-statement parser rejects it -> error
+        # frame, view intact (verified r10)
+        "SELECT 1; DROP VIEW nl_guard",
     ):
         assert is_error_frame(run_sql_safe(spark, stmt)), stmt
     assert spark.table("nl_guard").count() == 1
