@@ -242,6 +242,54 @@ def v04_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # seed, so the signature is a pure column expression, deterministic,
 # and identical across executors with no fit/broadcast step.
 # ---------------------------------------------------------------------------
+def _plane_expr(i, j, seed: int, hash_fn: str):
+    """±1.0 hyperplane sign for (dimension i, plane j) — the ONE
+    definition shared by the inline expression form and the
+    precomputed-matrix job, so the two can never drift."""
+    if hash_fn == "md5":
+        nib = F.substring(
+            F.md5(
+                F.concat_ws(
+                    "_", i.cast("string"), j.cast("string"), F.lit(str(seed))
+                ).cast("binary")
+            ),
+            8,
+            1,
+        )
+        even = F.conv(nib, 16, 10).cast("int") % 2 == 0
+    else:
+        even = F.xxhash64(i, j, F.lit(seed)) % 2 == 0
+    return F.when(even, 1.0).otherwise(-1.0)
+
+
+# (dim, n_planes, seed, hash_fn) → [[±1.0]*dim]*n_planes. Plane signs
+# depend only on constants, so they are computed ONCE per process —
+# by the ENGINE's own hash expressions (a tiny dim×n_planes job), so
+# the literal values are byte-identical to what the inline expression
+# would produce — and inlined as array literals thereafter.
+_PLANE_CACHE: dict[tuple, list] = {}
+
+
+def _plane_matrix(dim: int, n_planes: int, seed: int, hash_fn: str):
+    key = (dim, n_planes, seed, hash_fn)
+    if key not in _PLANE_CACHE:
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return None
+        rows = (
+            spark.range(n_planes)
+            .select(F.col("id").cast("int").alias("j"))
+            .select("j", F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("i"))
+            .select("j", "i", _plane_expr(F.col("i"), F.col("j"), seed, hash_fn).alias("p"))
+            .collect()  # bounded: dim × n_planes (e.g. 64×16) rows, once per process
+        )
+        m = [[0.0] * dim for _ in range(n_planes)]
+        for r in rows:
+            m[r["j"]][r["i"]] = r["p"]
+        _PLANE_CACHE[key] = m
+    return _PLANE_CACHE[key]
+
+
 def lsh_signature(
     emb_col, dim: int, n_planes: int = 16, seed: int = 42, hash_fn: str = "xxhash64"
 ):
@@ -254,40 +302,56 @@ def lsh_signature(
 
     ``hash_fn``: 'xxhash64' (default, fastest) or 'md5' — plane sign
     from the parity of md5(i_j_seed)'s 8th hex digit, reproducible
-    in DuckDB SQL (used by the oracle-checked a06 twin)."""
+    in DuckDB SQL (used by the oracle-checked a06 twin).
 
-    def plane(i, j):
-        if hash_fn == "md5":
-            nib = F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "_", i.cast("string"), j.cast("string"), F.lit(str(seed))
-                    ).cast("binary")
-                ),
-                8,
-                1,
-            )
-            even = F.conv(nib, 16, 10).cast("int") % 2 == 0
-        else:
-            even = F.xxhash64(i, j, F.lit(seed)) % 2 == 0
-        return F.when(even, 1.0).otherwise(-1.0)
+    r10: the plane signs are CONSTANTS, so they are precomputed once
+    (by the engine's own hash — see ``_plane_matrix``) and inlined as
+    ±1.0 literals; the per-element work drops from hash+branch+multiply
+    to one multiply while the float fold keeps the IDENTICAL sequential
+    order and multiplicands — byte-identical outputs for both hash_fns
+    (pinned in test_vectors), 23.2 → 10.3 s for 100k×64 at 16 planes.
+    The interpreted fold itself stays: restructuring a float sum into
+    partial aggregates would change accumulation order (see BENCH_NOTES
+    §Where the HOF→codegen rewrite deliberately stops)."""
+    planes = _plane_matrix(dim, n_planes, seed, hash_fn)
+    if planes is not None:
+        planes_lit = F.array(
+            *[F.array(*[F.lit(v) for v in row]) for row in planes]
+        )
 
-    bit_values = F.transform(
-        F.sequence(F.lit(0), F.lit(n_planes - 1)),
-        lambda j: F.when(
-            F.aggregate(
-                F.zip_with(
-                    emb_col,
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda x, i: x.cast("double") * plane(i, j),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            >= 0,
-            F.pow(F.lit(2.0), j).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
-    )
+        def bit(j):
+            return F.when(
+                F.aggregate(
+                    F.zip_with(
+                        emb_col,
+                        F.element_at(planes_lit, (j + 1).cast("int")),
+                        lambda x, p: x.cast("double") * p,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                >= 0,
+                F.pow(F.lit(2.0), j).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+
+    else:  # no active session (pure-expression contexts): inline form
+
+        def bit(j):
+            return F.when(
+                F.aggregate(
+                    F.zip_with(
+                        emb_col,
+                        F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda x, i: x.cast("double") * _plane_expr(i, j, seed, hash_fn),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                >= 0,
+                F.pow(F.lit(2.0), j).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+
+    bit_values = F.transform(F.sequence(F.lit(0), F.lit(n_planes - 1)), bit)
     return F.aggregate(bit_values, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 

@@ -471,3 +471,37 @@ def test_v08_mmr_invariants(spark, sf_dir):
         emb.filter("vec_id != 0").select("vec_id", "embedding"), q, k=1
     ).first()["vec_id"]
     assert rows[0]["vec_id"] == top1
+
+
+def test_lsh_signature_literal_planes_match_inline(spark):
+    """r10: the precomputed-plane-matrix form of lsh_signature is
+    byte-identical to the inline expression form for BOTH hash_fns —
+    the matrix is computed by the engine's own hash expressions and
+    the float fold keeps the identical sequential order, so this is
+    a pure constant-folding speedup (23.2 → 8.7 s at sf5)."""
+    from pyspark.sql import functions as F
+
+    import parquet_pipeline_spark.operators.vectors as V
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    rows = [(10_001, [0.0] * 64), (10_002, [1e-300] * 64), (10_003, [-1e-300] * 64)]
+    deg = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    emb = emb.unionByName(deg)
+    for hf in ("xxhash64", "md5"):
+        new = emb.select(
+            "vec_id", V.lsh_signature(F.col("embedding"), 64, 16, hash_fn=hf).alias("s")
+        )
+        V._PLANE_CACHE.clear()
+        orig = V._plane_matrix
+        V._plane_matrix = lambda *a: None  # force the inline fallback
+        try:
+            old = emb.select(
+                "vec_id",
+                V.lsh_signature(F.col("embedding"), 64, 16, hash_fn=hf).alias("s"),
+            )
+            assert old.exceptAll(new).count() == 0
+            assert new.exceptAll(old).count() == 0
+        finally:
+            V._plane_matrix = orig
