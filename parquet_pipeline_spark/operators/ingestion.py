@@ -334,6 +334,94 @@ def i08_json_multiline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "i09_schema_evolution_roundtrip",
+    oracle="""
+    -- the evolved-lineage read: files written before the columns
+    -- existed surface them as NULL (replayed relationally)
+    SELECT doc_id, text, lang,
+           CAST(NULL AS VARCHAR) AS source,
+           CAST(NULL AS BIGINT)  AS n_chars
+    FROM documents WHERE doc_id < 100
+    UNION ALL
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents WHERE doc_id >= 100 AND doc_id < 200
+    """,
+)
+def i09_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read driver-gated: a long-lived 100 TB table
+    gains columns over time, and the read side must surface
+    pre-evolution files with NULLs instead of failing or silently
+    dropping them. Write the doc_id<100 slice WITHOUT
+    (source, n_chars) — the 'old era' files — and the 100–199 slice
+    with the full schema, then read the whole lineage back through
+    ``read_parquet_evolved`` (mergeSchema). The oracle replays the
+    NULL-extension relationally, so the hash pins the merged-schema
+    union semantics (reference analog: none — its DuckDB COPY
+    rewrites whole tables; this is the Spark-lake capability a
+    reference user gains)."""
+    from parquet_pipeline_spark.sources.readers import read_parquet_evolved
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        *_CANONICAL
+    )
+    tmp = scratch_dir("i09_evolve_")
+    old_dir = os.path.join(tmp, "era1.parquet")
+    new_dir = os.path.join(tmp, "era2.parquet")
+    docs.filter(F.col("doc_id") < 100).select("doc_id", "text", "lang").write.parquet(
+        old_dir
+    )
+    docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200)).write.parquet(
+        new_dir
+    )
+    df = read_parquet_evolved(spark, [old_dir, new_dir])
+    return _finish(df)
+
+
+@register(
+    "i10_resilient_read",
+    oracle="""
+    -- only the intact file's rows survive a corrupt member
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def i10_resilient_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-member tolerance driver-gated: a 100 TB lake WILL hold
+    a truncated upload or a partial write from a dead executor, and
+    the resilient entry point must return every intact file's rows
+    instead of failing the whole scan. Write the doc_id<100 slice as
+    one parquet file and a second file beside it, truncate the second
+    to a third of its bytes (footer gone), then read the directory
+    through ``read_parquet_resilient`` with the table's known schema
+    (skipping footer-based inference, which would die on the corrupt
+    member). The oracle is the intact slice — a hash match pins both
+    the tolerance AND that no intact row was dropped. The default
+    strict reader raising on the same directory is pinned in
+    test_sources."""
+    from parquet_pipeline_spark.sources.readers import read_parquet_resilient
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        *_CANONICAL
+    )
+    tmp = scratch_dir("i10_resilient_")
+    dest = os.path.join(tmp, "lake.parquet")
+    docs.filter(F.col("doc_id") < 100).coalesce(1).write.parquet(dest)
+    # the doomed member: written valid, then truncated mid-pages
+    doomed = os.path.join(tmp, "doomed.parquet")
+    docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200)).coalesce(
+        1
+    ).write.parquet(doomed)
+    (doomed_part,) = [f for f in os.listdir(doomed) if f.endswith(".parquet")]
+    with open(os.path.join(doomed, doomed_part), "rb") as fh:
+        blob = fh.read()
+    with open(os.path.join(dest, "part-corrupt.parquet"), "wb") as fh:
+        fh.write(blob[: max(64, len(blob) // 3)])
+
+    df = read_parquet_resilient(spark, dest, schema=docs.schema)
+    return _finish(df)
+
+
+@register(
     "i05_upsert_roundtrip",
     oracle="""
     -- the upserted table: updates replace same-key rows, new keys

@@ -732,3 +732,24 @@ class TestDownloadContract:
         finally:
             srv.shutdown()
             srv.server_close()
+
+
+def test_strict_reader_raises_on_corrupt_member(spark, sf_dir, tmp_path):
+    """The i10 contract's other half: the DEFAULT reader fails loudly
+    on a directory holding a truncated member — resilience is an
+    explicit opt-in (read_parquet_resilient), never silent."""
+    from parquet_pipeline_spark.sources.readers import read_parquet_resilient
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    dest = str(tmp_path / "lake.parquet")
+    docs.filter("doc_id < 50").coalesce(1).write.parquet(dest)
+    part = next(f for f in os.listdir(dest) if f.endswith(".parquet"))
+    with open(os.path.join(dest, part), "rb") as fh:
+        blob = fh.read()
+    with open(os.path.join(dest, "part-corrupt.parquet"), "wb") as fh:
+        fh.write(blob[: len(blob) // 3])
+
+    with pytest.raises(Exception):
+        spark.read.parquet(dest).count()  # strict default: loud failure
+    got = read_parquet_resilient(spark, dest, schema=docs.schema).count()
+    assert got == 50
