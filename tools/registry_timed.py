@@ -36,6 +36,8 @@ DEFAULT_NAMES = [
     "i06_http_roundtrip",
     "i07_orc_roundtrip",
     "i08_json_multiline_roundtrip",
+    "i09_schema_evolution_roundtrip",
+    "i10_resilient_read",
     "a11_hll_accuracy",
     "a12_tdigest_accuracy",
 ]
