@@ -33,6 +33,51 @@ def is_error_frame(df: DataFrame) -> bool:
 _READ_ONLY_HEAD = re.compile(r"^\s*(SELECT|WITH|VALUES|TABLE|EXPLAIN|DESC|DESCRIBE|SHOW)\b", re.I)
 _LEADING_COMMENTS = re.compile(r"^(\s*(--[^\n]*\n|/\*.*?\*/))*", re.S)
 
+# The head check alone is bypassable: Spark's grammar allows
+# CTE-prefixed DML (ctes? dmlStatementNoWith), so
+# `WITH s AS (SELECT 42) INSERT OVERWRITE DIRECTORY '/x' ...` starts
+# with WITH yet mutates (ADVICE r10, verified on PySpark 4.1.2). So
+# after the head check we lex away everything a keyword can legally
+# hide inside — strings, quoted identifiers, comments — in ONE
+# left-to-right pass (alternation order makes `'/*'` a string, not a
+# comment-opener), then refuse if any mutation/state keyword survives
+# as a bare token. Conservative by design: a pure query that names an
+# unquoted column `update` is refused (error-as-data; backtick-quote
+# it), but no statement the parser would treat as DML/DDL can pass,
+# because for the parser to execute a mutation its keyword must be a
+# real token — i.e. outside the very regions we strip. (Nested
+# bracketed comments strip partially, which can only EXPOSE text and
+# over-refuse, never hide a token.)
+_SQL_LITERALS_AND_COMMENTS = re.compile(
+    r"""--[^\n]*                 # line comment
+      | /\*.*?\*/                # bracketed comment (non-nested)
+      | '(?:[^'\\]|\\.|'')*'     # string, backslash + '' escapes
+      | "(?:[^"\\]|\\.|"")*"     # double-quoted string/identifier
+      | `(?:[^`]|``)*`           # backtick identifier
+    """,
+    re.X | re.S,
+)
+_MUTATION_TOKEN = re.compile(
+    r"\b(INSERT|UPDATE|DELETE|MERGE|DROP|CREATE|ALTER|TRUNCATE|GRANT"
+    r"|REVOKE|LOAD|ANALYZE|MSCK|REFRESH|CACHE|UNCACHE|SET|RESET|CALL"
+    r"|USE|DECLARE|EXECUTE|COMMIT|ROLLBACK|BEGIN)\b",
+    re.I,
+)
+
+
+def _classify_not_read_only(sql: str) -> str | None:
+    """Return a refusal reason if ``sql`` is not a pure query, else
+    None. Two layers: the statement must START like a query, and no
+    mutation keyword may appear as a bare token anywhere in it."""
+    head = _LEADING_COMMENTS.sub("", sql or "")
+    if not _READ_ONLY_HEAD.match(head):
+        return "statement head is not a query form"
+    bare = _SQL_LITERALS_AND_COMMENTS.sub(" ", sql or "")
+    m = _MUTATION_TOKEN.search(bare)
+    if m:
+        return f"contains mutation keyword {m.group(1).upper()}"
+    return None
+
 
 def run_sql_safe(spark: SparkSession, sql: str) -> DataFrame:
     """The engine's ``execute_duckdb_query`` analog (reference:
@@ -40,12 +85,12 @@ def run_sql_safe(spark: SparkSession, sql: str) -> DataFrame:
     on failure return an error frame instead of raising. Refuses
     non-read-only statements (DDL/DML) the same way — generated SQL
     is untrusted input, and error-as-data beats a mutated catalog."""
-    head = _LEADING_COMMENTS.sub("", sql or "")
-    if not _READ_ONLY_HEAD.match(head):
+    reason = _classify_not_read_only(sql)
+    if reason is not None:
         return error_frame(
             spark,
             "refused to execute non-read-only statement (generated SQL may "
-            f"only SELECT): {sql[:120]!r}",
+            f"only SELECT; {reason}): {sql[:120]!r}",
         )
     try:
         return spark.sql(sql)

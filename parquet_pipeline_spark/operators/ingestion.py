@@ -68,6 +68,23 @@ def _slice_rows(spark: SparkSession, sf_dir: str, lo: int, hi: int) -> list[tupl
     ]
 
 
+def _empty_text_to_null(df: DataFrame) -> DataFrame:
+    """Canonicalize ''→NULL in the string columns of a WORKBOOK
+    round-trip. A cell's emptiness is representation-dependent across
+    xlsx engines — openpyxl/pandas reads an empty-string cell as NaN
+    while the stdlib zip+XML parser preserves '' — so the xlsx-leg
+    contract pins one answer (NULL, matching the CSV legs' data
+    model) instead of inheriting whichever engine the environment has
+    (ADVICE r10: i06's plain oracle silently depended on its slice
+    containing no empty strings)."""
+    return df.select(
+        *[
+            F.nullif(F.col(c), F.lit("")).alias(c) if t == "string" else F.col(c)
+            for c, t in df.dtypes
+        ]
+    )
+
+
 def _finish(df: DataFrame) -> DataFrame:
     """Normalize round-tripped types to the canonical schema (CSV and
     xlsx inference may land on int32/double where parquet had int64)."""
@@ -83,7 +100,16 @@ def _finish(df: DataFrame) -> DataFrame:
 @register(
     "i01_xlsx_roundtrip",
     oracle="""
-    SELECT doc_id, text, lang, source, n_chars
+    SELECT doc_id,
+           -- workbook legs canonicalize ''→NULL (see
+           -- _empty_text_to_null): openpyxl reads empty-string cells
+           -- as NaN, the stdlib parser preserves '' — the contract
+           -- pins NULL so the result can't depend on which engine
+           -- the environment has (ADVICE r10)
+           NULLIF(text, '') AS text,
+           NULLIF(lang, '') AS lang,
+           NULLIF(source, '') AS source,
+           n_chars
     FROM documents WHERE doc_id < 165
     """,
 )
@@ -104,6 +130,7 @@ def i01_xlsx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables = read_excel_sheets(spark, path)  # {base_sheet: df}, cleaned
     (df,) = tables.values()
     assert df.columns == _CANONICAL, df.columns
+    df = _empty_text_to_null(df)
 
     dest = os.path.join(tmp, "out.parquet")
     write_parquet(df, dest)  # zstd, the A11 sink
@@ -222,7 +249,13 @@ def i04_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "i06_http_roundtrip",
     oracle="""
-    SELECT doc_id, text, lang, source, n_chars
+    SELECT doc_id,
+           -- same ''→NULL canonicalization as i01: this leg rides
+           -- the same workbook writer/reader pair (ADVICE r10)
+           NULLIF(text, '') AS text,
+           NULLIF(lang, '') AS lang,
+           NULLIF(source, '') AS source,
+           n_chars
     FROM documents WHERE doc_id < 165
     """,
 )
@@ -262,6 +295,7 @@ def i06_http_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables = read_any(spark, url)
         (df,) = tables.values()
         assert df.columns == _CANONICAL, df.columns
+        df = _empty_text_to_null(df)
         dest = os.path.join(tmp, "out.parquet")
         write_parquet(df, dest)
         return _finish(spark.read.parquet(dest))

@@ -30,10 +30,15 @@ from xml.etree import ElementTree as ET
 
 _NS = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
 
-# Code points XML 1.0 cannot carry even as entity references; any of
-# these in emitted text would make the whole part unparseable.
-# (C0 controls minus tab/newline/CR, plus the BMP noncharacters.)
-_XML_INVALID_RE = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f￾￿]")
+# Code points XML 1.0 cannot carry even as entity references, plus
+# ones Python cannot UTF-8-encode at all; any of these in emitted
+# text would make the part unparseable or crash zipfile.writestr.
+# (C0 controls minus tab/newline/CR; lone surrogates U+D800–U+DFFF —
+# unpaired ones raise UnicodeEncodeError, ADVICE r10; the
+# noncharacters U+FDD0–U+FDEF and U+FFFE/U+FFFF.)
+_XML_INVALID_RE = re.compile(
+    "[\x00-\x08\x0b\x0c\x0e-\x1f\ud800-\udfff﷐-﷯￾￿]"
+)
 
 
 def _col_index(cell_ref: str) -> int:
@@ -146,9 +151,10 @@ def write_xlsx(path, sheets: dict[str, tuple[list[str], list[list]]]) -> None:
     (and Excel itself) can open it, not just our stdlib reader
     (ADVICE r9: without those parts, environments WITH openpyxl
     crashed on read-back). Attribute values escape double quotes and
-    cell strings are stripped of XML-1.0-invalid control characters
-    (\\x00-\\x08, \\x0b, \\x0c, \\x0e-\\x1f) — arbitrary document
-    text must never yield an unparseable workbook."""
+    cell strings are stripped of XML-1.0-invalid/unencodable code
+    points (C0 controls minus tab/newline/CR, lone surrogates,
+    noncharacters — see _XML_INVALID_RE) — arbitrary document text
+    must never yield an unparseable workbook or an encode crash."""
     import zipfile
     from xml.sax.saxutils import escape, quoteattr
 

@@ -289,7 +289,11 @@ def test_run_sql_safe_refuses_ddl_dml(spark):
     a DROP past the check."""
     from parquet_pipeline_spark.errors import is_error_frame, run_sql_safe
 
+    import os
+    import tempfile
+
     spark.createDataFrame([(1,)], "x long").createOrReplaceTempView("nl_guard")
+    pwn_dir = os.path.join(tempfile.gettempdir(), "nl_guard_pwn_dir")
     for stmt in (
         "DROP VIEW nl_guard",
         "/* hi */ DROP VIEW nl_guard",
@@ -299,10 +303,33 @@ def test_run_sql_safe_refuses_ddl_dml(spark):
         # spark.sql's single-statement parser rejects it -> error
         # frame, view intact (verified r10)
         "SELECT 1; DROP VIEW nl_guard",
+        # CTE-prefixed DML (ADVICE r10): Spark's grammar allows
+        # `ctes? dmlStatementNoWith`, so these start with WITH yet
+        # mutate — the head check alone let them through and the
+        # INSERT OVERWRITE DIRECTORY form wrote files to disk.
+        f"WITH s AS (SELECT 42 AS x) INSERT OVERWRITE DIRECTORY "
+        f"'{pwn_dir}' USING parquet SELECT * FROM s",
+        "WITH s AS (SELECT 2 AS x) INSERT INTO nl_guard SELECT x FROM s",
+        "WITH s AS (SELECT 1 AS x) DELETE FROM nl_guard WHERE true",
+        "WITH s AS (SELECT 1 AS x) UPDATE nl_guard SET x = 9",
+        "WITH s AS (SELECT 1 AS x) MERGE INTO nl_guard USING s "
+        "ON false WHEN MATCHED THEN DELETE",
+        # keyword hidden only by a comment must still refuse
+        "WITH s AS (SELECT 1) SELECT * FROM s /* tail */ ; DROP VIEW nl_guard",
     ):
         assert is_error_frame(run_sql_safe(spark, stmt)), stmt
     assert spark.table("nl_guard").count() == 1
-    assert not is_error_frame(run_sql_safe(spark, "-- c\nSELECT * FROM nl_guard"))
+    assert not os.path.exists(pwn_dir), "refused INSERT OVERWRITE DIRECTORY wrote files"
+    # reads stay reads: comments, CTEs, and mutation keywords inside
+    # string literals or the REPLACE() builtin must NOT trip the scan
+    for ok in (
+        "-- c\nSELECT * FROM nl_guard",
+        "WITH c AS (SELECT x FROM nl_guard) SELECT * FROM c",
+        "SELECT 'please INSERT and DROP nothing' AS msg FROM nl_guard",
+        "SELECT REPLACE('abc', 'b', 'd') AS s FROM nl_guard",
+        "SELECT x FROM nl_guard GROUP BY GROUPING SETS ((x), ())",
+    ):
+        assert not is_error_frame(run_sql_safe(spark, ok)), ok
 
 
 def test_generate_sql_rejects_non_string_sql():

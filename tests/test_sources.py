@@ -591,13 +591,28 @@ def test_write_xlsx_quote_sheet_name_and_control_chars(tmp_path):
     path = str(tmp_path / "dirty.xlsx")
     write_xlsx(
         path,
-        {'He said "hi"': (["Txt"], [["a\x00b\x1fc", 1], ["tab\tok\nnl", 2]])},
+        {
+            'He said "hi"': (
+                ["Txt"],
+                [
+                    ["a\x00b\x1fc", 1],
+                    ["tab\tok\nnl", 2],
+                    # lone surrogate + noncharacters (ADVICE r10): an
+                    # unpaired surrogate is unencodable — without the
+                    # strip, zipfile.writestr raises UnicodeEncodeError
+                    ["sur\ud800ro\udfffgate", 3],
+                    ["non﷐char￾s", 4],
+                ],
+            )
+        },
     )
     sheets = read_xlsx(path)
     assert list(sheets) == ['He said "hi"']
     (header, rows) = sheets['He said "hi"']
     assert rows[0][0] == "abc"  # invalid control chars stripped
     assert rows[1][0] == "tab\tok\nnl"  # tab/newline are XML-legal, kept
+    assert rows[2][0] == "surrogate"  # lone surrogates stripped
+    assert rows[3][0] == "nonchars"  # U+FDD0–U+FDEF, U+FFFE/F stripped
 
 
 def test_read_csv_rfc4180_doubled_quotes(spark, tmp_path):

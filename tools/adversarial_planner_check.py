@@ -234,6 +234,14 @@ def check_sql_safety(spark) -> list[str]:
         "MERGE INTO guard_probe USING guard_probe ON false WHEN MATCHED THEN DELETE",
         "SET spark.sql.shuffle.partitions=1",
         "",
+        # CTE-prefixed DML (ADVICE r10): starts with WITH, mutates
+        "WITH s AS (SELECT 42 AS x) INSERT OVERWRITE DIRECTORY "
+        "'/tmp/planner_battery_pwn' USING parquet SELECT * FROM s",
+        "WITH s AS (SELECT 2 AS x, 'b' AS v) INSERT INTO guard_probe SELECT * FROM s",
+        "WITH s AS (SELECT 1) DELETE FROM guard_probe WHERE true",
+        "WITH s AS (SELECT 1) UPDATE guard_probe SET v = 'x'",
+        "WITH s AS (SELECT 1 AS id, 'z' AS v) MERGE INTO guard_probe "
+        "USING s ON false WHEN MATCHED THEN DELETE",
     ]
     for stmt in refusals:
         out = run_sql_safe(spark, stmt)
@@ -248,6 +256,10 @@ def check_sql_safety(spark) -> list[str]:
         "EXPLAIN SELECT 1",
         "SHOW TABLES",
         "DESCRIBE guard_probe",
+        # the whole-statement token scan must not trip on keywords
+        # inside string literals or on the REPLACE() builtin
+        "SELECT 'DROP INSERT UPDATE' AS msg FROM guard_probe",
+        "SELECT REPLACE(v, 'a', 'b') AS s FROM guard_probe",
     ]
     for stmt in allowed:
         out = run_sql_safe(spark, stmt)
@@ -258,6 +270,8 @@ def check_sql_safety(spark) -> list[str]:
         errs.append("garbage SQL did not error-frame")
     if spark.table("guard_probe").count() != 1:
         errs.append("guard_probe mutated by a refused statement")
+    if os.path.exists("/tmp/planner_battery_pwn"):
+        errs.append("refused INSERT OVERWRITE DIRECTORY wrote files")
     return errs
 
 
