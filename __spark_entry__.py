@@ -65,19 +65,40 @@ def _last_green_round() -> dict[str, int]:
     return last
 
 
+# Queries whose Spark implementation or oracle CHANGED since their
+# newest official green row — their stale rows paired the OLD code
+# with the OLD oracle, so they jump the staleness queue and re-gate
+# in the next driver run. Maintained per round; clear entries once a
+# newer CORRECTNESS row lands.
+_CHANGED_SINCE_LAST_GREEN = {
+    # r11: ''→NULL canonicalization on both sides (ADVICE r10)
+    "i01_xlsx_roundtrip",
+    "i06_http_roundtrip",
+}
+
+
 def _priority_order(mapping: dict) -> dict:
-    """Never-verified queries first; then previously-green queries by
-    STALENESS (oldest official green row first). The driver's fixed
-    per-round budget therefore always refreshes the rows that have
-    gone longest without an official re-check — a regression in an
-    old query can't hide behind a stale green row, and as new rows
-    land the ordering rotates through the whole registry on its own."""
+    """Never-verified queries first; then queries changed since their
+    last green row; then previously-green queries by STALENESS
+    (oldest official green row first). The driver's fixed per-round
+    budget therefore always refreshes the rows that have gone longest
+    without an official re-check — a regression in an old query can't
+    hide behind a stale green row, and as new rows land the ordering
+    rotates through the whole registry on its own."""
     last = _last_green_round()
     names = list(registry.QUERIES)
     pos = {n: i for i, n in enumerate(names)}
     unverified = [n for n in names if n not in last]
-    green = sorted((n for n in names if n in last), key=lambda n: (last[n], pos[n]))
-    ordered = unverified + green
+    changed = [
+        n
+        for n in names
+        if n in last and n in _CHANGED_SINCE_LAST_GREEN and n not in unverified
+    ]
+    green = sorted(
+        (n for n in names if n in last and n not in changed),
+        key=lambda n: (last[n], pos[n]),
+    )
+    ordered = unverified + changed + green
     return {n: mapping[n] for n in ordered if n in mapping}
 
 
