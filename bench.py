@@ -100,7 +100,39 @@ CALIBRATION_PINS_BY_SF = {
 }
 
 
-def calibration(timings: dict, sf: float, total: float) -> dict:
+# How many suite queries run between interleaved pin samples. Wider
+# at sf5 because one pin-set pass costs ~15 s there (q08 alone is
+# ~10.6 s) vs ~2.2 s at sf0.1.
+PIN_SAMPLE_EVERY_BY_SF = {0.1: 5, 5.0: 8}
+
+
+def _pin_sample(spark, sf_dir: str, pins: dict, registry) -> float:
+    """One calibration sample: run each pin query once, NOW, and
+    return the median of measured/pinned ratios. Sampled repeatedly
+    through the run (VERDICT r10 item 1): the five pins used to run
+    only at their own positions in the suite, so a load burst during
+    the OTHER queries was invisible to the factor and the official
+    normalized total could read above-band while solo runs were flat
+    (BENCH_r10: official 14.53 vs three in-band solo runs). Spreading
+    samples across the same wall-clock window the measured queries
+    occupy makes the factor see the same load they did."""
+    ratios = []
+    for name, base in pins.items():
+        fn = registry.QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        ratios.append((time.time() - t0) / base)
+    ratios.sort()
+    return ratios[len(ratios) // 2]
+
+
+def calibration(
+    timings: dict,
+    sf: float,
+    total: float,
+    samples: list[float],
+    groups: dict[str, int],
+) -> dict:
     """Normalized-total fields, or {} when the run is not comparable.
 
     Guard (ADVICE r8): the pins are FULL-SUITE medians — a subset run
@@ -109,18 +141,59 @@ def calibration(timings: dict, sf: float, total: float) -> dict:
     the timed set must cover the whole default HEADLINE composition
     at a pinned sf before calibration_factor/value_normalized are
     emitted.
+
+    Normalization is LOCAL (VERDICT r10 item 1): the pin set runs
+    interleaved with the suite, so each query group is bracketed by
+    a load sample before and after, and the group's timings divide
+    by the geometric mean of its bracketing samples. A load burst
+    that covers only part of the run therefore corrects only the
+    queries that ran inside it — the failure mode of the r5–r10
+    endpoint mechanism, where the pins sampled one time window and
+    BENCH_r10 normalized above-band on a bursty box while three solo
+    runs were flat. The chronological samples, the global
+    median-sample factor, and the r5–r10-style endpoint factor
+    (``*_legacy``) are all emitted so the mechanisms stay
+    cross-checkable (BENCH_NOTES §Interleaved local calibration).
     """
     pins = CALIBRATION_PINS_BY_SF.get(sf)
     if pins is None or not set(HEADLINE) <= set(timings):
         return {}
     if not all(n in timings for n in pins):
         return {}
-    factors = sorted(timings[n] / pin for n, pin in pins.items())
-    cal = factors[len(factors) // 2]  # median: robust to one outlier
-    return {
-        "calibration_factor": round(cal, 3),
-        "value_normalized": round(total / cal, 3),
+    legacy = sorted(timings[n] / pin for n, pin in pins.items())
+    legacy_cal = legacy[len(legacy) // 2]  # median: robust to one outlier
+    out = {
+        "calibration_factor_legacy": round(legacy_cal, 3),
+        "value_normalized_legacy": round(total / legacy_cal, 3),
     }
+    if len(samples) >= 2 and groups:
+        n_groups = max(groups.values()) + 1
+        # group g is bracketed by samples[g] (taken just before it)
+        # and samples[g+1]; a missing tail sample falls back to the
+        # last one available
+        def local(g: int) -> float:
+            lo = samples[min(g, len(samples) - 1)]
+            hi = samples[min(g + 1, len(samples) - 1)]
+            return (lo * hi) ** 0.5
+
+        norm_total = sum(t / local(groups[n]) for n, t in timings.items())
+        cal = statistics.median(samples)
+        out.update(
+            {
+                "calibration_factor": round(cal, 3),
+                "value_normalized": round(norm_total, 3),
+                "calibration_samples": [round(s, 3) for s in samples],
+                "calibration_groups": n_groups,
+            }
+        )
+    else:  # pins apply but sampling was disabled — fall back
+        out.update(
+            {
+                "calibration_factor": round(legacy_cal, 3),
+                "value_normalized": round(total / legacy_cal, 3),
+            }
+        )
+    return out
 
 
 def main() -> None:
@@ -158,7 +231,27 @@ def main() -> None:
     repeat = int(os.environ.get("BENCH_REPEAT", "3"))
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
-    for name in names:
+
+    # interleaved calibration sampling (only when this run's shape is
+    # one the pins are valid for — same guard calibration() applies)
+    pins = CALIBRATION_PINS_BY_SF.get(sf)
+    sample_pins = pins if (pins and set(HEADLINE) <= set(names)) else None
+    pin_every = max(
+        1, int(os.environ.get("BENCH_PIN_EVERY", PIN_SAMPLE_EVERY_BY_SF.get(sf, 5)))
+    )
+    pin_samples: list[float] = []
+    groups: dict[str, int] = {}  # query name -> sample-bracketed group
+    if sample_pins:
+        # untimed pin pass: compiles the five pin plans so the first
+        # REAL sample doesn't charge plan construction + codegen to
+        # the box (observed: a cold first sample read 1.18 while the
+        # first suite queries ran at factor <1)
+        _pin_sample(spark, sf_dir, sample_pins, registry)
+
+    for qi, name in enumerate(names):
+        if sample_pins and qi % pin_every == 0:
+            pin_samples.append(_pin_sample(spark, sf_dir, sample_pins, registry))
+        groups[name] = qi // pin_every
         fn = registry.QUERIES[name]
         runs = []
         for _ in range(repeat):
@@ -190,6 +283,7 @@ def main() -> None:
     # (a -1 sentinel would deflate the headline total)
     timings["e2e_engine_ask"] = round(statistics.median(runs), 3)
     timings_min["e2e_engine_ask"] = round(min(runs), 3)
+    groups["e2e_engine_ask"] = (len(names) - 1) // pin_every
 
     # multi-intent e2e: a 3-sub-query question through the same loop
     # (decompose fans out to three plan→execute rounds). Reference
@@ -212,6 +306,11 @@ def main() -> None:
         )
     timings["e2e_engine_ask_multi"] = round(statistics.median(runs), 3)
     timings_min["e2e_engine_ask_multi"] = round(min(runs), 3)
+    groups["e2e_engine_ask_multi"] = (len(names) - 1) // pin_every
+
+    # closing sample so the e2e tail of the window is covered too
+    if sample_pins:
+        pin_samples.append(_pin_sample(spark, sf_dir, sample_pins, registry))
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -225,7 +324,7 @@ def main() -> None:
         "e2e_engine_ask_multi_ok": multi_ok,
         "sf": sf,
     }
-    out.update(calibration(timings, sf, total))
+    out.update(calibration(timings, sf, total, pin_samples, groups))
     print(json.dumps(out))
 
 

@@ -21,6 +21,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import math
 import os
 
 import logging
@@ -209,6 +210,47 @@ def minhash_signature(
     )
 
 
+def minhash_sig_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    ngram: int = 3,
+    grams_col: str | None = None,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-document minhash signature as ``num_hashes`` LONG COLUMNS
+    (``_h0.._h{n-1}``), one row per id — the explode + codegen'd
+    min-aggregate formulation ``banded_minhash`` builds its bands
+    from (byte-identical to ``minhash_signature``'s HOF spec; see
+    that docstring for the r10 measurement). Kept as columns rather
+    than an array so downstream per-position comparisons (the
+    signature-similarity prefilter) stay whole-stage-codegen'd
+    integer expressions instead of interpreted HOF lambdas."""
+    if grams_col is None:
+        df = _ensure_parallelism(df)
+        grams = char_ngrams(text_col, ngram)
+    else:
+        grams = F.col(grams_col)
+
+    exploded = df.select(F.col(id_col), F.explode_outer(grams).alias("_g"))
+
+    def seed_hash(i: int) -> Column:
+        if hash_fn == "md5":
+            e = _md5_long(F.concat_ws("_", F.col("_g"), F.lit(str(i))))
+        else:
+            e = F.xxhash64(F.col("_g"), F.lit(i))
+        # guard: a NULL gram (explode_outer of an empty/null shingle
+        # array) must yield a NULL min, matching the HOF formulation
+        # where array_min over a null array is null — xxhash64/md5
+        # of NULL would otherwise manufacture a non-null value
+        return F.when(F.col("_g").isNotNull(), e)
+
+    return exploded.groupBy(id_col).agg(
+        *[F.min(seed_hash(i)).alias(f"_h{i}") for i in range(num_hashes)]
+    )
+
+
 def banded_minhash(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -218,6 +260,7 @@ def banded_minhash(
     ngram: int = 3,
     grams_col: str | None = None,
     hash_fn: str = "xxhash64",
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """The banded-minhash fingerprint projection: one row per
     (id, band_id, band_hash). This IS the persistable dedup index —
@@ -245,29 +288,25 @@ def banded_minhash(
     and cross-snapshot paths compute byte-identical fingerprints.
     Assumes one row per ``id_col`` (duplicate ids would merge into
     one signature) — true for every document-table caller.
+
+    ``sigs``: an already-computed ``minhash_sig_table`` projection
+    (id, _h0.._h{n-1}) to band instead of recomputing — callers that
+    also consume the signatures directly (the similarity prefilter)
+    compute them once, persist, and share.
     """
     rows_per_band = num_hashes // bands
-    if grams_col is None:
-        df = _ensure_parallelism(df)
-        grams = char_ngrams(text_col, ngram)
-    else:
-        grams = F.col(grams_col)
-
-    exploded = df.select(F.col(id_col), F.explode_outer(grams).alias("_g"))
-
-    def seed_hash(i: int) -> Column:
-        if hash_fn == "md5":
-            e = _md5_long(F.concat_ws("_", F.col("_g"), F.lit(str(i))))
-        else:
-            e = F.xxhash64(F.col("_g"), F.lit(i))
-        # guard: a NULL gram (explode_outer of an empty/null shingle
-        # array) must yield a NULL min, matching the HOF formulation
-        # where array_min over a null array is null — xxhash64/md5
-        # of NULL would otherwise manufacture a non-null value
-        return F.when(F.col("_g").isNotNull(), e)
-
-    per_doc = exploded.groupBy(id_col).agg(
-        *[F.min(seed_hash(i)).alias(f"_h{i}") for i in range(num_hashes)]
+    per_doc = (
+        sigs
+        if sigs is not None
+        else minhash_sig_table(
+            df,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            ngram=ngram,
+            grams_col=grams_col,
+            hash_fn=hash_fn,
+        )
     )
     sig = F.array(*[F.col(f"_h{i}") for i in range(num_hashes)])
 
@@ -303,6 +342,7 @@ def lsh_candidate_pairs(
     log_overflow: bool = False,
     grams_col: str | None = None,
     hash_fn: str = "xxhash64",
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs: shingle → minhash → split the
     signature into ``bands`` bands → hash each band → self-join on
@@ -345,6 +385,7 @@ def lsh_candidate_pairs(
         ngram=ngram,
         grams_col=grams_col,
         hash_fn=hash_fn,
+        sigs=sigs,
     )
     if log_overflow:
         n_hot = (
@@ -409,6 +450,7 @@ def minhash_near_dups(
     bands: int = 8,
     ngram: int = 3,
     bucket_cap: int = 64,
+    sig_prefilter: float | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dedup: candidates from banded LSH, then an
     exact Jaccard verify on just the candidate pairs.
@@ -444,6 +486,11 @@ def minhash_near_dups(
             "gs"
         ),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = None
+    if sig_prefilter is not None:
+        sigs = minhash_sig_table(
+            grams, id_col, num_hashes=num_hashes, grams_col="gs"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidate_pairs(
         grams,
         id_col,
@@ -451,7 +498,49 @@ def minhash_near_dups(
         bands=bands,
         bucket_cap=bucket_cap,
         grams_col="gs",
+        sigs=sigs,
     )
+    if sig_prefilter is not None:
+        # Signature-similarity prefilter (VERDICT r10 item 3): at sf5
+        # the banded candidates outnumber true near-dups ~12×, and
+        # ~80% of d03's cost is the exact-verify join shipping two
+        # ~200-long gram arrays per candidate. The minhash signature
+        # is ALREADY computed and 6× smaller, and the fraction of
+        # equal positions is an unbiased Jaccard estimator (std
+        # ≈ sqrt(j(1-j)/num_hashes) ≈ 0.086 at 32 hashes), so pairs
+        # whose estimate falls below ``sig_prefilter`` skip the
+        # exact verify. Per-position equality on the _h columns is
+        # pure codegen'd long arithmetic (the r10 stop-rules: no HOF,
+        # no float fold). NOT exact: with margin m = threshold −
+        # sig_prefilter, a true pair at j = threshold survives with
+        # P ≈ Φ(m/0.086) — 0.40 under a 0.62 threshold keeps ≈99.5%
+        # and kills candidates near the ~0.15 FP mode. Opt-in (None
+        # = off) precisely because the default contract is
+        # exact-equal-to-plain-verify; the measured candidate-rate /
+        # recall / wall-time curve at sf5 lives in BENCH_NOTES
+        # §d03 banding-precision lever.
+        sa = sigs.select(
+            F.col(id_col).alias("id_a"),
+            *[F.col(f"_h{i}").alias(f"_ha{i}") for i in range(num_hashes)],
+        )
+        sb = sigs.select(
+            F.col(id_col).alias("id_b"),
+            *[F.col(f"_h{i}").alias(f"_hb{i}") for i in range(num_hashes)],
+        )
+        # eqNullSafe: degenerate all-NULL signatures (empty/null text)
+        # estimate 1.0 against each other and reach the exact verify,
+        # which rejects them the same way the unprefiltered path does
+        # (jaccard of empty gram sets is NULL)
+        matches = sum(
+            F.when(F.col(f"_ha{i}").eqNullSafe(F.col(f"_hb{i}")), 1).otherwise(0)
+            for i in range(num_hashes)
+        )
+        cands = (
+            cands.join(sa, "id_a")
+            .join(sb, "id_b")
+            .filter(matches >= F.lit(int(math.ceil(sig_prefilter * num_hashes))))
+            .select("id_a", "id_b")
+        )
     ga = grams.select(F.col(id_col).alias("id_a"), F.col("gs").alias("gs_a"))
     gb = grams.select(F.col(id_col).alias("id_b"), F.col("gs").alias("gs_b"))
     verified = (

@@ -41,13 +41,30 @@ _XML_INVALID_RE = re.compile(
 )
 
 
-def _col_index(cell_ref: str) -> int:
-    """'A1' → 0, 'AB7' → 27."""
-    letters = re.match(r"([A-Z]+)", cell_ref).group(1)
+def _col_index(cell_ref: str) -> int | None:
+    """'A1' → 0, 'AB7' → 27; None for a ref that doesn't parse (the
+    caller falls back to sequential placement, which is also the
+    OOXML-specified meaning of an omitted ``r`` attribute)."""
+    m = re.match(r"([A-Z]+)", cell_ref or "")
+    if m is None:
+        return None
     idx = 0
-    for ch in letters:
+    for ch in m.group(1):
         idx = idx * 26 + (ord(ch) - ord("A") + 1)
     return idx - 1
+
+
+def _parse_xml(data: bytes) -> "ET.Element":
+    """ET.fromstring with DTDs refused. OOXML parts never carry a
+    DOCTYPE, and expat happily expands internal entities — a hostile
+    sharedStrings.xml with nested entity definitions (billion laughs)
+    turns a few-hundred-byte member into gigabytes of driver memory.
+    A literal ``<!DOCTYPE`` in the bytes is either a real DTD or
+    already-invalid XML (in text content it would be escaped), so the
+    scan cannot false-positive on valid data."""
+    if b"<!DOCTYPE" in data:
+        raise ValueError("refusing XML with a DTD (OOXML parts never carry one)")
+    return ET.fromstring(data)
 
 
 def _cell_value(cell, shared: list[str]):
@@ -59,7 +76,15 @@ def _cell_value(cell, shared: list[str]):
     if v is None or v.text is None:
         return None
     if t == "s":
-        return shared[int(v.text)]
+        # cell-level dirt must stay cell-level: an out-of-range,
+        # negative, or non-integer shared-string index yields None
+        # instead of killing the whole ingest (IndexError) or —
+        # worse — silently aliasing another string (Python's -1)
+        try:
+            i = int(v.text)
+        except ValueError:
+            return None
+        return shared[i] if 0 <= i < len(shared) else None
     if t == "b":
         return v.text == "1"
     if t == "str":
@@ -90,14 +115,14 @@ def read_xlsx(path) -> dict[str, tuple[list[str], list[list]]]:
         # shared strings (may be absent)
         shared: list[str] = []
         if "xl/sharedStrings.xml" in z.namelist():
-            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            root = _parse_xml(z.read("xl/sharedStrings.xml"))
             for si in root.findall("m:si", _NS):
                 shared.append(
                     "".join(t.text or "" for t in si.iter() if t.tag.endswith("}t"))
                 )
         # sheet name → target part
-        wb = ET.fromstring(z.read("xl/workbook.xml"))
-        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        wb = _parse_xml(z.read("xl/workbook.xml"))
+        rels = _parse_xml(z.read("xl/_rels/workbook.xml.rels"))
         rel_map = {
             r.get("Id"): r.get("Target").lstrip("/")
             for r in rels.iter()
@@ -114,15 +139,19 @@ def read_xlsx(path) -> dict[str, tuple[list[str], list[list]]]:
             part = target if target.startswith("xl/") else f"xl/{target}"
             if part not in z.namelist():
                 continue
-            ws = ET.fromstring(z.read(part))
+            ws = _parse_xml(z.read(part))
             rows: list[list] = []
             for row in ws.iter():
                 if not row.tag.endswith("}row"):
                     continue
                 cells: dict[int, object] = {}
+                next_i = 0  # sequential fallback for missing/garbled refs
                 for cell in row.findall("m:c", _NS):
-                    ref = cell.get("r", "A1")
-                    cells[_col_index(ref)] = _cell_value(cell, shared)
+                    i = _col_index(cell.get("r", ""))
+                    if i is None:
+                        i = next_i
+                    cells[i] = _cell_value(cell, shared)
+                    next_i = i + 1
                 width = max(cells) + 1 if cells else 0
                 rows.append([cells.get(i) for i in range(width)])
             if not rows or not rows[0]:

@@ -74,6 +74,40 @@ def test_minhash_recall_vs_exact(spark, sf_dir):
         assert strong_recall >= 0.9, f"strong-pair recall too low: {strong_recall}"
 
 
+def test_minhash_sig_prefilter_lever(spark, sf_dir):
+    """The sig_prefilter lever (VERDICT r10 item 3): estimates
+    Jaccard from matching signature positions to skip the exact
+    verify on obviously-dissimilar banded candidates.
+
+    Contracts: a 0.0 prefilter is a no-op (EXACTLY the base output —
+    every candidate still reaches the exact verify); a production
+    margin (0.40 under the 0.62 threshold ≈ 2.5σ at 32 hashes) never
+    admits a false positive (the exact verify still runs) and keeps
+    every strongly-similar pair on this corpus."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id", "text")
+    )
+    base = minhash_near_dups(docs, threshold=0.62)
+    noop = minhash_near_dups(docs, threshold=0.62, sig_prefilter=0.0)
+    assert noop.exceptAll(base).count() == 0
+    assert base.exceptAll(noop).count() == 0
+
+    pre = {
+        (r["id_a"], r["id_b"]): r["jac"]
+        for r in minhash_near_dups(
+            docs, threshold=0.62, sig_prefilter=0.40
+        ).collect()
+    }
+    full = {(r["id_a"], r["id_b"]): r["jac"] for r in base.collect()}
+    assert set(pre) <= set(full), "prefilter must not create pairs"
+    for p, j in pre.items():
+        assert j == full[p], "surviving pairs must carry the exact jaccard"
+    strong = {p for p, j in full.items() if j >= 0.8}
+    assert strong <= set(pre), "a 2.5-sigma margin must keep strong pairs"
+
+
 def test_simhash_close_for_near_identical(spark):
     a = "spark makes distributed data processing simple and fast for everyone"
     b = "spark makes distributed data processing simple and fast for anyone"

@@ -615,6 +615,74 @@ def test_write_xlsx_quote_sheet_name_and_control_chars(tmp_path):
     assert rows[3][0] == "nonchars"  # U+FDD0–U+FDEF, U+FFFE/F stripped
 
 
+def test_read_xlsx_hostile_container_contracts(tmp_path):
+    """Ninth battery's found-and-fixed holes (r11), pinned: cell-level
+    dirt must stay cell-level and DTDs must be refused before expat
+    expands entities (tools/adversarial_zip_check.py fuzzes the full
+    class; these are the deterministic regressions)."""
+    import zipfile
+
+    from parquet_pipeline_spark.sources.xlsx import read_xlsx, write_xlsx
+
+    def repack(path, mutate):
+        buf = {}
+        with zipfile.ZipFile(path) as z:
+            for n in z.namelist():
+                buf[n] = z.read(n)
+        mutate(buf)
+        with zipfile.ZipFile(path, "w") as z:
+            for n, b in buf.items():
+                z.writestr(n, b)
+
+    def add_row(buf, row_xml):
+        buf["xl/worksheets/sheet1.xml"] = buf["xl/worksheets/sheet1.xml"].replace(
+            b"</sheetData>", row_xml + b"</sheetData>"
+        )
+
+    # out-of-range / negative / non-int shared-string index -> None,
+    # never IndexError and never Python's -1 aliasing the LAST string
+    p = str(tmp_path / "oob.xlsx")
+    write_xlsx(p, {"S": (["a", "b", "c"], [["x", "y", 1]])})
+    repack(
+        p,
+        lambda buf: add_row(
+            buf,
+            b'<row r="3"><c r="A3" t="s"><v>999</v></c>'
+            b'<c r="B3" t="s"><v>-1</v></c>'
+            b'<c r="C3" t="s"><v>zz</v></c></row>',
+        ),
+    )
+    assert read_xlsx(p)["S"][1] == [["x", "y", 1]]  # all-None row dropped
+
+    # garbled/missing refs place sequentially (OOXML omitted-r rule)
+    p2 = str(tmp_path / "seq.xlsx")
+    write_xlsx(p2, {"S": (["a", "b", "c"], [["x", "y", 1]])})
+    repack(
+        p2,
+        lambda buf: add_row(
+            buf,
+            b'<row r="3"><c r="@!"><v>7</v></c><c><v>8</v></c>'
+            b'<c r="C3"><v>9</v></c></row>',
+        ),
+    )
+    assert read_xlsx(p2)["S"][1][-1] == [7, 8, 9]
+
+    # a DTD anywhere is refused outright (billion-laughs vector)
+    p3 = str(tmp_path / "dtd.xlsx")
+    write_xlsx(p3, {"S": (["a"], [["x"]])})
+    repack(
+        p3,
+        lambda buf: buf.__setitem__(
+            "xl/sharedStrings.xml",
+            b'<?xml version="1.0"?><!DOCTYPE r [<!ENTITY a "x">]><r>&a;</r>',
+        ),
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="DTD"):
+        read_xlsx(p3)
+
+
 def test_read_csv_rfc4180_doubled_quotes(spark, tmp_path):
     """RFC 4180 doubled quotes inside quoted fields — what Excel,
     csv.writer, and pandas (the reference's reader) all emit — must
