@@ -1114,6 +1114,133 @@ _register_lsh_oracle_twin()
 
 
 # ---------------------------------------------------------------------------
+# d14 — the r11 banding-precision lever on the official record: d07's
+# md5-portable LSH chain extended with the SIGNATURE-SIMILARITY
+# PREFILTER (matching-position count on the already-computed minhash
+# sigs, codegen'd integer equality — no HOF, no float) and the exact
+# Jaccard verify. The oracle replays all three stages — signatures,
+# banded candidates with cap/overflow, the ≥8/16 position-match
+# prefilter, then exact 3-gram Jaccard ≥ 0.62 — so every pair the
+# prefilter keeps OR drops is cross-engine-checked, not just counted.
+# The measured cost/recall curve for the lever at sf5 lives in
+# BENCH_NOTES §d03 banding-precision lever.
+# ---------------------------------------------------------------------------
+def _register_prefilter_twin():
+    @register(
+        "d14_minhash_prefilter_verified",
+        oracle="""
+        WITH g AS (
+          SELECT doc_id,
+                 list_distinct([text[i:i+2] FOR i IN range(1, greatest(length(text)-1, 2))]) AS gs
+          FROM documents WHERE doc_id < 200
+        ),
+        sigs AS (
+          SELECT doc_id,
+                 [list_min([CAST(list_sum([(strpos('0123456789abcdef',
+                                                   substr(md5(gr || '_' || s), i, 1)) - 1)
+                                            * 16 ** (8 - i) FOR i IN range(1, 9)]) AS BIGINT)
+                            FOR gr IN gs]) FOR s IN range(0, 16)] AS sig
+          FROM g
+        ),
+        exploded AS (
+          SELECT doc_id, b AS band_id,
+                 CAST(list_sum([(strpos('0123456789abcdef',
+                                        substr(md5(array_to_string(sig[b*4+1 : b*4+4], ',')), i, 1)) - 1)
+                                 * 16 ** (8 - i) FOR i IN range(1, 9)]) AS BIGINT) AS band_val
+          FROM sigs, unnest(range(0, 4)) AS t(b)
+        ),
+        ranked AS (
+          SELECT doc_id, band_id, band_val,
+                 ROW_NUMBER() OVER (PARTITION BY band_id, band_val ORDER BY doc_id) AS rn,
+                 MIN(doc_id) OVER (PARTITION BY band_id, band_val) AS min_id
+          FROM exploded
+        ),
+        head AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM ranked a JOIN ranked b
+            ON a.band_id = b.band_id AND a.band_val = b.band_val
+          WHERE a.rn < b.rn AND b.rn <= 8
+        ),
+        overflow AS (
+          SELECT min_id AS doc_a, doc_id AS doc_b FROM ranked WHERE rn > 8
+        ),
+        cands AS (
+          SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT * FROM head UNION ALL SELECT * FROM overflow
+          )
+        ),
+        kept AS (
+          SELECT c.doc_a, c.doc_b
+          FROM cands c
+          JOIN sigs sa ON sa.doc_id = c.doc_a
+          JOIN sigs sb ON sb.doc_id = c.doc_b
+          WHERE list_sum([CASE WHEN sa.sig[i] IS NOT DISTINCT FROM sb.sig[i]
+                               THEN 1 ELSE 0 END FOR i IN range(1, 17)]) >= 8
+        )
+        SELECT k.doc_a, k.doc_b,
+               ROUND(len(list_intersect(a.gs, b.gs))::DOUBLE
+                     / len(list_distinct(list_concat(a.gs, b.gs))), 6) AS jac
+        FROM kept k
+        JOIN g a ON a.doc_id = k.doc_a
+        JOIN g b ON b.doc_id = k.doc_b
+        WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
+              / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.62
+        """,
+    )
+    def d14_minhash_prefilter_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+        grams = docs.select("doc_id", char_ngrams("text", 3).alias("g"))
+        sigs = minhash_sig_table(
+            grams, "doc_id", num_hashes=16, grams_col="g", hash_fn="md5"
+        )
+        cands = lsh_candidate_pairs(
+            grams,
+            "doc_id",
+            num_hashes=16,
+            bands=4,
+            bucket_cap=8,
+            grams_col="g",
+            hash_fn="md5",
+            sigs=sigs,
+        )
+        sa = sigs.select(
+            F.col("doc_id").alias("id_a"),
+            *[F.col(f"_h{i}").alias(f"_ha{i}") for i in range(16)],
+        )
+        sb = sigs.select(
+            F.col("doc_id").alias("id_b"),
+            *[F.col(f"_h{i}").alias(f"_hb{i}") for i in range(16)],
+        )
+        matches = sum(
+            F.when(F.col(f"_ha{i}").eqNullSafe(F.col(f"_hb{i}")), 1).otherwise(0)
+            for i in range(16)
+        )
+        kept = (
+            cands.join(sa, "id_a").join(sb, "id_b").filter(matches >= 8)
+            .select("id_a", "id_b")
+        )
+        ga = grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("gs_a"))
+        gb = grams.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gs_b"))
+        jac = jaccard(F.col("gs_a"), F.col("gs_b"))
+        return (
+            kept.join(ga, "id_a")
+            .join(gb, "id_b")
+            .withColumn("jac", jac)
+            .filter(F.col("jac") >= 0.62)
+            .select(
+                F.col("id_a").alias("doc_a"),
+                F.col("id_b").alias("doc_b"),
+                F.round("jac", 6).alias("jac"),
+            )
+        )
+
+    return d14_minhash_prefilter_verified
+
+
+_register_prefilter_twin()
+
+
+# ---------------------------------------------------------------------------
 # d13 — transitive dedup GRADUATED to hash-green (r8): the iterative
 # min-label propagation (connected_components — join+aggregate
 # rounds, the standard large-graph pattern) over d07's md5 LSH pair

@@ -127,17 +127,35 @@ def main() -> None:
                 .count()
             )
 
-        # recall vs the base config's verified pairs
+        # recall vs the base config, on two levels. PAIR recall is
+        # honest but pessimistic on cluster-heavy corpora: a 1000-doc
+        # duplicate cluster has ~500k true pairs and every config
+        # samples a different ~bucket-cap-bounded slice of them, so
+        # two configs can agree on WHICH DOCS are near-dups while
+        # sharing few literal pairs. DOC recall — the fraction of
+        # base-flagged documents the config also flags — is the
+        # metric dedup semantics actually ride on (a flagged doc
+        # enters the component/survivor computation either way).
         spark.catalog.clearCache()
         pairs = out.select("id_a", "id_b").persist()
+        docs_flagged = (
+            pairs.select(F.col("id_a").alias("d"))
+            .unionByName(pairs.select(F.col("id_b").alias("d")))
+            .distinct()
+            .persist()
+        )
+        n_flagged = docs_flagged.count()
         if base_pairs is None:
-            base_pairs = pairs
-            base_n = n_verified
-            recall = 1.0
+            base_pairs, base_docs = pairs, docs_flagged
+            base_n, base_docs_n = n_verified, n_flagged
+            pair_recall = doc_recall = 1.0
         else:
             hit = pairs.join(base_pairs, ["id_a", "id_b"]).count()
-            recall = round(hit / base_n, 4) if base_n else 1.0
+            pair_recall = round(hit / base_n, 4) if base_n else 1.0
+            dhit = docs_flagged.join(base_docs, "d").count()
+            doc_recall = round(dhit / base_docs_n, 4) if base_docs_n else 1.0
             pairs.unpersist()
+            docs_flagged.unpersist()
         for d in (grams, sigs, cands):
             d.unpersist()
 
@@ -153,7 +171,9 @@ def main() -> None:
                     "n_candidates": n_cands,
                     "n_after_prefilter": n_after_pre,
                     "n_verified": n_verified,
-                    "recall_vs_base": recall,
+                    "n_docs_flagged": n_flagged,
+                    "pair_recall_vs_base": pair_recall,
+                    "doc_recall_vs_base": doc_recall,
                     "sf_dir": sf_dir,
                 }
             ),

@@ -40,6 +40,7 @@ DEFAULT_NAMES = [
     "i10_resilient_read",
     "a11_hll_accuracy",
     "a12_tdigest_accuracy",
+    "d14_minhash_prefilter_verified",
 ]
 
 
