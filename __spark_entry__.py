@@ -74,6 +74,19 @@ _CHANGED_SINCE_LAST_GREEN = {
     # r11: ''→NULL canonicalization on both sides (ADVICE r10)
     "i01_xlsx_roundtrip",
     "i06_http_roundtrip",
+    # r11: bloom probe rewrite (double hashing + JVM-side literal) —
+    # byte-identical by construction, re-gate anyway
+    "a08_bloom_prejoin",
+    # r11: minhash signature table extracted from banded_minhash
+    # (shared with the new sig prefilter) — same bytes, re-gate the
+    # whole family that rides it
+    "d03_minhash_lsh_neardup",
+    "d07_lsh_bucket_pairs",
+    "d10_incremental_dedup",
+    "d11_incremental_dedup_indexed",
+    "d13_transitive_components",
+    "s01_streaming_incremental_dedup",
+    "s02_streaming_batch_equivalence",
 }
 
 
