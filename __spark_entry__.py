@@ -87,6 +87,9 @@ _CHANGED_SINCE_LAST_GREEN = {
     "d13_transitive_components",
     "s01_streaming_incremental_dedup",
     "s02_streaming_batch_equivalence",
+    # r11: explode(sequence)+element_at pair-build rewrite
+    "t08_word_bigrams",
+    "t22_lm_score",
 }
 
 

@@ -401,25 +401,27 @@ def t07_greedy_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t08_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
 
-    # let-bind the token array (one-element-array transform) so the
-    # per-bigram lambda references a bound value, not the split
-    # expression — referencing word_tokens directly inside the lambda
-    # re-tokenizes per element (no CSE across lambda scopes, the
-    # word_shingles bug class): O(words²) per doc
-    def bigrams_of(ws):
-        # guard stop < start (0/1-token docs): unguarded greatest(..,1)
-        # emits a bogus (w, null)→"w" bigram for 1-token docs and
-        # sequence(1, 0) would descend under ANSI; empty array instead.
-        return F.transform(
-            F.when(
-                F.size(ws) >= 2, F.sequence(F.lit(1), F.size(ws) - 1)
-            ).otherwise(F.array().cast("array<int>")),
-            lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
-        )
-
-    bigrams = F.element_at(F.transform(F.array(word_tokens("text")), bigrams_of), 1)
+    # pair rows built by EXPLODING the index sequence (native
+    # generator) and concatenating via codegen'd element_at — the
+    # r11 HOF-audit rewrite: the old transform(...)-then-explode form
+    # paid one interpreted lambda invocation per bigram just to build
+    # an array that was immediately exploded (12.8 → 8.0 s on the
+    # full sf5 corpus; exceptAll-equal, tools/hof_audit.py). The
+    # size >= 2 filter replaces the old empty-array guard: 0/1-token
+    # docs emit no bigrams either way, and sequence(1, 0) would
+    # descend under ANSI.
+    toks = docs.select(word_tokens("text").alias("ws")).filter(F.size("ws") >= 2)
     return (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        toks.select(
+            "ws", F.explode(F.sequence(F.lit(1), F.size("ws") - 1)).alias("i")
+        )
+        .select(
+            F.concat_ws(
+                " ",
+                F.element_at("ws", F.col("i")),
+                F.element_at("ws", F.col("i") + 1),
+            ).alias("bigram")
+        )
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "bigram")
@@ -911,21 +913,23 @@ def t21_containment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t22_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     toks = docs.select("doc_id", word_tokens("text").alias("ws"))
-    # sequence(1, size-1) must be guarded: for a 0/1-token doc the
-    # stop < start, Spark defaults to step -1 and yields [1, 0] —
-    # element_at(ws, 0) then throws under ANSI mode. Empty array ↔
-    # DuckDB's range(1, 1) = [] semantics.
-    pairs = F.transform(
-        F.when(
-            F.size("ws") >= 2, F.sequence(F.lit(1), F.size("ws") - 1)
-        ).otherwise(F.array().cast("array<int>")),
-        lambda i: F.struct(
-            F.element_at(F.col("ws"), i).alias("prev"),
-            F.element_at(F.col("ws"), i + 1).alias("w"),
-        ),
-    )
-    occ = toks.select("doc_id", F.explode(pairs).alias("b")).select(
-        "doc_id", F.col("b.prev").alias("prev"), F.col("b.w").alias("w")
+    # pair rows via explode(sequence) + codegen'd element_at (the r11
+    # t08 rewrite — no interpreted per-pair lambda). The size >= 2
+    # filter replaces the old empty-array guard: 0/1-token docs emit
+    # no pairs either way, and sequence(1, 0) would descend under
+    # ANSI. toks (unfiltered) still feeds the vocab count below.
+    occ = (
+        toks.filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            "ws",
+            F.explode(F.sequence(F.lit(1), F.size("ws") - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.element_at("ws", F.col("i")).alias("prev"),
+            F.element_at("ws", F.col("i") + 1).alias("w"),
+        )
     )
     model = occ.groupBy("prev", "w").agg(F.count("*").alias("cnt_pw"))
     ctx = model.groupBy("prev").agg(F.sum("cnt_pw").alias("cnt_p"))
