@@ -107,21 +107,34 @@ PIN_SAMPLE_EVERY_BY_SF = {0.1: 5, 5.0: 8}
 
 
 def _pin_sample(spark, sf_dir: str, pins: dict, registry) -> float:
-    """One calibration sample: run each pin query once, NOW, and
-    return the median of measured/pinned ratios. Sampled repeatedly
+    """One calibration sample: run the pin set NOW and return the
+    median of measured/pinned ratios. Sampled repeatedly
     through the run (VERDICT r10 item 1): the five pins used to run
     only at their own positions in the suite, so a load burst during
     the OTHER queries was invisible to the factor and the official
     normalized total could read above-band while solo runs were flat
     (BENCH_r10: official 14.53 vs three in-band solo runs). Spreading
     samples across the same wall-clock window the measured queries
-    occupy makes the factor see the same load they did."""
+    occupy makes the factor see the same load they did.
+
+    Each pin runs TWICE per sample and the MIN is used: the pin BASE
+    values are suite medians-of-3 (warm), while a single shot right
+    after another query's heavy work pays adjacency costs (GC debt,
+    shuffle cleanup) the base never did — on a quiet sf5 box,
+    single-shot samples read ~1.2 while the pins' own suite medians
+    read ~1.0. The min of two back-to-back runs matches the base's
+    warmth and still reflects sustained external load, which slows
+    both runs."""
     ratios = []
     for name, base in pins.items():
         fn = registry.QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).count()
-        ratios.append((time.time() - t0) / base)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        ratios.append(best / base)
     ratios.sort()
     return ratios[len(ratios) // 2]
 
@@ -184,6 +197,12 @@ def calibration(
                 "value_normalized": round(norm_total, 3),
                 "calibration_samples": [round(s, 3) for s in samples],
                 "calibration_groups": n_groups,
+                # a sub-minute burst between two samples is
+                # UNRECOVERABLE at this sampling granularity (no
+                # mechanism can know which of a query's 3 repeats it
+                # hit) — but it IS detectable. Flagged runs should be
+                # discounted and re-run rather than trusted.
+                "calibration_burst_detected": max(samples) / min(samples) > 1.5,
             }
         )
     else:  # pins apply but sampling was disabled — fall back
