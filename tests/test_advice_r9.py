@@ -161,11 +161,18 @@ def test_bench_calibration_requires_full_suite():
 
     full = {n: 1.0 for n in bench.HEADLINE}
     full.update({"e2e_engine_ask": 0.2, "e2e_engine_ask_multi": 0.5})
-    out = bench.calibration(full, sf=0.1, total=10.0)
+    groups = {n: i // 5 for i, n in enumerate(full)}
+    samples = [1.0, 1.1, 0.9, 1.0, 1.0, 1.05]
+    out = bench.calibration(full, 0.1, 10.0, samples, groups)
     assert "calibration_factor" in out and "value_normalized" in out
+    # r11: with interleaved samples the endpoint factor rides along
+    assert "calibration_factor_legacy" in out
+    # no samples (sampling disabled) → legacy fallback still emits
+    out2 = bench.calibration(full, 0.1, 10.0, [], {})
+    assert "calibration_factor" in out2 and "value_normalized" in out2
 
     # subset that still contains all five pins → NOT comparable
     subset = {n: 1.0 for n in bench.CALIBRATION_PINS}
-    assert bench.calibration(subset, sf=0.1, total=5.0) == {}
+    assert bench.calibration(subset, 0.1, 5.0, samples, groups) == {}
     # wrong sf → not comparable either
-    assert bench.calibration(full, sf=0.01, total=10.0) == {}
+    assert bench.calibration(full, 0.01, 10.0, samples, groups) == {}

@@ -18,7 +18,12 @@ def test_priority_order_unverified_first_then_stalest():
     k = len([n for n in names if n not in last])
     head, tail = names[:k], names[k:]
     assert all(n not in last for n in head)
-    rounds = [last[n] for n in tail]
+    # r11: queries whose code/oracle changed since their newest green
+    # row jump the staleness queue — they sit between the unverified
+    # head and the stale-ascending tail
+    changed = [n for n in tail if n in entry._CHANGED_SINCE_LAST_GREEN]
+    assert tail[: len(changed)] == changed
+    rounds = [last[n] for n in tail[len(changed):]]
     assert rounds == sorted(rounds)  # staleness ascending
 
 
