@@ -315,8 +315,19 @@ def lsh_signature(
     §Where the HOF→codegen rewrite deliberately stops)."""
     planes = _plane_matrix(dim, n_planes, seed, hash_fn)
     if planes is not None:
-        planes_lit = F.array(
-            *[F.array(*[F.lit(v) for v in row]) for row in planes]
+        # one JVM-side parse, not nested F.lit/F.array: building a
+        # dim×n_planes literal through per-element py4j calls costs
+        # ~0.5 s of DRIVER time per plan build and embeds a
+        # Python-side tree n_planes times (the a08 bitmap-literal
+        # lesson, r11). repr(float) round-trips exactly, so the
+        # parsed doubles are bit-identical to the collected signs.
+        planes_lit = F.expr(
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{v!r}D" for v in row) + ")"
+                for row in planes
+            )
+            + ")"
         )
 
         def bit(j):
