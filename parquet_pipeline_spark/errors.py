@@ -51,6 +51,13 @@ _LEADING_COMMENTS = re.compile(r"^(\s*(--[^\n]*\n|/\*.*?\*/))*", re.S)
 _SQL_LITERALS_AND_COMMENTS = re.compile(
     r"""--[^\n]*                 # line comment
       | /\*.*?\*/                # bracketed comment (non-nested)
+      | \b[rR]'[^']*'            # RAW string: no escapes — ends at the
+      | \b[rR]"[^"]*"            #   first quote. Must come before the
+                                 #   escaped rules: applying backslash
+                                 #   escapes to r'\' would swallow real
+                                 #   tokens into a fake string and hide
+                                 #   a smuggled INSERT (found r11 by
+                                 #   self-review, pinned in test_nl)
       | '(?:[^'\\]|\\.|'')*'     # string, backslash + '' escapes
       | "(?:[^"\\]|\\.|"")*"     # double-quoted string/identifier
       | `(?:[^`]|``)*`           # backtick identifier

@@ -316,6 +316,12 @@ def test_run_sql_safe_refuses_ddl_dml(spark):
         "ON false WHEN MATCHED THEN DELETE",
         # keyword hidden only by a comment must still refuse
         "WITH s AS (SELECT 1) SELECT * FROM s /* tail */ ; DROP VIEW nl_guard",
+        # raw-string confusion (found r11): r'\' is a RAW string (the
+        # backslash is literal, the string ends at the quote) — a
+        # lexer that applies backslash escapes to it swallows the
+        # INSERT into a fake string and accepts the statement
+        r"WITH s AS (SELECT r'\' AS x) INSERT INTO nl_guard SELECT 9 FROM s",
+        r'WITH s AS (SELECT r"\" AS x) INSERT INTO nl_guard SELECT 9 FROM s',
     ):
         assert is_error_frame(run_sql_safe(spark, stmt)), stmt
     assert spark.table("nl_guard").count() == 1
@@ -328,6 +334,9 @@ def test_run_sql_safe_refuses_ddl_dml(spark):
         "SELECT 'please INSERT and DROP nothing' AS msg FROM nl_guard",
         "SELECT REPLACE('abc', 'b', 'd') AS s FROM nl_guard",
         "SELECT x FROM nl_guard GROUP BY GROUPING SETS ((x), ())",
+        # legit raw strings (regex patterns are their main use) and
+        # keywords INSIDE them must not trip the scan
+        r"SELECT r'\d+ INSERT DROP' AS pat FROM nl_guard",
     ):
         assert not is_error_frame(run_sql_safe(spark, ok)), ok
 

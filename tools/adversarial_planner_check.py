@@ -242,6 +242,10 @@ def check_sql_safety(spark) -> list[str]:
         "WITH s AS (SELECT 1) UPDATE guard_probe SET v = 'x'",
         "WITH s AS (SELECT 1 AS id, 'z' AS v) MERGE INTO guard_probe "
         "USING s ON false WHEN MATCHED THEN DELETE",
+        # raw-string confusion (r11): r'\' ends AT the quote — an
+        # escape-aware lexer would swallow the INSERT into the string
+        r"WITH s AS (SELECT r'\' AS x) INSERT INTO guard_probe "
+        r"SELECT 9, 'z' FROM s",
     ]
     for stmt in refusals:
         out = run_sql_safe(spark, stmt)
