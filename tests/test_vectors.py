@@ -505,3 +505,57 @@ def test_lsh_signature_literal_planes_match_inline(spark):
             assert new.exceptAll(old).count() == 0
         finally:
             V._plane_matrix = orig
+
+
+def test_pq_roundtrip_contracts(spark):
+    """PQ (r11): deterministic retrain, encode completeness (one
+    codes row per nonzero non-null vector), degenerate handling, and
+    the refine identity — with a shortlist covering the whole corpus
+    the ADC+refine answer must EQUAL the exact top-k, because the
+    refine step rescores with exact cosine."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.vectors import (
+        exact_knn_join,
+        pq_encode,
+        pq_topk,
+        pq_topk_refined,
+        pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    deg = spark.createDataFrame(
+        [(10_001, [0.0] * 64), (10_002, None)],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5).unionByName(deg)
+
+    b1 = pq_train(corpus, m=8, k_codes=16, sample=256)
+    b2 = pq_train(corpus, m=8, k_codes=16, sample=256)
+    import numpy as np
+
+    assert all((np.asarray(a) == np.asarray(b)).all() for a, b in zip(b1, b2))
+    assert len(b1) == 8 and np.asarray(b1[0]).shape == (16, 8)
+
+    codes = pq_encode(corpus, b1)
+    n_valid = corpus.filter(
+        F.col("embedding").isNotNull()
+        & (F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x) > 0)
+    ).count()
+    got = codes.collect()
+    assert len(got) == n_valid  # zero/null dropped, nothing else
+    assert all(len(r["codes"]) == 8 for r in got)
+    assert all(0 <= c < 16 for r in got for c in r["codes"])
+
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    # zero-norm query -> empty result, not a crash
+    assert pq_topk(codes, b1, [0.0] * 64, k=5).count() == 0
+    # refine identity: shortlist >= corpus => exact equality
+    want = exact_knn_join(corpus, [(0, qv)], k=10)
+    got_df = pq_topk_refined(
+        codes, b1, corpus, 0, qv, k=10, shortlist=n_valid
+    )
+    assert got_df.exceptAll(want).count() == 0
+    assert want.exceptAll(got_df).count() == 0
