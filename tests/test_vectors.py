@@ -559,3 +559,43 @@ def test_pq_roundtrip_contracts(spark):
     )
     assert got_df.exceptAll(want).count() == 0
     assert want.exceptAll(got_df).count() == 0
+
+
+def test_ivf_pq_index_prunes_partitions(spark, tmp_path):
+    """The IVF-ADC probe must be a statically partition-pruned scan:
+    the physical plan's PartitionFilters carry the cell predicate (a
+    full-index scan would defeat the nprobe/k cost model), and with
+    every cell probed + a corpus-wide shortlist the composed answer
+    degrades to the exact top-k identity."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.vectors import (
+        exact_knn_join,
+        ivf_centroids,
+        ivf_pq_index,
+        ivf_pq_topk,
+        pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    cents = ivf_centroids(corpus, k=8)
+    books = pq_train(corpus, m=8, k_codes=16, sample=256)
+    path = str(tmp_path / "idx.parquet")
+    ivf_pq_index(corpus, cents, books, path)
+
+    probe = spark.read.parquet(path).filter(F.col("cell").isin([0, 1]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:120]
+
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    n = corpus.count()
+    got = ivf_pq_topk(
+        spark, path, cents, books, corpus, 0, qv, k=10,
+        nprobe=len(cents), shortlist=n,
+    )
+    want = exact_knn_join(corpus, [(0, qv)], k=10)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
