@@ -59,11 +59,29 @@ def _parse_xml(data: bytes) -> "ET.Element":
     DOCTYPE, and expat happily expands internal entities — a hostile
     sharedStrings.xml with nested entity definitions (billion laughs)
     turns a few-hundred-byte member into gigabytes of driver memory.
-    A literal ``<!DOCTYPE`` in the bytes is either a real DTD or
-    already-invalid XML (in text content it would be escaped), so the
-    scan cannot false-positive on valid data."""
-    if b"<!DOCTYPE" in data:
-        raise ValueError("refusing XML with a DTD (OOXML parts never carry one)")
+
+    The refusal happens at the PARSER level, not by byte-scanning
+    (ADVICE r11): a scan for ``b'<!DOCTYPE'`` misses the same document
+    re-encoded as UTF-16, which expat auto-detects from the BOM and
+    expands anyway. A validation pass with a raw expat parser sees
+    the doctype in whatever encoding expat itself would use, and the
+    ``StartDoctypeDeclHandler`` fires BEFORE any entity is defined or
+    expanded, so the bomb never detonates in the check either. A
+    malformed doc passes the check (expat error swallowed) and gets
+    ElementTree's own, better error on the real parse."""
+    from xml.parsers import expat
+
+    def _refuse(*_a):
+        raise ValueError(
+            "refusing XML with a DTD (OOXML parts never carry one)"
+        )
+
+    probe = expat.ParserCreate()
+    probe.StartDoctypeDeclHandler = _refuse
+    try:
+        probe.Parse(data, True)
+    except expat.ExpatError:
+        pass
     return ET.fromstring(data)
 
 

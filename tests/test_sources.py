@@ -682,6 +682,48 @@ def test_read_xlsx_hostile_container_contracts(tmp_path):
     with pytest.raises(ValueError, match="DTD"):
         read_xlsx(p3)
 
+    # the SAME document re-encoded as UTF-16 must also be refused:
+    # expat auto-detects the encoding from the BOM, so a byte scan
+    # for b'<!DOCTYPE' sails past while the entities still expand
+    # (ADVICE r11 — the guard now refuses at the parser level)
+    p4 = str(tmp_path / "dtd16.xlsx")
+    write_xlsx(p4, {"S": (["a"], [["x"]])})
+    evil16 = (
+        '<?xml version="1.0" encoding="utf-16"?>'
+        '<!DOCTYPE r [<!ENTITY a "x">]><r>&a;</r>'
+    ).encode("utf-16")
+    assert b"<!DOCTYPE" not in evil16  # the bypass the fix closes
+    repack(
+        p4,
+        lambda buf: buf.__setitem__("xl/sharedStrings.xml", evil16),
+    )
+    with pytest.raises(ValueError, match="DTD"):
+        read_xlsx(p4)
+
+    # ...and a clean UTF-16 part still parses (refusal is doctype-
+    # triggered, not encoding-triggered)
+    p5 = str(tmp_path / "clean16.xlsx")
+    write_xlsx(p5, {"S": (["a"], [["x"]])})
+    clean16 = (
+        '<?xml version="1.0" encoding="utf-16"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<si><t>u16</t></si></sst>"
+    ).encode("utf-16")
+    repack(
+        p5,
+        lambda buf: (
+            buf.__setitem__("xl/sharedStrings.xml", clean16),
+            buf.__setitem__(
+                "xl/worksheets/sheet1.xml",
+                buf["xl/worksheets/sheet1.xml"].replace(
+                    b"</sheetData>",
+                    b'<row r="3"><c r="A3" t="s"><v>0</v></c></row></sheetData>',
+                ),
+            ),
+        ),
+    )
+    assert read_xlsx(p5)["S"][1][-1] == ["u16"]
+
 
 def test_read_csv_rfc4180_doubled_quotes(spark, tmp_path):
     """RFC 4180 doubled quotes inside quoted fields — what Excel,

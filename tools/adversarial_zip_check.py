@@ -94,22 +94,38 @@ def check_structural_loud(tmp, rng) -> list[str]:
         pass
     except Exception as e:  # noqa: BLE001
         errs.append(f"missing workbook raised {type(e).__name__}, want KeyError")
-    # DTD (billion-laughs vector) in each XML part
-    for part in ("xl/sharedStrings.xml", "xl/workbook.xml", "xl/worksheets/sheet1.xml"):
-        p = os.path.join(tmp, "dtd.xlsx")
-        _base(p, rng)
-        bomb = (
-            b'<?xml version="1.0"?><!DOCTYPE r [<!ENTITY a "xxxxxxxxxx">'
-            b'<!ENTITY b "&a;&a;&a;&a;&a;&a;&a;&a;&a;&a;">]>' + b"<r>&b;</r>"
-        )
-        _repack(p, mutate=lambda buf, part=part: buf.__setitem__(part, bomb))
-        try:
-            read_xlsx(p)
-            errs.append(f"DTD in {part} parsed silently")
-        except ValueError:
-            pass
-        except Exception as e:  # noqa: BLE001
-            errs.append(f"DTD in {part} raised {type(e).__name__}, want ValueError")
+    # DTD (billion-laughs vector) in each XML part — in UTF-8 AND in
+    # UTF-16, which expat auto-detects from the BOM so a byte scan
+    # for b'<!DOCTYPE' never sees it (ADVICE r11; refusal is now at
+    # the parser level and encoding-independent)
+    bomb8 = (
+        b'<?xml version="1.0"?><!DOCTYPE r [<!ENTITY a "xxxxxxxxxx">'
+        b'<!ENTITY b "&a;&a;&a;&a;&a;&a;&a;&a;&a;&a;">]>' + b"<r>&b;</r>"
+    )
+    bomb16 = (
+        '<?xml version="1.0" encoding="utf-16"?>'
+        '<!DOCTYPE r [<!ENTITY a "xxxxxxxxxx">'
+        '<!ENTITY b "&a;&a;&a;&a;&a;&a;&a;&a;&a;&a;">]><r>&b;</r>'
+    ).encode("utf-16")
+    assert b"<!DOCTYPE" not in bomb16
+    for enc, bomb in (("utf-8", bomb8), ("utf-16", bomb16)):
+        for part in (
+            "xl/sharedStrings.xml",
+            "xl/workbook.xml",
+            "xl/worksheets/sheet1.xml",
+        ):
+            p = os.path.join(tmp, "dtd.xlsx")
+            _base(p, rng)
+            _repack(p, mutate=lambda buf, part=part, bomb=bomb: buf.__setitem__(part, bomb))
+            try:
+                read_xlsx(p)
+                errs.append(f"{enc} DTD in {part} parsed silently")
+            except ValueError:
+                pass
+            except Exception as e:  # noqa: BLE001
+                errs.append(
+                    f"{enc} DTD in {part} raised {type(e).__name__}, want ValueError"
+                )
     return errs
 
 
