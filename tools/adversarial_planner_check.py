@@ -246,11 +246,32 @@ def check_sql_safety(spark) -> list[str]:
         # escape-aware lexer would swallow the INSERT into the string
         r"WITH s AS (SELECT r'\' AS x) INSERT INTO guard_probe "
         r"SELECT 9, 'z' FROM s",
+        # conf-flip attempt (r12): SET is a mutation token, so the
+        # gate can never be re-lexed out from under itself
+        "SET spark.sql.parser.escapedStringLiterals=true",
+        # backslash-boundary smuggle (r12): if the gate's string rule
+        # ever diverged from the parser's (escapedStringLiterals),
+        # the escaped quote would hide the INSERT inside a literal
+        "WITH s AS (SELECT '\\'' AS x) INSERT INTO guard_probe "
+        "SELECT 8, 'y' FROM s -- '",
     ]
     for stmt in refusals:
         out = run_sql_safe(spark, stmt)
         if not is_error_frame(out):
             errs.append(f"non-read-only statement executed: {stmt!r}")
+    # the same refusals must hold if a deployment flips the string-
+    # unescaping conf (token boundaries are conf-independent on
+    # PySpark 4.1.2 — probed r12; this pins it stays that way)
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        for stmt in refusals:
+            if not is_error_frame(run_sql_safe(spark, stmt)):
+                errs.append(
+                    f"non-read-only statement executed under "
+                    f"escapedStringLiterals=true: {stmt!r}"
+                )
+    finally:
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
     allowed = [
         "SELECT v FROM guard_probe",
         "WITH c AS (SELECT 1 AS x) SELECT * FROM c",
