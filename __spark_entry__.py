@@ -66,30 +66,32 @@ def _last_green_round() -> dict[str, int]:
 
 
 # Queries whose Spark implementation or oracle CHANGED since their
-# newest official green row — their stale rows paired the OLD code
-# with the OLD oracle, so they jump the staleness queue and re-gate
-# in the next driver run. Maintained per round; clear entries once a
-# newer CORRECTNESS row lands.
+# then-newest official green row, keyed by the ROUND the change
+# landed in. A query jumps the staleness queue only while its last
+# official green row PREDATES that round — once the re-gate row
+# lands, the entry neutralizes itself (ADVICE r11: the old static
+# set kept consuming the fixed re-gate budget until hand-edited).
+# Entries are append-only history; stale ones cost nothing.
 _CHANGED_SINCE_LAST_GREEN = {
     # r11: ''→NULL canonicalization on both sides (ADVICE r10)
-    "i01_xlsx_roundtrip",
-    "i06_http_roundtrip",
+    "i01_xlsx_roundtrip": 11,
+    "i06_http_roundtrip": 11,
     # r11: bloom probe rewrite (double hashing + JVM-side literal) —
     # byte-identical by construction, re-gate anyway
-    "a08_bloom_prejoin",
+    "a08_bloom_prejoin": 11,
     # r11: minhash signature table extracted from banded_minhash
     # (shared with the new sig prefilter) — same bytes, re-gate the
     # whole family that rides it
-    "d03_minhash_lsh_neardup",
-    "d07_lsh_bucket_pairs",
-    "d10_incremental_dedup",
-    "d11_incremental_dedup_indexed",
-    "d13_transitive_components",
-    "s01_streaming_incremental_dedup",
-    "s02_streaming_batch_equivalence",
+    "d03_minhash_lsh_neardup": 11,
+    "d07_lsh_bucket_pairs": 11,
+    "d10_incremental_dedup": 11,
+    "d11_incremental_dedup_indexed": 11,
+    "d13_transitive_components": 11,
+    "s01_streaming_incremental_dedup": 11,
+    "s02_streaming_batch_equivalence": 11,
     # r11: explode(sequence)+element_at pair-build rewrite
-    "t08_word_bigrams",
-    "t22_lm_score",
+    "t08_word_bigrams": 11,
+    "t22_lm_score": 11,
 }
 
 
@@ -108,7 +110,7 @@ def _priority_order(mapping: dict) -> dict:
     changed = [
         n
         for n in names
-        if n in last and n in _CHANGED_SINCE_LAST_GREEN and n not in unverified
+        if n in last and last[n] < _CHANGED_SINCE_LAST_GREEN.get(n, 0)
     ]
     green = sorted(
         (n for n in names if n in last and n not in changed),

@@ -18,13 +18,43 @@ def test_priority_order_unverified_first_then_stalest():
     k = len([n for n in names if n not in last])
     head, tail = names[:k], names[k:]
     assert all(n not in last for n in head)
-    # r11: queries whose code/oracle changed since their newest green
-    # row jump the staleness queue — they sit between the unverified
-    # head and the stale-ascending tail
-    changed = [n for n in tail if n in entry._CHANGED_SINCE_LAST_GREEN]
+    # r11/r12: queries whose code/oracle changed since their newest
+    # green row jump the staleness queue — but ONLY while that green
+    # row predates the round the change landed in; once the re-gate
+    # row lands, the entry neutralizes itself (ADVICE r11)
+    changed = [
+        n
+        for n in tail
+        if last[n] < entry._CHANGED_SINCE_LAST_GREEN.get(n, 0)
+    ]
     assert tail[: len(changed)] == changed
     rounds = [last[n] for n in tail[len(changed):]]
     assert rounds == sorted(rounds)  # staleness ascending
+
+
+def test_changed_entries_self_neutralize():
+    """A _CHANGED_SINCE_LAST_GREEN entry whose query has a green row
+    from that round or later must NOT jump the queue (the r11 set is
+    exactly this case: all 12 re-greened in CORRECTNESS_r11)."""
+    last = entry._last_green_round()
+    order = list(entry.queries())
+    neutral = [
+        n
+        for n, rnd in entry._CHANGED_SINCE_LAST_GREEN.items()
+        if n in last and last[n] >= rnd
+    ]
+    assert neutral, "expected at least the r11 re-greened set"
+    k = len([n for n in order if n not in last])
+    tail = order[k:]
+    stale_rounds = [last[n] for n in tail]
+    # if a neutralized entry still jumped, the tail would not be
+    # staleness-ascending (its green round is the newest)
+    n_jumpers = len(
+        [n for n in tail if last[n] < entry._CHANGED_SINCE_LAST_GREEN.get(n, 0)]
+    )
+    assert stale_rounds[n_jumpers:] == sorted(stale_rounds[n_jumpers:])
+    for n in neutral:
+        assert tail.index(n) >= n_jumpers
 
 
 def test_priority_order_applies_to_oracles_too():
