@@ -92,6 +92,9 @@ _CHANGED_SINCE_LAST_GREEN = {
     # r11: explode(sequence)+element_at pair-build rewrite
     "t08_word_bigrams": 11,
     "t22_lm_score": 11,
+    # r12: index build cached per process (build-once/probe-many) —
+    # same deterministic artifact, re-gate anyway
+    "a15_ivf_pq_recall_floor": 12,
 }
 
 

@@ -1734,6 +1734,69 @@ def _register_pq():
 _register_pq()
 
 
+IVFPQ_META_VERSION = 1
+# Spark's parquet reader skips files whose names start with "_"
+# (the _SUCCESS convention), so the metadata can live INSIDE the
+# index directory without polluting scans.
+_IVFPQ_META_NAME = "_ivfpq_meta.json"
+
+
+def _ivfpq_fingerprint(centroids, codebooks) -> dict:
+    """Deterministic identity of the model an index was built with:
+    md5 over the (rounded) centroid and codebook values plus the
+    shape params. Training is deterministic in the corpus (pq_train /
+    ivf_centroids docstrings), so retrain-on-same-corpus == same
+    fingerprint; ANY drift — new sample, new params, new corpus —
+    changes it, which is what the append staleness contract keys on:
+    codes encoded under codebook A are meaningless distances under
+    codebook B, and a cell id is only a valid partition key for the
+    centroid set that defined it."""
+    import hashlib
+    import json as _json
+
+    import numpy as np
+
+    cent_ser = _json.dumps(
+        [[int(cid), [round(float(v), 12) for v in vec]] for cid, vec in centroids]
+    )
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    book_ser = _json.dumps(
+        [[[round(float(v), 12) for v in row] for row in b.tolist()] for b in books]
+    )
+    return {
+        "version": IVFPQ_META_VERSION,
+        "centroid_hash": hashlib.md5(cent_ser.encode()).hexdigest(),
+        "codebook_hash": hashlib.md5(book_ser.encode()).hexdigest(),
+        "m": len(books),
+        "k_codes": int(books[0].shape[0]),
+        "n_cells": len(centroids),
+    }
+
+
+def read_ivfpq_meta(path: str) -> dict:
+    """Load an index's metadata; raises ValueError when absent or
+    unreadable (an index without provenance cannot be safely appended
+    to — rebuild it)."""
+    import json as _json
+    import os as _os
+
+    meta_path = _os.path.join(path, _IVFPQ_META_NAME)
+    try:
+        with open(meta_path) as fh:
+            meta = _json.load(fh)
+    except (OSError, ValueError) as e:
+        raise ValueError(
+            f"ivf_pq index at {path!r} has no readable metadata "
+            f"({e}); refusing to touch it — rebuild with ivf_pq_index"
+        ) from None
+    if meta.get("version") != IVFPQ_META_VERSION:
+        raise ValueError(
+            f"ivf_pq index metadata version {meta.get('version')!r} != "
+            f"{IVFPQ_META_VERSION} — rebuild with ivf_pq_index"
+        )
+    return meta
+
+
 def ivf_pq_index(
     emb: DataFrame,
     centroids,
@@ -1748,12 +1811,130 @@ def ivf_pq_index(
     ~nprobe/k of the corpus at m bytes per row (the a09 pruning
     pattern over the a13 compression). The cell column rides a
     build-time join of the code rows back onto the assignment (index
-    build is the one full-data pass; queries never pay it)."""
+    build is the one full-data pass; queries never pay it).
+
+    Alongside the data a ``_ivfpq_meta.json`` records the centroid/
+    codebook fingerprint (see ``_ivfpq_fingerprint``) so later
+    ``ivf_pq_append`` calls can detect model drift instead of
+    silently mixing codes from incompatible codebooks."""
+    import json as _json
+    import os as _os
+
     assigned = ivf_assign(emb, centroids).select(id_col, "cell")
     codes = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col)
     codes.join(assigned, id_col).write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(path)
+    meta = _ivfpq_fingerprint(centroids, codebooks)
+    meta["appends"] = 0
+    with open(_os.path.join(path, _IVFPQ_META_NAME), "w") as fh:
+        _json.dump(meta, fh)
+
+
+def ivf_pq_append(
+    spark: SparkSession,
+    index_path: str,
+    new_emb: DataFrame,
+    centroids,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Append a NEW vector batch into an existing IVF-ADC index
+    without rebuilding it (VERDICT r11 item 2 — at 100 TB a full
+    re-encode per ingest batch is the one anti-scale term left in
+    the vector layer; the d10/d11 incremental-dedup shape applied to
+    the retrieval index). The batch is encoded and cell-assigned
+    exactly like the build pass, then appended INTO its cell
+    partitions — existing partitions gain one file each, untouched
+    cells cost nothing, and the write is proportional to the batch,
+    not the corpus.
+
+    Staleness contract: the caller's centroids/codebooks must
+    fingerprint-match the index metadata. On mismatch this RAISES
+    (refuse-don't-corrupt): PQ codes are only comparable under the
+    codebook that produced them, and a cell id is only a valid
+    partition key under its own centroid set — a drifted model means
+    retrain + rebuild, never a mixed index. tests/test_vectors.py
+    pins both refusals; the hostile-index battery fuzzes the
+    metadata itself.
+
+    Exactly-once is the CALLER's contract (same as the d11 snapshot
+    convention): re-appending a batch duplicates its rows. A
+    duplicate id wastes index bytes but cannot corrupt probe
+    results — the refine step semi-joins the corpus against the
+    shortlist ids, so each id is re-ranked once.
+
+    Returns the number of code rows appended."""
+    import json as _json
+    import os as _os
+
+    meta = read_ivfpq_meta(index_path)
+    fp = _ivfpq_fingerprint(centroids, codebooks)
+    for key, what in (
+        ("codebook_hash", "codebooks"),
+        ("centroid_hash", "centroids"),
+        ("m", "m"),
+        ("k_codes", "k_codes"),
+        ("n_cells", "n_cells"),
+    ):
+        if meta.get(key) != fp[key]:
+            raise ValueError(
+                f"ivf_pq_append: {what} drifted from the index at "
+                f"{index_path!r} ({key} {fp[key]!r} != indexed "
+                f"{meta.get(key)!r}) — codes under different models "
+                f"are not comparable; retrain and rebuild instead"
+            )
+    assigned = ivf_assign(new_emb, centroids).select(id_col, "cell")
+    codes = pq_encode(new_emb, codebooks, id_col=id_col, vec_col=vec_col)
+    batch = codes.join(assigned, id_col).persist()
+    n = batch.count()  # batch-sized by definition; bounds the write
+    if n:
+        batch.write.mode("append").partitionBy("cell").parquet(index_path)
+    batch.unpersist()
+    meta["appends"] = int(meta.get("appends", 0)) + 1
+    with open(_os.path.join(index_path, _IVFPQ_META_NAME), "w") as fh:
+        _json.dump(meta, fh)
+    return n
+
+
+# Build-once-probe-many (VERDICT r11 item 3): the a15 registry row
+# used to pay a full index BUILD on every call, so its recorded cost
+# said nothing about the probe the operator exists to make cheap.
+# The built index (path + model) is cached per (corpus key, params)
+# for the life of the process — the parquet lives under scratch_dir,
+# so it is cleaned at interpreter exit like every other persisted
+# index. Repeat calls (bench repeats, registry_timed) therefore
+# measure the PROBE; the first call still pays the honest build.
+_IVFPQ_BUILD_CACHE: dict[tuple, tuple[str, list, list]] = {}
+
+
+def ivf_pq_build_cached(
+    emb: DataFrame,
+    cache_key: tuple,
+    k_cells: int = 16,
+    m: int = 8,
+    k_codes: int = 256,
+    sample: int = 2048,
+):
+    """(index_path, centroids, codebooks) for ``emb``, built at most
+    once per process per ``cache_key`` (caller includes sf_dir and
+    corpus bounds in the key — the same convention as the d11 band
+    index snapshot)."""
+    import os as _os
+
+    from parquet_pipeline_spark.scratch import scratch_dir
+
+    full_key = (cache_key, k_cells, m, k_codes, sample)
+    hit = _IVFPQ_BUILD_CACHE.get(full_key)
+    if hit is not None:
+        return hit
+    cents = ivf_centroids(emb, k=k_cells)
+    books = pq_train(emb, m=m, k_codes=k_codes, sample=sample)
+    path = _os.path.join(scratch_dir("ivfpq_"), "idx.parquet")
+    ivf_pq_index(emb, cents, books, path)
+    _IVFPQ_BUILD_CACHE[full_key] = (path, cents, books)
+    return path, cents, books
 
 
 def ivf_pq_topk(
@@ -1808,10 +1989,14 @@ def _register_ivf_pq():
         nprobe=8/16 cells, recovers ≥ 40% of the exact answer
         (measured 0.65–0.9 on the bounded slice at sf0.01/sf0.1 —
         IVF cell misses dominate, matching the a04 nprobe curve;
-        the floor is ~half the worst measurement)."""
-        import os
+        the floor is ~half the worst measurement).
 
-        from parquet_pipeline_spark.scratch import scratch_dir
+        The index is built AT MOST ONCE per process (ivf_pq_build_
+        cached, VERDICT r11 item 3): repeat timings of this row
+        measure the probe, matching the build-once/probe-many claim;
+        the correctness row is unchanged — the cached index is the
+        same deterministic artifact a fresh build produces."""
+        import os
 
         emb = _emb(spark, sf_dir)
         qrows = [
@@ -1822,10 +2007,14 @@ def _register_ivf_pq():
         ]
         corpus = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 2000))
         exact = exact_knn_join(corpus, qrows, k=20)
-        cents = ivf_centroids(corpus, k=16)
-        books = pq_train(corpus, m=8, k_codes=256, sample=2048)
-        path = os.path.join(scratch_dir("a15_ivfpq_"), "idx.parquet")
-        ivf_pq_index(corpus, cents, books, path)
+        path, cents, books = ivf_pq_build_cached(
+            corpus,
+            cache_key=(os.path.realpath(sf_dir), "a15", 5, 2000),
+            k_cells=16,
+            m=8,
+            k_codes=256,
+            sample=2048,
+        )
         exact_ids: dict[int, set] = {}
         for r in exact.collect():  # bounded: 5 × 20
             exact_ids.setdefault(r["q_id"], set()).add(r["vec_id"])
@@ -1848,3 +2037,118 @@ def _register_ivf_pq():
 
 
 _register_ivf_pq()
+
+
+def _register_ivf_pq_incremental():
+    @register(
+        "a16_ivf_pq_incremental",
+        oracle="""
+        WITH q AS (
+          SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 5
+        ), corpus AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE vec_id >= 5 AND vec_id < 2000
+        ), n AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS indexed_total
+          FROM embeddings
+          WHERE vec_id >= 5 AND vec_id < 2000
+            AND embedding IS NOT NULL
+            AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+        )
+        SELECT q.q_id, c.vec_id,
+               ROUND(list_cosine_similarity(c.v, q.qv), 6) AS score,
+               TRUE AS inc_ok, n.indexed_total
+        FROM q, n, LATERAL (
+          SELECT vec_id, v FROM corpus
+          ORDER BY list_cosine_similarity(v, q.qv) DESC, vec_id
+          LIMIT 20) c
+        """,
+    )
+    def a16_ivf_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The IVF-ADC index LIFECYCLE on the official record
+        (VERDICT r11 item 2, the d10/d11 incremental convention
+        applied to the vector index): build the index on a corpus
+        snapshot (vec_id in [5, 1500)), ivf_pq_append a new batch
+        ([1500, 2000)) into its cell partitions WITHOUT re-encoding
+        the snapshot, then verify three things per query —
+
+        - exact top-20 over snapshot ∪ batch, hash-checked value-
+          for-value against the oracle's replay;
+        - ``indexed_total``: the appended index holds exactly one
+          code row per nonzero non-null corpus vector (the oracle
+          recomputes that count from the raw table — an append that
+          dropped or duplicated rows flips the hash);
+        - ``inc_ok``: the probe of the APPENDED index (nprobe=8,
+          200-shortlist refine) recovers ≥ 40% of the exact top-20
+          (the a15 floor — the appended index must probe as well as
+          a from-scratch build, since it holds identical rows), AND
+          the staleness contract held: an append attempted with
+          drifted codebooks and with drifted centroids each REFUSED
+          (raised) without touching the index."""
+        import os
+
+        from parquet_pipeline_spark.scratch import scratch_dir
+
+        emb = _emb(spark, sf_dir)
+        qrows = [
+            (r["vec_id"], r["embedding"])
+            for r in emb.filter(F.col("vec_id") < 5)
+            .select("vec_id", "embedding")
+            .collect()
+        ]
+        snapshot = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 1500))
+        batch = emb.filter((F.col("vec_id") >= 1500) & (F.col("vec_id") < 2000))
+        full = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 2000))
+
+        # model trained on the SNAPSHOT only — the batch arrives later
+        cents = ivf_centroids(snapshot, k=16)
+        books = pq_train(snapshot, m=8, k_codes=256, sample=2048)
+        path = os.path.join(scratch_dir("a16_ivfpq_"), "idx.parquet")
+        ivf_pq_index(snapshot, cents, books, path)
+        ivf_pq_append(spark, path, batch, cents, books)
+
+        # staleness contract, exercised in-gate: drifted codebooks and
+        # drifted centroids must both refuse without touching the index
+        import numpy as np
+
+        drift_books = [np.asarray(b, dtype=np.float64) * 1.5 for b in books]
+        drift_cents = [(cid, [v * 2.0 for v in vec]) for cid, vec in cents]
+        refused = 0
+        for bad_c, bad_b in ((cents, drift_books), (drift_cents, books)):
+            try:
+                ivf_pq_append(spark, path, batch, bad_c, bad_b)
+            except ValueError:
+                refused += 1
+        contract_ok = refused == 2
+
+        indexed_total = spark.read.parquet(path).count()
+        exact = exact_knn_join(full, qrows, k=20)
+        exact_ids: dict[int, set] = {}
+        for r in exact.collect():  # bounded: 5 × 20
+            exact_ids.setdefault(r["q_id"], set()).add(r["vec_id"])
+        ok_rows = []
+        for q_id, qv in qrows:
+            if q_id not in exact_ids:
+                continue
+            got = {
+                r["vec_id"]
+                for r in ivf_pq_topk(
+                    spark, path, cents, books, full, q_id, qv, k=20, nprobe=8
+                ).collect()
+            }
+            want = exact_ids[q_id]
+            ok_rows.append(
+                (q_id, contract_ok and len(got & want) >= 0.4 * len(want))
+            )
+        ok = spark.createDataFrame(ok_rows, "q_id long, inc_ok boolean")
+        return (
+            exact.join(ok, "q_id")
+            .withColumn("indexed_total", F.lit(int(indexed_total)).cast("bigint"))
+            .select("q_id", "vec_id", "score", "inc_ok", "indexed_total")
+        )
+
+    return a16_ivf_pq_incremental
+
+
+_register_ivf_pq_incremental()

@@ -599,3 +599,142 @@ def test_ivf_pq_index_prunes_partitions(spark, tmp_path):
     want = exact_knn_join(corpus, [(0, qv)], k=10)
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_ivf_pq_append_lifecycle(spark, tmp_path):
+    """The incremental index contract (VERDICT r11 item 2): append
+    encodes ONLY the batch into the existing cell partitions; the
+    appended index answers probes exactly like a from-scratch build
+    over the union; drifted models refuse without touching the
+    index; and metadata survives the round-trip."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.vectors import (
+        ivf_centroids,
+        ivf_pq_append,
+        ivf_pq_index,
+        ivf_pq_topk,
+        pq_train,
+        read_ivfpq_meta,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    snap = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 400))
+    batch = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 600))
+    full = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 600))
+    cents = ivf_centroids(snap, k=8)
+    books = pq_train(snap, m=8, k_codes=16, sample=256)
+
+    inc_path = str(tmp_path / "inc.parquet")
+    ivf_pq_index(snap, cents, books, inc_path)
+    n_before = spark.read.parquet(inc_path).count()
+    appended = ivf_pq_append(spark, inc_path, batch, cents, books)
+    assert appended > 0
+    assert spark.read.parquet(inc_path).count() == n_before + appended
+    meta = read_ivfpq_meta(inc_path)
+    assert meta["appends"] == 1
+
+    # appended index == rebuilt-from-union index, row for row (same
+    # model, same rows -> identical codes and cells)
+    re_path = str(tmp_path / "re.parquet")
+    ivf_pq_index(full, cents, books, re_path)
+    inc_df = spark.read.parquet(inc_path)
+    re_df = spark.read.parquet(re_path).select(*inc_df.columns)
+    assert inc_df.exceptAll(re_df).count() == 0
+    assert re_df.exceptAll(inc_df).count() == 0
+
+    # and therefore probes answer identically
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    got_inc = ivf_pq_topk(spark, inc_path, cents, books, full, 0, qv, k=10, nprobe=4)
+    got_re = ivf_pq_topk(spark, re_path, cents, books, full, 0, qv, k=10, nprobe=4)
+    assert [tuple(r) for r in got_inc.collect()] == [tuple(r) for r in got_re.collect()]
+
+
+def test_ivf_pq_append_refuses_drifted_models(spark, tmp_path):
+    """Staleness contract: codebook drift, centroid drift, missing
+    metadata, and a future metadata version must all REFUSE the
+    append (raise ValueError) and leave the index bytes untouched."""
+    import json
+    import os
+
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.vectors import (
+        ivf_centroids,
+        ivf_pq_append,
+        ivf_pq_index,
+        pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    snap = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 300))
+    batch = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    cents = ivf_centroids(snap, k=8)
+    books = pq_train(snap, m=8, k_codes=16, sample=256)
+    path = str(tmp_path / "idx.parquet")
+    ivf_pq_index(snap, cents, books, path)
+    n0 = spark.read.parquet(path).count()
+
+    drift_books = [np.asarray(b) + 0.01 for b in books]
+    with pytest.raises(ValueError, match="codebooks drifted"):
+        ivf_pq_append(spark, path, batch, cents, drift_books)
+
+    drift_cents = [(cid, [v + 0.5 for v in vec]) for cid, vec in cents]
+    with pytest.raises(ValueError, match="centroids drifted"):
+        ivf_pq_append(spark, path, batch, drift_cents, books)
+
+    # param drift (m) is caught before any work too
+    books_m4 = pq_train(snap, m=4, k_codes=16, sample=256)
+    with pytest.raises(ValueError, match="drifted"):
+        ivf_pq_append(spark, path, batch, cents, books_m4)
+
+    # hostile/stale metadata: future version, then missing file
+    meta_path = os.path.join(path, "_ivfpq_meta.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    meta["version"] = 999
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    with pytest.raises(ValueError, match="version"):
+        ivf_pq_append(spark, path, batch, cents, books)
+    os.remove(meta_path)
+    with pytest.raises(ValueError, match="no readable metadata"):
+        ivf_pq_append(spark, path, batch, cents, books)
+
+    # every refusal left the index bytes alone
+    assert spark.read.parquet(path).count() == n0
+
+
+def test_ivf_pq_build_cache_reuses_index(spark):
+    """Build-once-probe-many (VERDICT r11 item 3): the same
+    (corpus key, params) returns the SAME built artifact — repeat
+    registry/bench runs time the probe, not the build."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.vectors import (
+        _IVFPQ_BUILD_CACHE,
+        ivf_pq_build_cached,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 300))
+    key = ("test-cache", 5, 300)
+    before = dict(_IVFPQ_BUILD_CACHE)
+    try:
+        p1, c1, b1 = ivf_pq_build_cached(corpus, key, k_cells=4, m=8, k_codes=16, sample=128)
+        p2, c2, b2 = ivf_pq_build_cached(corpus, key, k_cells=4, m=8, k_codes=16, sample=128)
+        assert p1 == p2 and c1 is c2 and b1 is b2
+        # different params -> different artifact
+        p3, _, _ = ivf_pq_build_cached(corpus, key, k_cells=2, m=8, k_codes=16, sample=128)
+        assert p3 != p1
+    finally:
+        _IVFPQ_BUILD_CACHE.clear()
+        _IVFPQ_BUILD_CACHE.update(before)
