@@ -95,6 +95,12 @@ _CHANGED_SINCE_LAST_GREEN = {
     # r12: index build cached per process (build-once/probe-many) —
     # same deterministic artifact, re-gate anyway
     "a15_ivf_pq_recall_floor": 12,
+    # r12: cell-level dirty-row contract in the kNN/ADC machinery
+    # (F.get codes, size(vec)==dim scan filters) — byte-identical on
+    # clean data, re-gate the riders
+    "a09_ivf_knn_join": 12,
+    "a13_pq_recall_floor": 12,
+    "v07_exact_knn_join": 12,
 }
 
 

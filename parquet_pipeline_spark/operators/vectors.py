@@ -705,8 +705,13 @@ def ivf_knn_join(
     candidates = (
         # null-embedding rows (dirty upstream data) would turn the
         # Arrow batch into a numpy object array and crash the kernel;
-        # the filter is JVM-side and pushes to the scan
-        scan.filter(F.col(vec_col).isNotNull())
+        # wrong-dimension rows (r12, hostile-index battery) would
+        # make the batch ragged and abort the matmul — both are
+        # "not a candidate" cell-level dirt, filtered JVM-side with
+        # pushdown to the scan
+        scan.filter(
+            F.col(vec_col).isNotNull() & (F.size(vec_col) == qm.shape[1])
+        )
         .select(id_col, vec_col, "cell")
         .mapInPandas(partial_topk, out_schema)
     )
@@ -1400,8 +1405,15 @@ def exact_knn_join(
 
     candidates = (
         # same null-embedding guard as ivf_knn_join: keep the numpy
-        # kernel's input dense
-        corpus.filter(F.col(vec_col).isNotNull())
+        # kernel's input dense. The size() leg (r12, hostile-index
+        # battery) drops wrong-DIMENSION rows — a ragged batch makes
+        # np.array build an object array and the matmul abort the
+        # whole job on one dirty row; the expression path scores the
+        # same row NULL, so "not a candidate" is the uniform contract.
+        # Both filters are JVM-side and push to the scan.
+        corpus.filter(
+            F.col(vec_col).isNotNull() & (F.size(vec_col) == qm.shape[1])
+        )
         .select(id_col, vec_col)
         .mapInPandas(partial_topk, out_schema)
     )
@@ -1567,7 +1579,18 @@ def pq_topk(
     codegen'd long/double arithmetic against one literal LUT — no
     Python, no join, m bytes of index per row. Returns
     (id, score_pq) ordered score desc, id asc (the exact_knn_join
-    tie-break)."""
+    tie-break).
+
+    Corrupt-code contract (r12, the xlsx cell-dirt taxonomy applied
+    to the index): the data-dependent array reads use ``F.get`` —
+    0-based, NULL on ANY invalid index — so a code row that is
+    out-of-range, negative, or truncated (fewer than m codes) scores
+    NULL and is dropped, never retrieved. ``element_at`` here would
+    either ABORT the whole scan on one dirty row (ANSI) or, for a
+    negative code, silently index from the array's END and return a
+    valid-looking wrong score. The LUT side keeps ``element_at``
+    with the literal subspace index (always valid by construction).
+    Pinned by tests/test_vectors.py and the hostile-index battery."""
     import numpy as np
 
     q = np.asarray(list(query_vec), dtype=np.float64)
@@ -1592,12 +1615,11 @@ def pq_topk(
     )
     score = None
     for s in range(m):
-        term = F.element_at(
-            F.element_at(lut, s + 1), F.element_at("codes", s + 1) + 1
-        )
+        term = F.get(F.element_at(lut, s + 1), F.get(F.col("codes"), s))
         score = term if score is None else score + term
     return (
         codes_df.select(F.col(id_col), F.round(score, 6).alias("score_pq"))
+        .filter(F.col("score_pq").isNotNull())
         .orderBy(F.col("score_pq").desc(), id_col)
         .limit(k)
     )
@@ -1789,6 +1811,13 @@ def read_ivfpq_meta(path: str) -> dict:
             f"ivf_pq index at {path!r} has no readable metadata "
             f"({e}); refusing to touch it — rebuild with ivf_pq_index"
         ) from None
+    if not isinstance(meta, dict):
+        # valid JSON but not a metadata object ([], a string, ...) —
+        # found by the hostile-index battery (r12)
+        raise ValueError(
+            f"ivf_pq index metadata at {path!r} is not an object "
+            f"({type(meta).__name__}) — rebuild with ivf_pq_index"
+        )
     if meta.get("version") != IVFPQ_META_VERSION:
         raise ValueError(
             f"ivf_pq index metadata version {meta.get('version')!r} != "

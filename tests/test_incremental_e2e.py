@@ -189,3 +189,87 @@ def test_incremental_corpus_loop_matches_batch_twins(spark, sf_dir, tmp_path):
     for q_id, _v in queries:
         top = max(by_q[q_id])
         assert top[1] == q_id and abs(top[0] - 1.0) < 1e-6
+
+
+def test_incremental_lever_precision_banding(spark, sf_dir, tmp_path):
+    """The d03 bands lever (r11: (32,4) = 2.5x faster at 99.6% doc
+    recall at sf5) cashed into the INCREMENTAL family (VERDICT r11
+    item 6): the same (num_hashes, bands) knob threads through
+    banded_minhash -> incremental_near_dups -> the streaming twin,
+    and at the precision setting the paths still agree with each
+    other. Pins:
+    - stream flags == batch flags at (32,4) (the lever setting, not
+      just the gate's (16,4) portability config);
+    - r=8 banding is strictly more precise: every (32,4) hit is a
+      (32,8) hit (fewer junk candidates is WHY it is 2.5x faster).
+    """
+    import json as _json
+    import time as _time
+
+    from parquet_pipeline_spark.operators.dedup import (
+        banded_minhash,
+        incremental_near_dups,
+    )
+    from parquet_pipeline_spark.streaming.events import (
+        streaming_incremental_dedup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter("doc_id % 5 != 0").select("doc_id", "text")
+    batch = docs.filter("doc_id % 5 = 0").select("doc_id", "text")
+
+    flags_by_cfg = {}
+    for bands in (8, 4):
+        flags_by_cfg[bands] = {
+            r["doc_id"]: (r["dup_of"], r["is_dup"])
+            for r in incremental_near_dups(
+                batch,
+                banded_minhash(corpus, num_hashes=32, bands=bands),
+                num_hashes=32,
+                bands=bands,
+            ).collect()
+        }
+    # precision monotonicity: a (32,4) band match means 8 consecutive
+    # signature positions agree, which implies both covering (32,8)
+    # 4-position bands agree -> every precise hit is a base hit
+    for doc_id, (dup_of, is_dup) in flags_by_cfg[4].items():
+        if is_dup:
+            assert flags_by_cfg[8][doc_id][1] == 1, doc_id
+    assert sum(f for _, f in flags_by_cfg[4].values()) <= sum(
+        f for _, f in flags_by_cfg[8].values()
+    )
+
+    # streaming twin at the lever setting
+    idx = str(tmp_path / "idx32x4")
+    banded_minhash(corpus, num_hashes=32, bands=4).write.partitionBy(
+        "band_id"
+    ).parquet(idx)
+    src = tmp_path / "stream32x4"
+    src.mkdir()
+    rows = [
+        {"doc_id": r["doc_id"], "text": r["text"]}
+        for r in batch.orderBy("doc_id").limit(40).collect()
+    ]
+    p = src / "b0.jsonl"
+    p.write_text("\n".join(_json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    dest = str(tmp_path / "flags32x4")
+    q = streaming_incremental_dedup(
+        stream, idx, dest, str(tmp_path / "ck32x4"),
+        num_hashes=32, bands=4, update_index=False,
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["doc_id"]: (r["dup_of"], r["is_dup"])
+        for r in spark.read.parquet(dest)
+        .select("doc_id", "dup_of", "is_dup")
+        .collect()
+    }
+    want = {r["doc_id"] for r in rows}
+    assert set(streamed) == want
+    for doc_id in want:
+        assert streamed[doc_id] == flags_by_cfg[4][doc_id], doc_id

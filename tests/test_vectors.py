@@ -738,3 +738,38 @@ def test_ivf_pq_build_cache_reuses_index(spark):
     finally:
         _IVFPQ_BUILD_CACHE.clear()
         _IVFPQ_BUILD_CACHE.update(before)
+
+
+def test_pq_topk_corrupt_codes_are_cell_level(spark):
+    """The ADC scan's dirty-row contract: out-of-range, negative, or
+    truncated code arrays score NULL and are DROPPED — one corrupt
+    index row must neither abort the scan (ANSI element_at) nor
+    silently index from the array end (negative element_at) — and
+    clean rows' scores are untouched."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.vectors import pq_encode, pq_topk, pq_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 200))
+    books = pq_train(corpus, m=8, k_codes=16, sample=128)
+    codes = pq_encode(corpus, books)
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    clean = {r["vec_id"]: r["score_pq"] for r in pq_topk(codes, books, qv, k=50).collect()}
+
+    dirty_rows = [
+        (900001, [999, 0, 0, 0, 0, 0, 0, 0]),   # out of range
+        (900002, [-1, 0, 0, 0, 0, 0, 0, 0]),    # element_at would abort (index 0)
+        (900003, [-4, 0, 0, 0, 0, 0, 0, 0]),    # element_at would SILENTLY wrap
+        (900004, [0, 0, 0]),                     # truncated (m=8 expected)
+        (900005, None),                          # null codes
+    ]
+    dirty = codes.unionByName(
+        spark.createDataFrame(dirty_rows, "vec_id long, codes array<int>")
+    )
+    got = {r["vec_id"]: r["score_pq"] for r in pq_topk(dirty, books, qv, k=50).collect()}
+    assert not any(v >= 900001 for v in got), "corrupt row retrieved"
+    assert got == clean  # clean scores byte-identical

@@ -1,0 +1,389 @@
+"""Tenth adversarial battery: hostile PERSISTED-INDEX artifacts
+(VERDICT r11 item 5).
+
+The engine reads back several kinds of self-written state — the
+minhash band index (d10/d11/s01), the IVF and IVF-PQ vector indexes
+(a09/a15/a16), and streaming checkpoints — but until r12 only
+parquet-lake reads (i09/i10) and xlsx containers had hostile-input
+batteries. This one fuzzes the index artifacts themselves. Contract
+taxonomy (the zip battery's):
+
+- STRUCTURAL damage (truncated parquet footer, missing metadata,
+  future metadata version, drifted model fingerprint) must be LOUD —
+  a raise, never silently-partial results.
+- CELL-LEVEL dirt (a code row that is out-of-range / negative /
+  truncated / NULL; an embedding of the wrong dimension; an index
+  row in a cell no centroid defines) must stay cell-level: the dirty
+  row is excluded ("not a candidate" / dead row), clean rows'
+  results are BYTE-IDENTICAL to a clean index, and the job finishes.
+- CHECKPOINT staleness (re-run against the same checkpoint; index
+  snapshot rebuilt under a live checkpoint) must preserve
+  exactly-once flags semantics: committed batches are not
+  reprocessed, new batches flag against the CURRENT index.
+
+Usage: python tools/adversarial_index_check.py [seed]
+Prints PASS/FAIL per check; exits 1 on any failure.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _truncate_one_parquet(root: str, rng: random.Random) -> str:
+    """Chop a random tail off one data file (corrupt footer)."""
+    files = sorted(glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True))
+    victim = files[rng.randrange(len(files))]
+    size = os.path.getsize(victim)
+    keep = rng.randrange(1, max(size // 2, 2))
+    with open(victim, "rb") as fh:
+        head = fh.read(keep)
+    with open(victim, "wb") as fh:
+        fh.write(head)
+    return victim
+
+
+def check_minhash_index(spark, tmp, rng) -> list[str]:
+    from parquet_pipeline_spark.operators.dedup import (
+        banded_minhash,
+        incremental_near_dups,
+    )
+
+    errs: list[str] = []
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    corpus = docs.filter("doc_id % 5 != 0 AND doc_id < 500")
+    batch = docs.filter("doc_id % 5 = 0 AND doc_id < 500")
+
+    def flags_of(index_df):
+        return sorted(
+            (r["doc_id"], r["dup_of"], r["is_dup"])
+            for r in incremental_near_dups(
+                batch, index_df, num_hashes=16, bands=4, hash_fn="md5"
+            ).collect()
+        )
+
+    clean_path = os.path.join(tmp, "mh_clean")
+    banded_minhash(corpus, num_hashes=16, bands=4, hash_fn="md5").write.partitionBy(
+        "band_id"
+    ).parquet(clean_path)
+    clean = flags_of(spark.read.parquet(clean_path))
+
+    # truncated data file -> LOUD at action time
+    broken_path = os.path.join(tmp, "mh_trunc")
+    banded_minhash(corpus, num_hashes=16, bands=4, hash_fn="md5").write.partitionBy(
+        "band_id"
+    ).parquet(broken_path)
+    _truncate_one_parquet(broken_path, rng)
+    try:
+        flags_of(spark.read.parquet(broken_path))
+        errs.append("truncated minhash index produced flags silently")
+    except Exception:  # noqa: BLE001 — loud is the contract
+        pass
+
+    # mixed schema: band_hash column dropped -> LOUD analysis error
+    narrow_path = os.path.join(tmp, "mh_narrow")
+    spark.read.parquet(clean_path).drop("band_hash").write.parquet(narrow_path)
+    try:
+        flags_of(spark.read.parquet(narrow_path))
+        errs.append("band_hash-less index joined silently")
+    except Exception:  # noqa: BLE001
+        pass
+
+    # type-coerced index (band_hash stringified): must not DIVERGE
+    # silently — either refuse or produce the clean flags (numeric
+    # strings cast back losslessly under Spark's join coercion)
+    s_path = os.path.join(tmp, "mh_str")
+    spark.read.parquet(clean_path).withColumn(
+        "band_hash", F.col("band_hash").cast("string")
+    ).write.parquet(s_path)
+    try:
+        got = flags_of(spark.read.parquet(s_path))
+        if got != clean:
+            errs.append("stringified band_hash index DIVERGED silently")
+    except Exception:  # noqa: BLE001
+        pass
+    return errs
+
+
+def check_ivfpq_index(spark, tmp, rng) -> list[str]:
+    from parquet_pipeline_spark.operators.vectors import (
+        ivf_centroids,
+        ivf_pq_append,
+        ivf_pq_index,
+        ivf_pq_topk,
+        pq_train,
+    )
+
+    errs: list[str] = []
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 400))
+    batch = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450))
+    cents = ivf_centroids(corpus, k=8)
+    books = pq_train(corpus, m=8, k_codes=16, sample=256)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+    clean_path = os.path.join(tmp, "pq_clean")
+    ivf_pq_index(corpus, cents, books, clean_path)
+    full_probe = dict(nprobe=len(cents), k=10, shortlist=500)
+    clean = [
+        tuple(r)
+        for r in ivf_pq_topk(
+            spark, clean_path, cents, books, corpus, 0, qv, **full_probe
+        ).collect()
+    ]
+
+    # cell-level dirt: corrupt code rows + rows in an unknown cell.
+    # Injected the hostile way — straight into the parquet tree, not
+    # through our writers.
+    dirty_path = os.path.join(tmp, "pq_dirty")
+    ivf_pq_index(corpus, cents, books, dirty_path)
+    oob = rng.randrange(16, 1000)
+    neg = -rng.randrange(1, 8)
+    dirty_rows = spark.createDataFrame(
+        [
+            (800001, [oob] + [0] * 7, 0),
+            (800002, [neg] + [0] * 7, 1),
+            (800003, [0, 0, 0], 2),          # truncated codes
+            (800004, None, 3),               # null codes
+            (800005, [0] * 8, 99),           # cell no centroid defines
+        ],
+        "vec_id long, codes array<int>, cell int",
+    )
+    dirty_rows.write.mode("append").partitionBy("cell").parquet(dirty_path)
+    try:
+        got = [
+            tuple(r)
+            for r in ivf_pq_topk(
+                spark, dirty_path, cents, books, corpus, 0, qv, **full_probe
+            ).collect()
+        ]
+        if any(row[0] >= 800001 for row in got):
+            errs.append("corrupt/unknown-cell code row was retrieved")
+        elif got != clean:
+            errs.append("cell-level dirt changed CLEAN rows' results")
+    except Exception as e:  # noqa: BLE001
+        errs.append(f"cell-level code dirt aborted the probe: {type(e).__name__}")
+
+    # structural damage: truncated data file -> LOUD
+    trunc_path = os.path.join(tmp, "pq_trunc")
+    ivf_pq_index(corpus, cents, books, trunc_path)
+    _truncate_one_parquet(trunc_path, rng)
+    try:
+        ivf_pq_topk(spark, trunc_path, cents, books, corpus, 0, qv, **full_probe).collect()
+        errs.append("truncated PQ index probed silently")
+    except Exception:  # noqa: BLE001
+        pass
+
+    # metadata fuzz: garbage bytes / random json / missing / version /
+    # drifted hashes must all REFUSE an append, leaving bytes alone
+    meta_path = os.path.join(clean_path, "_ivfpq_meta.json")
+    with open(meta_path) as fh:
+        good_meta = fh.read()
+    n0 = spark.read.parquet(clean_path).count()
+    hostile_metas = [
+        bytes(rng.randrange(256) for _ in range(rng.randrange(1, 64))),
+        b"[]",
+        b"{}",
+        json.dumps({**json.loads(good_meta), "version": 2 + rng.randrange(98)}).encode(),
+        json.dumps({**json.loads(good_meta), "codebook_hash": "%032x" % rng.getrandbits(128)}).encode(),
+        json.dumps({**json.loads(good_meta), "n_cells": 999}).encode(),
+    ]
+    for blob in hostile_metas:
+        with open(meta_path, "wb") as fh:
+            fh.write(blob)
+        try:
+            ivf_pq_append(spark, clean_path, batch, cents, books)
+            errs.append(f"append accepted hostile metadata {blob[:24]!r}")
+        except ValueError:
+            pass
+        except Exception as e:  # noqa: BLE001
+            errs.append(
+                f"hostile metadata {blob[:24]!r} raised {type(e).__name__}, want ValueError"
+            )
+    os.remove(meta_path)
+    try:
+        ivf_pq_append(spark, clean_path, batch, cents, books)
+        errs.append("append accepted a metadata-less index")
+    except ValueError:
+        pass
+    with open(meta_path, "w") as fh:
+        fh.write(good_meta)
+    if spark.read.parquet(clean_path).count() != n0:
+        errs.append("a refused append mutated the index")
+    return errs
+
+
+def check_ivf_dim_mismatch(spark, tmp, rng) -> list[str]:
+    from parquet_pipeline_spark.operators.vectors import (
+        ivf_centroids,
+        ivf_knn_join,
+        write_ivf_index,
+    )
+
+    errs: list[str] = []
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 400))
+    cents = ivf_centroids(corpus, k=4)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+    path = os.path.join(tmp, "ivf_dim")
+    write_ivf_index(corpus, cents, path)
+    clean = [
+        tuple(r)
+        for r in ivf_knn_join(spark, path, cents, [(0, qv)], k=10, nprobe=4).collect()
+    ]
+    # a wrong-LENGTH embedding appended into a probed cell (same
+    # element type as the index — a type change is mixed-schema and
+    # loud by contract): its cosine is NULL (zip_with pads with
+    # NULL) -> "not a candidate"
+    dim = rng.choice([8, 32, 96])
+    spark.createDataFrame(
+        [(800009, [1.0] * dim, int(cents[0][0]))],
+        "vec_id long, embedding array<float>, cell int",
+    ).write.mode("append").partitionBy("cell").parquet(path)
+    try:
+        got = [
+            tuple(r)
+            for r in ivf_knn_join(spark, path, cents, [(0, qv)], k=10, nprobe=4).collect()
+        ]
+        if any(row[1] == 800009 for row in got):
+            errs.append("wrong-dimension embedding was retrieved")
+        elif got != clean:
+            errs.append("dim-mismatch row changed clean results")
+    except Exception as e:  # noqa: BLE001
+        errs.append(f"dim-mismatch row aborted the probe: {type(e).__name__}")
+    return errs
+
+
+def check_checkpoint_staleness(spark, tmp, rng) -> list[str]:
+    from parquet_pipeline_spark.operators.dedup import banded_minhash
+    from parquet_pipeline_spark.streaming.events import (
+        streaming_incremental_dedup,
+    )
+
+    errs: list[str] = []
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    corpus_v1 = docs.filter("doc_id % 5 != 0 AND doc_id < 300")
+    corpus_v2 = docs.filter("doc_id % 5 != 0 AND doc_id < 600")  # newer snapshot
+    idx = os.path.join(tmp, "ck_idx")
+    banded_minhash(corpus_v1, num_hashes=16, bands=4, hash_fn="md5").write.partitionBy(
+        "band_id"
+    ).parquet(idx)
+
+    src = os.path.join(tmp, "ck_src")
+    os.makedirs(src)
+    texts = [r["text"] for r in docs.filter("doc_id % 5 = 0").limit(3).collect()]
+    now = time.time()
+
+    def add_batch(i: int):
+        p = os.path.join(src, f"b{i}.jsonl")
+        with open(p, "w") as fh:
+            fh.write(json.dumps({"doc_id": 810000 + i, "text": texts[i]}))
+        os.utime(p, (now + i, now + i))
+
+    dest = os.path.join(tmp, "ck_flags")
+    ck = os.path.join(tmp, "ck_ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = streaming_incremental_dedup(
+            stream, idx, dest, ck, num_hashes=16, bands=4, hash_fn="md5",
+            update_index=False,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream did not finish")
+
+    add_batch(0)
+    run()
+    first = sorted(
+        map(tuple, spark.read.parquet(dest).select("doc_id", "dup_of", "is_dup").collect())
+    )
+    if len(first) != 1:
+        errs.append(f"first run wrote {len(first)} flag rows, want 1")
+
+    # stale checkpoint + NEWER index snapshot + a new batch: the new
+    # batch must process against the CURRENT index; committed batch 0
+    # must not be reprocessed (its flags stay byte-identical even
+    # though the index underneath changed)
+    import shutil
+
+    shutil.rmtree(idx)
+    banded_minhash(corpus_v2, num_hashes=16, bands=4, hash_fn="md5").write.partitionBy(
+        "band_id"
+    ).parquet(idx)
+    add_batch(1)
+    run()
+    second = sorted(
+        map(tuple, spark.read.parquet(dest).select("doc_id", "dup_of", "is_dup").collect())
+    )
+    if len(second) != 2:
+        errs.append(f"stale-checkpoint rerun wrote {len(second)} rows, want 2")
+    if [r for r in second if r[0] == 810000] != [r for r in first if r[0] == 810000]:
+        errs.append("committed batch was reprocessed under the newer snapshot")
+
+    # idle re-run: nothing new -> nothing changes
+    run()
+    third = sorted(
+        map(tuple, spark.read.parquet(dest).select("doc_id", "dup_of", "is_dup").collect())
+    )
+    if third != second:
+        errs.append("idle checkpoint re-run changed the flags sink")
+    return errs
+
+
+def main() -> None:
+    import tempfile
+
+    from parquet_pipeline_spark.session import get_spark, warm_up
+
+    seed = int(sys.argv[1]) if len(sys.argv) > 1 else 7
+    spark = get_spark("adversarial_index_check")
+    warm_up(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    checks = [
+        ("minhash_index", check_minhash_index),
+        ("ivfpq_index", check_ivfpq_index),
+        ("ivf_dim_mismatch", check_ivf_dim_mismatch),
+        ("checkpoint_staleness", check_checkpoint_staleness),
+    ]
+    failed = 0
+    for name, fn in checks:
+        rng = random.Random(seed * 1009 + hash(name) % 997)
+        tmp = tempfile.mkdtemp(prefix=f"idxbat_{name}_")
+        try:
+            errs = fn(spark, tmp, rng)
+        except Exception as e:  # noqa: BLE001
+            errs = [f"check crashed: {type(e).__name__}: {e}"]
+        if errs:
+            failed += 1
+            print(f"FAIL  {name} (seed {seed})")
+            for e in errs:
+                print(f"      - {e}")
+        else:
+            print(f"PASS  {name} (seed {seed})")
+    print("all green" if not failed else f"{failed} checks failed")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()

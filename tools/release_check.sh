@@ -5,30 +5,33 @@ cd "$(dirname "$0")/.."
 
 fail=0
 
-echo "=== 1/8 oracle gate (sf0.01) ==="
+echo "=== 1/9 oracle gate (sf0.01) ==="
 python tools/check_oracle.py | tail -1 || fail=1
 
-echo "=== 2/8 test suite ==="
+echo "=== 2/9 test suite ==="
 python -m pytest tests/ -q 2>&1 | tail -1 || fail=1
 
-echo "=== 3/8 differential fuzz (100 cases) ==="
+echo "=== 3/9 differential fuzz (100 cases) ==="
 python tools/fuzz_oracle.py 100 "${FUZZ_SEED:-7}" 2>/dev/null | tail -1 || fail=1
 
-echo "=== 4/8 adversarial all-dirty fixture (full oracled registry) ==="
+echo "=== 4/9 adversarial all-dirty fixture (full oracled registry) ==="
 # composes all six dirty fixtures incl. dims (tools/adversarial_*_check.py
 # run them individually for failure isolation)
 python tools/adversarial_all_check.py "${FUZZ_SEED:-7}" 2>/dev/null | tail -1 || fail=1
 
-echo "=== 5/8 adversarial dirty SOURCE files (readers) ==="
+echo "=== 5/9 adversarial dirty SOURCE files (readers) ==="
 python tools/adversarial_sources_check.py "${FUZZ_SEED:-7}" 2>/dev/null | tail -1 || fail=1
 
-echo "=== 6/8 adversarial NL-planner fuzz ==="
+echo "=== 6/9 adversarial NL-planner fuzz ==="
 python tools/adversarial_planner_check.py "${FUZZ_SEED:-7}" 2>/dev/null | tail -1 || fail=1
 
-echo "=== 7/8 adversarial hostile OOXML/zip containers ==="
+echo "=== 7/9 adversarial hostile OOXML/zip containers ==="
 python tools/adversarial_zip_check.py "${FUZZ_SEED:-7}" 2>/dev/null | tail -1 || fail=1
 
-echo "=== 8/8 bench ==="
+echo "=== 8/9 adversarial hostile persisted-index artifacts ==="
+python tools/adversarial_index_check.py "${FUZZ_SEED:-7}" 2>/dev/null | tail -1 || fail=1
+
+echo "=== 9/9 bench ==="
 python bench.py 2>/dev/null | tail -1 || fail=1
 
 exit $fail
