@@ -99,6 +99,29 @@ CALIBRATION_PINS_BY_SF = {
     },
 }
 
+# Previous-generation bases, kept for the continuity fields
+# (``*_oldbase``: local mechanism against these; ``*_legacy``:
+# endpoint mechanism against these — the exact semantics r5–r10 rows
+# carry). r5 for sf0.1, r9 for sf5. Never update these: they are the
+# fixed reference the old-vs-new mapping in BENCH_NOTES
+# §Recalibration is expressed against.
+OLD_CALIBRATION_PINS_BY_SF = {
+    0.1: {
+        "q01_pricing_summary": 0.473,
+        "q08_join_multiway": 0.916,
+        "d01_exact_dedup": 0.246,
+        "t05_token_count": 0.179,
+        "v01_cosine_topk": 0.423,
+    },
+    5.0: {
+        "q01_pricing_summary": 1.759,
+        "q08_join_multiway": 10.650,
+        "d01_exact_dedup": 0.813,
+        "t05_token_count": 0.197,
+        "v01_cosine_topk": 1.497,
+    },
+}
+
 
 # How many suite queries run between interleaved pin samples. Wider
 # at sf5 because one pin-set pass costs ~15 s there (q08 alone is
@@ -106,7 +129,7 @@ CALIBRATION_PINS_BY_SF = {
 PIN_SAMPLE_EVERY_BY_SF = {0.1: 5, 5.0: 8}
 
 
-def _pin_sample(spark, sf_dir: str, pins: dict, registry) -> float:
+def _pin_sample(spark, sf_dir: str, pins: dict, registry) -> dict:
     """One calibration sample: run the pin set NOW and return the
     median of measured/pinned ratios. Sampled repeatedly
     through the run (VERDICT r10 item 1): the five pins used to run
@@ -124,9 +147,14 @@ def _pin_sample(spark, sf_dir: str, pins: dict, registry) -> float:
     single-shot samples read ~1.2 while the pins' own suite medians
     read ~1.0. The min of two back-to-back runs matches the base's
     warmth and still reflects sustained external load, which slows
-    both runs."""
-    ratios = []
-    for name, base in pins.items():
+    both runs.
+
+    Returns the RAW per-pin times (r12): ratio-making moved into
+    ``calibration`` so one run can be normalized against both the
+    current bases and the previous generation's (the continuity row
+    VERDICT r11 item 1 requires when bases are re-derived)."""
+    times: dict[str, float] = {}
+    for name in pins:
         fn = registry.QUERIES[name]
         best = None
         for _ in range(2):
@@ -134,8 +162,13 @@ def _pin_sample(spark, sf_dir: str, pins: dict, registry) -> float:
             fn(spark, sf_dir).count()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
-        ratios.append(best / base)
-    ratios.sort()
+        times[name] = best
+    return times
+
+
+def _sample_factor(times: dict[str, float], pins: dict[str, float]) -> float:
+    """median of measured/base ratios for one interleaved sample."""
+    ratios = sorted(times[n] / base for n, base in pins.items())
     return ratios[len(ratios) // 2]
 
 
@@ -143,7 +176,7 @@ def calibration(
     timings: dict,
     sf: float,
     total: float,
-    samples: list[float],
+    samples: list[dict],
     groups: dict[str, int],
 ) -> dict:
     """Normalized-total fields, or {} when the run is not comparable.
@@ -169,47 +202,77 @@ def calibration(
     cross-checkable (BENCH_NOTES §Interleaved local calibration).
     """
     pins = CALIBRATION_PINS_BY_SF.get(sf)
+    old_pins = OLD_CALIBRATION_PINS_BY_SF.get(sf)
     if pins is None or not set(HEADLINE) <= set(timings):
         return {}
     if not all(n in timings for n in pins):
         return {}
-    legacy = sorted(timings[n] / pin for n, pin in pins.items())
+    legacy = sorted(timings[n] / pin for n, pin in old_pins.items())
     legacy_cal = legacy[len(legacy) // 2]  # median: robust to one outlier
     out = {
+        # Versioned (ADVICE r11): calibration_factor/value_normalized
+        # changed SEMANTICS in r11 (endpoint factor → interleaved
+        # local normalization) while keeping their historical keys, so
+        # band comparisons across rounds could silently mix the two
+        # definitions. Schema 2 = interleaved-local over the r12 pin
+        # bases; rows without the field are schema 1 (endpoint, r5/r9
+        # bases). Downstream checks must compare within one schema —
+        # the old-vs-new mapping lives in BENCH_NOTES §Recalibration.
+        # *_legacy keeps its historical meaning exactly: endpoint
+        # factor against the OLD (r5/r9) bases, comparable with
+        # r5–r10 rows.
+        "calibration_schema": 2,
         "calibration_factor_legacy": round(legacy_cal, 3),
         "value_normalized_legacy": round(total / legacy_cal, 3),
     }
     if len(samples) >= 2 and groups:
         n_groups = max(groups.values()) + 1
-        # group g is bracketed by samples[g] (taken just before it)
-        # and samples[g+1]; a missing tail sample falls back to the
-        # last one available
-        def local(g: int) -> float:
-            lo = samples[min(g, len(samples) - 1)]
-            hi = samples[min(g + 1, len(samples) - 1)]
-            return (lo * hi) ** 0.5
 
-        norm_total = sum(t / local(groups[n]) for n, t in timings.items())
-        cal = statistics.median(samples)
-        out.update(
-            {
-                "calibration_factor": round(cal, 3),
-                "value_normalized": round(norm_total, 3),
-                "calibration_samples": [round(s, 3) for s in samples],
-                "calibration_groups": n_groups,
-                # a sub-minute burst between two samples is
-                # UNRECOVERABLE at this sampling granularity (no
-                # mechanism can know which of a query's 3 repeats it
-                # hit) — but it IS detectable. Flagged runs should be
-                # discounted and re-run rather than trusted.
-                "calibration_burst_detected": max(samples) / min(samples) > 1.5,
-            }
-        )
+        def emit(tag: str, base: dict[str, float]) -> None:
+            facs = [_sample_factor(s, base) for s in samples]
+
+            # group g is bracketed by samples[g] (taken just before
+            # it) and samples[g+1]; a missing tail sample falls back
+            # to the last one available
+            def local(g: int) -> float:
+                lo = facs[min(g, len(facs) - 1)]
+                hi = facs[min(g + 1, len(facs) - 1)]
+                return (lo * hi) ** 0.5
+
+            norm_total = sum(t / local(groups[n]) for n, t in timings.items())
+            out.update(
+                {
+                    f"calibration_factor{tag}": round(statistics.median(facs), 3),
+                    f"value_normalized{tag}": round(norm_total, 3),
+                    f"calibration_samples{tag}": [round(s, 3) for s in facs],
+                }
+            )
+            if not tag:
+                out.update(
+                    {
+                        "calibration_groups": n_groups,
+                        # a sub-minute burst between two samples is
+                        # UNRECOVERABLE at this sampling granularity
+                        # (no mechanism can know which of a query's 3
+                        # repeats it hit) — but it IS detectable.
+                        # Flagged runs should be discounted and re-run
+                        # rather than trusted.
+                        "calibration_burst_detected": max(facs) / min(facs) > 1.5,
+                    }
+                )
+
+        emit("", pins)
+        if old_pins is not pins:
+            # continuity: the same run under the previous bases, same
+            # (local) mechanism — comparable with the r11 rows
+            emit("_oldbase", old_pins)
     else:  # pins apply but sampling was disabled — fall back
+        fallback = sorted(timings[n] / pin for n, pin in pins.items())
+        fb = fallback[len(fallback) // 2]
         out.update(
             {
-                "calibration_factor": round(legacy_cal, 3),
-                "value_normalized": round(total / legacy_cal, 3),
+                "calibration_factor": round(fb, 3),
+                "value_normalized": round(total / fb, 3),
             }
         )
     return out
@@ -258,7 +321,7 @@ def main() -> None:
     pin_every = max(
         1, int(os.environ.get("BENCH_PIN_EVERY", PIN_SAMPLE_EVERY_BY_SF.get(sf, 5)))
     )
-    pin_samples: list[float] = []
+    pin_samples: list[dict] = []
     groups: dict[str, int] = {}  # query name -> sample-bracketed group
     if sample_pins:
         # untimed pin pass: compiles the five pin plans so the first

@@ -41,6 +41,14 @@ DEFAULT_NAMES = [
     "a11_hll_accuracy",
     "a12_tdigest_accuracy",
     "d14_minhash_prefilter_verified",
+    # r11/r12 PQ + IVF-ADC family (VERDICT r11 item 8). a15 builds
+    # its index once per process (ivf_pq_build_cached), so with
+    # reps>=2 the median reflects the PROBE — run the repeats and
+    # read the spread to see build vs probe.
+    "a13_pq_recall_floor",
+    "a14_pq_compression",
+    "a15_ivf_pq_recall_floor",
+    "a16_ivf_pq_incremental",
 ]
 
 
