@@ -1,0 +1,73 @@
+"""Unit pins for bench.py's calibration schema (ADVICE r11 / VERDICT
+r11 item 1): versioned output, continuity fields against the frozen
+old bases, and the burst flag. Pure-python — no SparkSession."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+_spec = importlib.util.spec_from_file_location(
+    "bench_for_tests",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"),
+)
+bench = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bench)
+
+
+def _fake_run(pin_scale=1.0):
+    timings = {n: 1.0 for n in bench.HEADLINE}
+    pins = bench.CALIBRATION_PINS_BY_SF[0.1]
+    samples = [
+        {n: v * pin_scale for n, v in pins.items()},
+        {n: v * pin_scale for n, v in pins.items()},
+        {n: v * pin_scale for n, v in pins.items()},
+    ]
+    groups = {n: i // 5 for i, n in enumerate(bench.HEADLINE)}
+    return timings, samples, groups
+
+
+def test_schema_version_and_all_three_normalizations_emitted():
+    timings, samples, groups = _fake_run()
+    out = bench.calibration(timings, 0.1, sum(timings.values()), samples, groups)
+    assert out["calibration_schema"] == 2
+    for key in (
+        "value_normalized",
+        "value_normalized_legacy",
+        "calibration_factor",
+        "calibration_factor_legacy",
+    ):
+        assert key in out, key
+    # old bases are FROZEN: the continuity fields exist and are
+    # computed against OLD_CALIBRATION_PINS_BY_SF, never mutated
+    assert "value_normalized_oldbase" in out
+    assert bench.OLD_CALIBRATION_PINS_BY_SF[0.1]["q01_pricing_summary"] == 0.473
+
+
+def test_factor_scales_normalized_total_inversely():
+    timings, samples, groups = _fake_run(pin_scale=2.0)
+    total = sum(timings.values())
+    out = bench.calibration(timings, 0.1, total, samples, groups)
+    # pins ran 2x their base -> box half speed -> normalized halves
+    assert abs(out["value_normalized"] - total / 2.0) < 1e-6
+    assert out["calibration_burst_detected"] is False
+
+
+def test_burst_detection_flags_flapping_samples():
+    timings, samples, groups = _fake_run()
+    pins = bench.CALIBRATION_PINS_BY_SF[0.1]
+    samples[1] = {n: v * 2.0 for n, v in pins.items()}  # mid-run burst
+    out = bench.calibration(timings, 0.1, sum(timings.values()), samples, groups)
+    assert out["calibration_burst_detected"] is True
+
+
+def test_subset_runs_emit_no_calibration():
+    timings = {"q01_pricing_summary": 1.0}
+    out = bench.calibration(timings, 0.1, 1.0, [], {})
+    assert out == {}
+
+
+def test_unpinned_sf_emits_no_calibration():
+    timings = {n: 1.0 for n in bench.HEADLINE}
+    out = bench.calibration(timings, 0.5, 22.0, [], {})
+    assert out == {}
