@@ -210,6 +210,12 @@ def calibration(
     legacy = sorted(timings[n] / pin for n, pin in old_pins.items())
     legacy_cal = legacy[len(legacy) // 2]  # median: robust to one outlier
     out = {
+        # raw per-pin sample times (r12): lets a recalibration
+        # campaign re-normalize recorded runs against CANDIDATE bases
+        # offline instead of re-running the suite per candidate
+        "calibration_pin_raw": [
+            {n: round(t, 3) for n, t in s.items()} for s in samples
+        ],
         # Versioned (ADVICE r11): calibration_factor/value_normalized
         # changed SEMANTICS in r11 (endpoint factor → interleaved
         # local normalization) while keeping their historical keys, so

@@ -162,7 +162,11 @@ def test_bench_calibration_requires_full_suite():
     full = {n: 1.0 for n in bench.HEADLINE}
     full.update({"e2e_engine_ask": 0.2, "e2e_engine_ask_multi": 0.5})
     groups = {n: i // 5 for i, n in enumerate(full)}
-    samples = [1.0, 1.1, 0.9, 1.0, 1.0, 1.05]
+    # r12 schema: samples are RAW per-pin times (dicts), not factors
+    samples = [
+        {n: v * s for n, v in bench.CALIBRATION_PINS.items()}
+        for s in (1.0, 1.1, 0.9, 1.0, 1.0, 1.05)
+    ]
     out = bench.calibration(full, 0.1, 10.0, samples, groups)
     assert "calibration_factor" in out and "value_normalized" in out
     # r11: with interleaved samples the endpoint factor rides along
