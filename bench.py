@@ -57,20 +57,28 @@ HEADLINE = [
 
 # Calibration normalization (VERDICT r7 item 3): two rounds in a row
 # the driver-battery total moved ±20% while solo re-runs were flat —
-# shared-box concurrency, not code. These five queries' operators
-# have been untouched since r5 (the drift-adjudication probes of
-# BENCH_NOTES r6/r7), so their full-suite r5 medians are pinned here
-# and any uniform movement in them measures the BOX, not the code:
-# value_normalized = value ÷ median(measured_pin / pinned_pin).
-# Valid only for the default suite at sf0.1 (pins are full-suite
-# composition at that sf — BENCH_NOTES §Methodology: subset runs are
-# not comparable); omitted otherwise.
+# shared-box concurrency, not code. Five probe queries' medians are
+# pinned here; any uniform movement in them measures the BOX, not
+# the code: value_normalized = value ÷ median(measured_pin /
+# pinned_pin). Valid only for the default suite at sf0.1 (pins are
+# full-suite composition at that sf — BENCH_NOTES §Methodology:
+# subset runs are not comparable); omitted otherwise.
+#
+# Bases are the r12 recalibration campaign's medians (4 burst-clean
+# solo runs; BENCH_NOTES §r12 recalibration). The original r5 bases
+# stopped co-moving with the suite for TWO reasons the campaign
+# separated: nonuniform box drift, and r11 CODE wins inside the pin
+# set itself (q01 0.473→0.322, q08 0.916→0.772 are real plan
+# improvements — dividing by their old bases penalized them).
+# Standing rule: a code change that touches a pin query's plan
+# invalidates that pin's base — re-derive it in the same round or
+# the factor starts measuring the diff instead of the box.
 CALIBRATION_PINS = {
-    "q01_pricing_summary": 0.473,
-    "q08_join_multiway": 0.916,
-    "d01_exact_dedup": 0.246,
-    "t05_token_count": 0.179,
-    "v01_cosine_topk": 0.423,
+    "q01_pricing_summary": 0.322,
+    "q08_join_multiway": 0.772,
+    "d01_exact_dedup": 0.234,
+    "t05_token_count": 0.195,
+    "v01_cosine_topk": 0.409,
 }
 
 # sf5 pin set (VERDICT r8 item 2): the sf0.1 pins only probe the
@@ -83,20 +91,27 @@ CALIBRATION_PINS = {
 # pins normalize the driver battery.
 CALIBRATION_PINS_BY_SF = {
     0.1: CALIBRATION_PINS,
-    # r9 base: per-pin min of the medians from two solo back-to-back
-    # full-suite runs (totals 65.6/65.3 s). The r7→r8 sf5 drift
-    # (57.7 → ~65.5) reproduced exactly on untouched code and is
-    # concentrated in the scan-bound queries (q02/q08/q09 +24-43%)
-    # while CPU-bound ones (v01/v02/d01/d03) are flat — a stable
-    # environment-level shift in the large-working-set regime, now
-    # absorbed into this base rather than re-litigated per round.
+    # r12 base: campaign medians from five burst-clean solo headline
+    # runs at .scaledata/sf5 (BENCH_NOTES §r12 recalibration). The r9
+    # bases carried the pre-r11 q01/q08/v01 plans; the same code wins
+    # that invalidated the sf0.1 pins invalidated these.
     5.0: {
-        "q01_pricing_summary": 1.759,
-        "q08_join_multiway": 10.650,
-        "d01_exact_dedup": 0.813,
-        "t05_token_count": 0.197,
-        "v01_cosine_topk": 1.497,
+        "q01_pricing_summary": 1.397,
+        "q08_join_multiway": 8.561,
+        "d01_exact_dedup": 0.861,
+        "t05_token_count": 0.184,
+        "v01_cosine_topk": 1.336,
     },
+}
+
+# The published normalized band per sf (BENCH_NOTES §r12
+# recalibration): min−5%…max+5% of the burst-clean campaign runs'
+# new-base normalized totals. Emitted with each row so a BENCH_r*
+# record is self-describing — a reader never has to guess which
+# band generation a value_normalized belongs to.
+NORMALIZED_BAND_BY_SF = {
+    0.1: (11.3, 14.4),
+    5.0: (56.2, 68.5),
 }
 
 # Previous-generation bases, kept for the continuity fields
@@ -254,6 +269,9 @@ def calibration(
                 }
             )
             if not tag:
+                band = NORMALIZED_BAND_BY_SF.get(sf)
+                if band:
+                    out["calibration_band"] = list(band)
                 out.update(
                     {
                         "calibration_groups": n_groups,

@@ -44,6 +44,15 @@ def test_schema_version_and_all_three_normalizations_emitted():
     assert bench.OLD_CALIBRATION_PINS_BY_SF[0.1]["q01_pricing_summary"] == 0.473
 
 
+def test_band_emitted_and_self_describing():
+    timings, samples, groups = _fake_run()
+    out = bench.calibration(timings, 0.1, sum(timings.values()), samples, groups)
+    assert out["calibration_band"] == list(bench.NORMALIZED_BAND_BY_SF[0.1])
+    # raw per-pin samples ride along for offline recalibration
+    assert len(out["calibration_pin_raw"]) == len(samples)
+    assert set(out["calibration_pin_raw"][0]) == set(bench.CALIBRATION_PINS)
+
+
 def test_factor_scales_normalized_total_inversely():
     timings, samples, groups = _fake_run(pin_scale=2.0)
     total = sum(timings.values())
