@@ -1927,6 +1927,44 @@ def ivf_pq_append(
     return n
 
 
+def ivf_pq_compact(spark: SparkSession, index_path: str) -> int:
+    """Compact an appended-to IVF-ADC index back to one file per cell
+    partition. Each ``ivf_pq_append`` lands one-plus part-files in
+    every cell its batch touches, so after N ingest batches a probe
+    of p cells schedules ~N*p tasks over kilobyte files — the same
+    small-file pathology the minhash band index pays, fixed by the
+    same maintenance pass (``compact_partitioned``: one shuffle on
+    ``cell``, pruning-preserving layout, crash-safe tmp+rename swap).
+
+    The metadata sidecar lives INSIDE the index directory, so the
+    swap would drop it: it is read before (which also validates the
+    index has provenance — never compact an index you couldn't
+    append to) and re-written after, with ``appends`` reset to 0 and
+    a ``compactions`` counter bumped. The model fingerprint is
+    untouched — compaction moves bytes, not meaning.
+
+    Crash window: dying between the internal swap and the sidecar
+    rewrite leaves a compacted index WITHOUT metadata — subsequent
+    appends/compactions refuse loudly (read_ivfpq_meta) rather than
+    ever serving or extending an index of unknown provenance; rebuild
+    restores it. A crash before the swap is invisible (the next
+    compact recovers the tmp dir).
+
+    Returns the post-compaction parquet file count."""
+    import json as _json
+    import os as _os
+
+    from parquet_pipeline_spark.sources.writers import compact_partitioned
+
+    meta = read_ivfpq_meta(index_path)
+    n_files = compact_partitioned(spark, index_path, ["cell"])
+    meta["appends"] = 0
+    meta["compactions"] = int(meta.get("compactions", 0)) + 1
+    with open(_os.path.join(index_path, _IVFPQ_META_NAME), "w") as fh:
+        _json.dump(meta, fh)
+    return n_files
+
+
 # Build-once-probe-many (VERDICT r11 item 3): the a15 registry row
 # used to pay a full index BUILD on every call, so its recorded cost
 # said nothing about the probe the operator exists to make cheap.

@@ -652,6 +652,69 @@ def test_ivf_pq_append_lifecycle(spark, tmp_path):
     assert [tuple(r) for r in got_inc.collect()] == [tuple(r) for r in got_re.collect()]
 
 
+def test_ivf_pq_compact_restores_one_file_per_cell(spark, tmp_path):
+    """Index maintenance: appends accumulate one-plus part-files per
+    touched cell; ``ivf_pq_compact`` rewrites to exactly one file per
+    cell directory, preserves every row and probe answer, keeps the
+    model fingerprint, and resets the ``appends`` counter (sidecar
+    survives the swap)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.vectors import (
+        ivf_centroids,
+        ivf_pq_append,
+        ivf_pq_compact,
+        ivf_pq_index,
+        ivf_pq_topk,
+        pq_train,
+        read_ivfpq_meta,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    snap = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 400))
+    cents = ivf_centroids(snap, k=8)
+    books = pq_train(snap, m=8, k_codes=16, sample=256)
+    path = str(tmp_path / "idx.parquet")
+    ivf_pq_index(snap, cents, books, path)
+    for lo, hi in ((400, 500), (500, 600)):
+        batch = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        ivf_pq_append(spark, path, batch, cents, books)
+
+    def files_by_dir():
+        out = {}
+        for root, _dirs, files in os.walk(path):
+            n = sum(f.endswith(".parquet") for f in files)
+            if n:
+                out[root] = n
+        return out
+
+    fp_before = read_ivfpq_meta(path)["codebook_hash"]
+    rows_before = spark.read.parquet(path).count()
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    corpus = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 600))
+    got_before = ivf_pq_topk(
+        spark, path, cents, books, corpus, 0, qv, k=10, nprobe=4
+    ).collect()
+    assert any(n > 1 for n in files_by_dir().values())  # appends fragmented it
+
+    n_files = ivf_pq_compact(spark, path)
+    per_dir = files_by_dir()
+    assert all(n == 1 for n in per_dir.values())
+    assert n_files == len(per_dir)
+    assert spark.read.parquet(path).count() == rows_before
+    meta = read_ivfpq_meta(path)
+    assert meta["codebook_hash"] == fp_before
+    assert meta["appends"] == 0 and meta["compactions"] == 1
+    got_after = ivf_pq_topk(
+        spark, path, cents, books, corpus, 0, qv, k=10, nprobe=4
+    ).collect()
+    assert [tuple(r) for r in got_after] == [tuple(r) for r in got_before]
+
+
 def test_ivf_pq_append_refuses_drifted_models(spark, tmp_path):
     """Staleness contract: codebook drift, centroid drift, missing
     metadata, and a future metadata version must all REFUSE the

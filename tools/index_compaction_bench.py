@@ -88,6 +88,56 @@ def main() -> None:
         out["probe_speedup"] = round(
             out["littered_probe_sec"] / out["compacted_probe_sec"], 2
         )
+
+        # same pathology + same fix on the IVF-PQ retrieval index
+        # (r12: ivf_pq_compact): appends litter the cell partitions,
+        # compaction restores one file per cell
+        from parquet_pipeline_spark.operators.vectors import (
+            ivf_centroids,
+            ivf_pq_append,
+            ivf_pq_compact,
+            ivf_pq_index,
+            ivf_pq_topk,
+            pq_train,
+        )
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        n_emb = emb.count()
+        cents = ivf_centroids(emb, k=16)
+        books = pq_train(emb, m=8, k_codes=256, sample=2048)
+        vidx = os.path.join(tmp, "vidx")
+        ivf_pq_index(emb, cents, books, vidx)
+        out["ivfpq_snapshot_files"] = _n_files(vidx)
+        for i in range(BATCHES):
+            b = emb.orderBy("vec_id").limit(200).withColumn(
+                "vec_id", F.col("vec_id") + (i + 1) * 1_000_000
+            )
+            ivf_pq_append(spark, vidx, b, cents, books)
+        out["ivfpq_littered_files"] = _n_files(vidx)
+
+        qv = emb.orderBy("vec_id").first()["embedding"]
+
+        def vprobe() -> float:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                ivf_pq_topk(
+                    spark, vidx, cents, books, emb, 0, qv, k=20, nprobe=4
+                ).count()
+                best = min(best, time.time() - t0)
+            return round(best, 3)
+
+        out["ivfpq_littered_probe_sec"] = vprobe()
+        t0 = time.time()
+        out["ivfpq_compacted_files"] = ivf_pq_compact(spark, vidx)
+        out["ivfpq_compact_sec"] = round(time.time() - t0, 3)
+        out["ivfpq_compacted_probe_sec"] = vprobe()
+        out["ivfpq_probe_speedup"] = round(
+            out["ivfpq_littered_probe_sec"] / out["ivfpq_compacted_probe_sec"], 2
+        )
+        out["ivfpq_corpus_rows"] = n_emb
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps(out))
