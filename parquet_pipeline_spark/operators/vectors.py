@@ -2029,6 +2029,180 @@ def ivf_pq_topk(
     return exact_knn_join(sub, [(q_id, list(query_vec))], k=k, id_col=id_col, vec_col=vec_col)
 
 
+def ivf_pq_knn_join(
+    spark: SparkSession,
+    index_path: str,
+    centroids,
+    codebooks,
+    emb: DataFrame,
+    query_rows: list,
+    k: int = 10,
+    nprobe: int = 8,
+    shortlist: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched retrieval through the persisted IVF-ADC index: the PQ
+    twin of ``ivf_knn_join`` (a09) and the shape a query STREAM pays
+    at 100 TB — ``ivf_pq_topk`` launches one probe job chain per
+    query (a15's repeat cost is 5 sequential chains), this runs the
+    whole batch in ONE plan: a single partition-pruned scan of the
+    union of all queries' probed cells, one Arrow pass computing
+    every query's ADC scores against its own LUT, one window for the
+    per-query shortlists, one refine join.
+
+    Per-query masking everywhere (the a09 rule): a query only scores
+    code rows whose cell is in ITS probe set, and only re-ranks ITS
+    shortlist — so a query's result never depends on which other
+    queries shared the batch.
+
+    The single-query path builds its LUT as one codegen literal
+    (pq_topk); at batch size that plan would carry nq×m×k_codes
+    literal doubles, so the batch path keeps the LUTs executor-side
+    in the same Arrow-batched numpy kernel ivf_knn_join uses — the
+    per-row work is m table lookups + adds over the (nq, m, k_codes)
+    table, vectorized over the batch.
+
+    Dirty-code contract matches ``pq_topk``'s F.get semantics: a
+    code row that is NULL, truncated, out-of-range, or negative is
+    dropped (never retrieved, never aborts); a row in a cell no
+    query probes is simply never scored."""
+    import numpy as np
+    import pandas as pd
+
+    query_rows = [q for q in query_rows if any(float(x) != 0.0 for x in q[1])]
+    if not query_rows:
+        return spark.createDataFrame([], f"q_id long, {id_col} long, score double")
+    q_ids = np.array([q[0] for q in query_rows], dtype=np.int64)
+    qm = np.array([list(q[1]) for q in query_rows], dtype=np.float64)
+    qn = np.sqrt((qm * qm).sum(axis=1))
+    qn[qn == 0.0] = 1.0
+    qm = qm / qn[:, None]
+    probe_sets = [
+        set(_probe_cells(centroids, list(q[1]), nprobe)) for q in query_rows
+    ]
+    all_cells = sorted(set().union(*probe_sets))
+
+    books = [np.asarray(c, dtype=np.float64) for c in codebooks]
+    m, dsub = len(books), books[0].shape[1]
+    k_codes = books[0].shape[0]
+    # (nq, m, k_codes): luts[j, s, c] = <query j, codebook s entry c>
+    luts = np.stack(
+        [
+            np.stack([books[s] @ qm[j, s * dsub : (s + 1) * dsub] for s in range(m)])
+            for j in range(len(q_ids))
+        ]
+    )
+
+    adc_schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("score_pq", T.DoubleType()),
+        ]
+    )
+    sl = shortlist
+
+    def adc_partial(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            raw = pdf["codes"].tolist()
+            codes = np.array(
+                [
+                    c
+                    if c is not None
+                    and len(c) == m
+                    and all(x is not None for x in c)
+                    else [-1] * m
+                    for c in raw
+                ],
+                dtype=np.int64,
+            )
+            valid = ((codes >= 0) & (codes < k_codes)).all(axis=1)
+            ids, cells, codes = ids[valid], cells[valid], codes[valid]
+            if not len(ids):
+                continue
+            sims = np.zeros((len(q_ids), len(ids)), dtype=np.float64)
+            for s in range(m):
+                sims += luts[:, s, :][:, codes[:, s]]
+            qi_out, id_out, sc_out = [], [], []
+            kk = min(sl, len(ids))
+            for j in range(len(q_ids)):
+                col = np.where(
+                    np.isin(cells, list(probe_sets[j])), sims[j], -np.inf
+                )
+                if len(col) > kk:
+                    thresh = np.partition(col, -kk)[-kk]
+                    cand = np.nonzero(col >= thresh)[0]
+                else:
+                    cand = np.nonzero(col > -np.inf)[0]
+                order = cand[np.lexsort((ids[cand], -col[cand]))][:kk]
+                qi_out.append(np.full(len(order), q_ids[j], dtype=np.int64))
+                id_out.append(ids[order])
+                sc_out.append(col[order])
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(qi_out) if qi_out else [],
+                    id_col: np.concatenate(id_out) if id_out else [],
+                    "score_pq": np.concatenate(sc_out) if sc_out else [],
+                }
+            )
+
+    codes_scan = (
+        spark.read.parquet(index_path)
+        .filter(F.col("cell").isin(all_cells))
+        .select(id_col, "codes", "cell")
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("score_pq").desc(), id_col)
+    short = (
+        codes_scan.mapInPandas(adc_partial, adc_schema)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= sl)
+        .select("q_id", id_col)
+    )
+
+    # exact refine, still per-query: fetch only shortlisted vectors
+    # (one broadcast join onto the corpus — the shortlist union is
+    # nq×shortlist-bounded), score each (q_id, vec_id) PAIR against
+    # that query's vector, window the final top-k
+    refine_in = emb.select(id_col, vec_col).join(F.broadcast(short), id_col)
+    q_index = {int(q): j for j, q in enumerate(q_ids)}
+
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def exact_pairs(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            qs = pdf["q_id"].to_numpy()
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.sqrt((x * x).sum(axis=1))
+            keep = norms > 0.0
+            ids, qs, x, norms = ids[keep], qs[keep], x[keep], norms[keep]
+            if not len(ids):
+                continue
+            qrows = qm[[q_index[int(q)] for q in qs]]
+            scores = (x / norms[:, None] * qrows).sum(axis=1)
+            yield pd.DataFrame({"q_id": qs, id_col: ids, "score": scores})
+
+    wf = W.partitionBy("q_id").orderBy(F.col("score").desc(), id_col)
+    return (
+        refine_in.filter(
+            F.col(vec_col).isNotNull() & (F.size(vec_col) == qm.shape[1])
+        )
+        .mapInPandas(exact_pairs, out_schema)
+        .withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= k)
+        .select("q_id", id_col, F.round("score", 6).alias("score"))
+    )
+
+
 def _register_ivf_pq():
     @register(
         "a15_ivf_pq_recall_floor",
@@ -2219,3 +2393,95 @@ def _register_ivf_pq_incremental():
 
 
 _register_ivf_pq_incremental()
+
+
+def _register_ivf_pq_batch():
+    @register(
+        "a17_ivf_pq_batch_knn",
+        oracle="""
+        WITH q AS (
+          SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 5
+        ), corpus AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE vec_id >= 5 AND vec_id < 2000
+        )
+        SELECT q.q_id, c.vec_id,
+               ROUND(list_cosine_similarity(c.v, q.qv), 6) AS score,
+               TRUE AS batch_ok
+        FROM q, LATERAL (
+          SELECT vec_id, v FROM corpus
+          ORDER BY list_cosine_similarity(v, q.qv) DESC, vec_id
+          LIMIT 20) c
+        """,
+    )
+    def a17_ivf_pq_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Batched IVF-ADC retrieval (ivf_pq_knn_join) on the
+        official record: exact top-20 hash-checked value-for-value,
+        plus a per-query boolean asserting BOTH
+
+        - the batched probe (whole query batch in ONE plan — one
+          pruned scan of the union of probed cells, per-query ADC in
+          one Arrow pass, one refine join) recovers ≥ 40% of the
+          exact top-20 (the a15 floor: identical index, identical
+          nprobe, so the batch path must probe at least as well), and
+        - batch independence: query 0 probed ALONE returns exactly
+          the rows it gets inside the batch — the per-query masking
+          (probe-set mask in the ADC kernel, per-query shortlist in
+          the refine) means co-batched queries can never change a
+          result, the property that makes the operator safe to use
+          as a throughput knob.
+
+        Shares a15's cached index artifact (same corpus slice, same
+        params — deliberately: the lifecycle claim is build once,
+        serve every probe shape from the same bytes)."""
+        import os
+
+        emb = _emb(spark, sf_dir)
+        qrows = [
+            (r["vec_id"], r["embedding"])
+            for r in emb.filter(F.col("vec_id") < 5)
+            .select("vec_id", "embedding")
+            .collect()
+        ]
+        corpus = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 2000))
+        exact = exact_knn_join(corpus, qrows, k=20)
+        path, cents, books = ivf_pq_build_cached(
+            corpus,
+            cache_key=(os.path.realpath(sf_dir), "a15", 5, 2000),
+            k_cells=16,
+            m=8,
+            k_codes=256,
+            sample=2048,
+        )
+        got: dict[int, set] = {}
+        for r in ivf_pq_knn_join(
+            spark, path, cents, books, corpus, qrows, k=20, nprobe=8
+        ).collect():  # bounded: nq × 20
+            got.setdefault(r["q_id"], set()).add((r["vec_id"], r["score"]))
+        solo = {
+            (r["vec_id"], r["score"])
+            for r in ivf_pq_knn_join(
+                spark, path, cents, books, corpus, qrows[:1], k=20, nprobe=8
+            ).collect()
+        }
+        independent = solo == got.get(qrows[0][0], set())
+        exact_ids: dict[int, set] = {}
+        for r in exact.collect():  # bounded: nq × 20
+            exact_ids.setdefault(r["q_id"], set()).add(r["vec_id"])
+        ok_rows = []
+        for q_id, _qv in qrows:
+            if q_id not in exact_ids:
+                continue
+            want = exact_ids[q_id]
+            got_ids = {v for v, _s in got.get(q_id, set())}
+            ok_rows.append(
+                (q_id, independent and len(got_ids & want) >= 0.4 * len(want))
+            )
+        ok = spark.createDataFrame(ok_rows, "q_id long, batch_ok boolean")
+        return exact.join(ok, "q_id").select("q_id", "vec_id", "score", "batch_ok")
+
+    return a17_ivf_pq_batch_knn
+
+
+_register_ivf_pq_batch()

@@ -652,6 +652,53 @@ def test_ivf_pq_append_lifecycle(spark, tmp_path):
     assert [tuple(r) for r in got_inc.collect()] == [tuple(r) for r in got_re.collect()]
 
 
+def test_ivf_pq_knn_join_identity_contract(spark, tmp_path):
+    """The batched ADC probe inherits the composed-index identity:
+    with every cell probed and a corpus-wide shortlist, the batch
+    result for every query IS the exact top-k (same rows, same
+    rounded scores, same tie-break). Also pins the empty-batch and
+    zero-norm-query edges."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.vectors import (
+        exact_knn_join,
+        ivf_centroids,
+        ivf_pq_index,
+        ivf_pq_knn_join,
+        pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    cents = ivf_centroids(corpus, k=8)
+    books = pq_train(corpus, m=8, k_codes=16, sample=256)
+    path = str(tmp_path / "idx.parquet")
+    ivf_pq_index(corpus, cents, books, path)
+
+    qrows = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+    n = corpus.count()
+    got = ivf_pq_knn_join(
+        spark, path, cents, books, corpus, qrows, k=10,
+        nprobe=len(cents), shortlist=n,
+    )
+    want = exact_knn_join(corpus, qrows, k=10)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    empty = ivf_pq_knn_join(spark, path, cents, books, corpus, [], k=10)
+    assert empty.count() == 0
+    dim = len(qrows[0][1])
+    zed = ivf_pq_knn_join(
+        spark, path, cents, books, corpus, [(99, [0.0] * dim)], k=10
+    )
+    assert zed.count() == 0
+
+
 def test_ivf_pq_compact_restores_one_file_per_cell(spark, tmp_path):
     """Index maintenance: appends accumulate one-plus part-files per
     touched cell; ``ivf_pq_compact`` rewrites to exactly one file per

@@ -49,6 +49,7 @@ DEFAULT_NAMES = [
     "a14_pq_compression",
     "a15_ivf_pq_recall_floor",
     "a16_ivf_pq_incremental",
+    "a17_ivf_pq_batch_knn",
 ]
 
 
