@@ -699,6 +699,58 @@ def test_ivf_pq_knn_join_identity_contract(spark, tmp_path):
     assert zed.count() == 0
 
 
+def test_ivf_pq_knn_join_drops_dirty_codes_cell_level(spark, tmp_path):
+    """The batch kernel's validity mask must match pq_topk's F.get
+    contract: code rows that are NULL, truncated, out-of-range, or
+    negative are dropped (never retrieved), rows in a cell no query
+    probes are never scored, and clean rows' results are
+    byte-identical to a clean index."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.vectors import (
+        ivf_centroids,
+        ivf_pq_index,
+        ivf_pq_knn_join,
+        pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    cents = ivf_centroids(corpus, k=8)
+    books = pq_train(corpus, m=8, k_codes=16, sample=256)
+    path = str(tmp_path / "idx.parquet")
+    ivf_pq_index(corpus, cents, books, path)
+    qrows = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+    clean = ivf_pq_knn_join(
+        spark, path, cents, books, corpus, qrows, k=10, nprobe=8
+    ).collect()
+
+    dirt = spark.createDataFrame(
+        [
+            (9_000_001, [999] * 8, 0),  # out-of-range code
+            (9_000_002, [-3] * 8, 0),  # negative
+            (9_000_003, [1, 2, 3], 1),  # truncated
+            (9_000_004, None, 1),  # null codes
+            (9_000_005, [1, None, 2, 3, 4, 5, 6, 7], 2),  # null element
+            (9_000_006, [1] * 8, 93),  # cell no centroid defines
+        ],
+        "vec_id long, codes array<int>, cell int",
+    )
+    dirt.write.mode("append").partitionBy("cell").parquet(path)
+
+    dirty = ivf_pq_knn_join(
+        spark, path, cents, books, corpus, qrows, k=10, nprobe=8
+    ).collect()
+    key = lambda rows: sorted(tuple(r) for r in rows)
+    assert key(dirty) == key(clean)
+    assert not any(r["vec_id"] >= 9_000_000 for r in dirty)
+
+
 def test_ivf_pq_compact_restores_one_file_per_cell(spark, tmp_path):
     """Index maintenance: appends accumulate one-plus part-files per
     touched cell; ``ivf_pq_compact`` rewrites to exactly one file per

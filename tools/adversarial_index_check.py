@@ -177,6 +177,30 @@ def check_ivfpq_index(spark, tmp, rng) -> list[str]:
     except Exception as e:  # noqa: BLE001
         errs.append(f"cell-level code dirt aborted the probe: {type(e).__name__}")
 
+    # same contract through the BATCHED probe (r12, a17): its numpy
+    # validity mask must drop exactly what pq_topk's F.get drops
+    from parquet_pipeline_spark.operators.vectors import ivf_pq_knn_join
+
+    try:
+        clean_b = sorted(
+            tuple(r)
+            for r in ivf_pq_knn_join(
+                spark, clean_path, cents, books, corpus, [(0, qv)], **full_probe
+            ).collect()
+        )
+        got_b = sorted(
+            tuple(r)
+            for r in ivf_pq_knn_join(
+                spark, dirty_path, cents, books, corpus, [(0, qv)], **full_probe
+            ).collect()
+        )
+        if any(row[1] >= 800001 for row in got_b):
+            errs.append("batched probe retrieved a corrupt code row")
+        elif got_b != clean_b:
+            errs.append("cell-level dirt changed batched probe results")
+    except Exception as e:  # noqa: BLE001
+        errs.append(f"code dirt aborted the batched probe: {type(e).__name__}")
+
     # structural damage: truncated data file -> LOUD
     trunc_path = os.path.join(tmp, "pq_trunc")
     ivf_pq_index(corpus, cents, books, trunc_path)
