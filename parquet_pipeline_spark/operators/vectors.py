@@ -2485,3 +2485,119 @@ def _register_ivf_pq_batch():
 
 
 _register_ivf_pq_batch()
+
+
+def _register_streaming_knn():
+    @register(
+        "s03_streaming_knn_equivalence",
+        oracle="""
+        WITH q AS (
+          SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 5
+        ), corpus AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE vec_id >= 5 AND vec_id < 2000
+        )
+        SELECT q.q_id, c.vec_id,
+               ROUND(list_cosine_similarity(c.v, q.qv), 6) AS score,
+               TRUE AS stream_ok
+        FROM q, LATERAL (
+          SELECT vec_id, v FROM corpus
+          ORDER BY list_cosine_similarity(v, q.qv) DESC, vec_id
+          LIMIT 20) c
+        """,
+    )
+    def s03_streaming_knn_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming retrieval ≡ batch retrieval as a HASH-GREEN
+        driver row (the s02 convention applied to the vector layer):
+        the query set streams through ``streaming_knn_probe`` in TWO
+        file micro-batches (foreachBatch → one ivf_pq_knn_join plan
+        per trigger, exactly-once _batch_id dynamic overwrite), and
+        the union of the triggers' outputs must equal one batch
+        ``ivf_pq_knn_join`` of all queries — result-for-result,
+        score-for-score. That equality is exactly a17's
+        batch-independence contract exercised through the real
+        streaming machinery: micro-batch BOUNDARIES are arbitrary,
+        so results must not depend on them.
+
+        Returned rows are the exact top-20 (hash-checked against the
+        oracle's replay) + the per-query ``stream_ok`` boolean;
+        shares a15/a17's cached index artifact."""
+        import json as _json
+        import os as _os
+        import time as _time
+
+        from parquet_pipeline_spark.scratch import scratch_dir
+        from parquet_pipeline_spark.streaming.events import streaming_knn_probe
+
+        emb = _emb(spark, sf_dir)
+        qrows = [
+            (r["vec_id"], r["embedding"])
+            for r in emb.filter(F.col("vec_id") < 5)
+            .select("vec_id", "embedding")
+            .collect()
+        ]
+        corpus = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 2000))
+        path, cents, books = ivf_pq_build_cached(
+            corpus,
+            cache_key=(_os.path.realpath(sf_dir), "a15", 5, 2000),
+            k_cells=16,
+            m=8,
+            k_codes=256,
+            sample=2048,
+        )
+        want: dict[int, set] = {}
+        for r in ivf_pq_knn_join(
+            spark, path, cents, books, corpus, qrows, k=20, nprobe=8
+        ).collect():  # bounded: nq × 20
+            want.setdefault(r["q_id"], set()).add((r["vec_id"], r["score"]))
+
+        tmp = scratch_dir("s03_stream_knn_")
+        src = _os.path.join(tmp, "src")
+        _os.makedirs(src)
+        half = len(qrows) // 2 or 1
+        now = _time.time()
+        for i, chunk in enumerate((qrows[:half], qrows[half:])):
+            if not chunk:
+                continue
+            p = _os.path.join(src, f"b{i}.jsonl")
+            with open(p, "w") as fh:
+                fh.write(
+                    "\n".join(
+                        _json.dumps(
+                            {"vec_id": q, "embedding": [float(x) for x in v]}
+                        )
+                        for q, v in chunk
+                    )
+                )
+            # strictly increasing mtimes: FileStreamSource batch order
+            _os.utime(p, (now + i, now + i))
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        dest = _os.path.join(tmp, "res")
+        q = streaming_knn_probe(
+            stream, path, cents, books, corpus, dest,
+            _os.path.join(tmp, "ckpt"), k=20, nprobe=8,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("s03 streaming probe did not finish in 300s")
+        got: dict[int, set] = {}
+        for r in spark.read.parquet(dest).collect():  # bounded: nq × 20
+            got.setdefault(r["q_id"], set()).add((r["vec_id"], r["score"]))
+
+        exact = exact_knn_join(corpus, qrows, k=20)
+        ok_rows = [
+            (q_id, got.get(q_id, set()) == want.get(q_id, set()))
+            for q_id, _qv in qrows
+        ]
+        ok = spark.createDataFrame(ok_rows, "q_id long, stream_ok boolean")
+        return exact.join(ok, "q_id").select("q_id", "vec_id", "score", "stream_ok")
+
+    return s03_streaming_knn_equivalence
+
+
+_register_streaming_knn()

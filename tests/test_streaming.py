@@ -864,6 +864,76 @@ def test_streaming_vector_index_append(spark, sf_dir, tmp_path):
     assert top1["vec_id"] == 880000 and abs(top1["score"] - 1.0) < 1e-6
 
 
+def test_streaming_knn_probe_matches_batch(spark, sf_dir, tmp_path):
+    """Query vectors streamed in two micro-batches through the
+    persisted IVF-ADC index produce exactly the rows one batched
+    ivf_pq_knn_join of all queries produces (micro-batch boundaries
+    are arbitrary, so they must not change any result), written
+    partitioned by _batch_id for exactly-once replay."""
+    import json as _json
+    import os
+    import time as _time
+
+    from parquet_pipeline_spark.operators.vectors import (
+        ivf_centroids,
+        ivf_pq_index,
+        ivf_pq_knn_join,
+        pq_train,
+    )
+    from parquet_pipeline_spark.streaming.events import streaming_knn_probe
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter("vec_id >= 4")
+    cents = ivf_centroids(corpus, k=8)
+    books = pq_train(corpus, m=8, k_codes=16, sample=256)
+    idx = str(tmp_path / "idx")
+    ivf_pq_index(corpus, cents, books, idx)
+
+    qrows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter("vec_id < 4").collect()
+    ]
+    want = sorted(
+        tuple(r)
+        for r in ivf_pq_knn_join(
+            spark, idx, cents, books, corpus, qrows, k=5, nprobe=4
+        ).collect()
+    )
+
+    src = tmp_path / "q_stream"
+    src.mkdir()
+    now = _time.time()
+    for i, chunk in enumerate((qrows[:2], qrows[2:])):
+        p = src / f"b{i}.jsonl"
+        p.write_text(
+            "\n".join(
+                _json.dumps({"vec_id": q, "embedding": v}) for q, v in chunk
+            )
+        )
+        os.utime(p, (now + i, now + i))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    dest = str(tmp_path / "res")
+    q = streaming_knn_probe(
+        stream, idx, cents, books, corpus, dest, str(tmp_path / "ck"),
+        k=5, nprobe=4,
+    )
+    assert q.awaitTermination(180)
+
+    out = spark.read.parquet(dest)
+    got = sorted(
+        tuple(r) for r in out.select("q_id", "vec_id", "score").collect()
+    )
+    assert got == want
+    # two triggers -> two _batch_id partitions (the replay unit)
+    assert out.select("_batch_id").distinct().count() == 2
+
+
 def test_streaming_incremental_dedup_flags_idempotent_per_batch(spark, sf_dir, tmp_path):
     """The flags sink partitions by _batch_id with dynamic overwrite:
     re-running a batch (fresh checkpoint, same files) rewrites its
