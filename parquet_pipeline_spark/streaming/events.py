@@ -747,6 +747,50 @@ def streaming_vector_index_append(
     return writer.start()
 
 
+def streaming_ivf_pq_append(
+    emb_stream: DataFrame,
+    index_path: str,
+    centroids,
+    codebooks,
+    checkpoint: str,
+    trigger_once: bool = True,
+):
+    """Continuous IVF-ADC index maintenance: each micro-batch of new
+    embeddings is PQ-encoded and appended into its cell partitions
+    via ``ivf_pq_append`` — which means every trigger inherits the
+    append's staleness contract for free: if the centroids/codebooks
+    this stream was started with stop matching the index metadata
+    (an offline retrain replaced the model), the NEXT trigger
+    REFUSES and fails the stream loudly instead of mixing codes from
+    incompatible codebooks. That is the behavior you want at 100 TB:
+    a retrain is a deliberate rebuild + stream restart, never a
+    silent drift.
+
+    Replay caveat (same as the batch operator): the code append is
+    at-least-once — a trigger replayed after a crash between the
+    append and the checkpoint commit duplicates its batch's code
+    rows. Duplicate ids waste index bytes but cannot corrupt probe
+    results (the refine re-ranks each id once) and the next
+    ``ivf_pq_compact`` rewrite is the natural place to dedup.
+    Compact when ``read_ivfpq_meta(path)['appends']`` crosses a
+    threshold, exactly as in the batch lifecycle."""
+    from parquet_pipeline_spark.operators.vectors import ivf_pq_append
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        ivf_pq_append(
+            batch_df.sparkSession, index_path, batch_df, centroids, codebooks
+        )
+
+    writer = emb_stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_knn_probe(
     query_stream: DataFrame,
     index_path: str,

@@ -864,6 +864,72 @@ def test_streaming_vector_index_append(spark, sf_dir, tmp_path):
     assert top1["vec_id"] == 880000 and abs(top1["score"] - 1.0) < 1e-6
 
 
+def test_streaming_ivf_pq_append_grows_index_and_refuses_drift(spark, sf_dir, tmp_path):
+    """Streamed embedding batches land in the IVF-ADC index's cell
+    partitions (probe sees them immediately); a stream started with
+    a model that doesn't match the index metadata fails its first
+    trigger loudly instead of mixing incompatible codes."""
+    import json as _json
+
+    import numpy as np
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from parquet_pipeline_spark.operators.vectors import (
+        ivf_centroids,
+        ivf_pq_index,
+        ivf_pq_topk,
+        pq_train,
+        read_ivfpq_meta,
+    )
+    from parquet_pipeline_spark.streaming.events import streaming_ivf_pq_append
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter("vec_id != 0")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    cents = ivf_centroids(corpus, k=8)
+    books = pq_train(corpus, m=8, k_codes=16, sample=256)
+    idx = str(tmp_path / "idx")
+    ivf_pq_index(corpus, cents, books, idx)
+    n0 = spark.read.parquet(idx).count()
+
+    src = tmp_path / "emb_stream"
+    src.mkdir()
+    (src / "b0.jsonl").write_text(
+        _json.dumps({"vec_id": 880000, "embedding": qv})
+    )
+    stream = spark.readStream.schema("vec_id long, embedding array<double>").json(
+        str(src)
+    )
+    q = streaming_ivf_pq_append(stream, idx, cents, books, str(tmp_path / "ck"))
+    assert q.awaitTermination(180)
+    assert spark.read.parquet(idx).count() == n0 + 1
+    assert read_ivfpq_meta(idx)["appends"] == 1
+    # the streamed vector is a perfect match for query 0's vector:
+    # the probe must retrieve it at rank 1
+    top1 = ivf_pq_topk(
+        spark, idx, cents, books,
+        corpus.unionByName(
+            spark.createDataFrame([(880000, qv)], "vec_id long, embedding array<double>")
+        ),
+        0, qv, k=1, nprobe=3,
+    ).first()
+    assert top1["vec_id"] == 880000
+
+    # drifted model -> first trigger refuses, index untouched
+    drift_books = [np.asarray(b, dtype=np.float64) * 1.5 for b in books]
+    q2 = streaming_ivf_pq_append(
+        stream, idx, cents, drift_books, str(tmp_path / "ck2")
+    )
+    try:
+        q2.awaitTermination(180)
+        assert q2.exception() is not None
+    except StreamingQueryException:
+        pass
+    assert spark.read.parquet(idx).count() == n0 + 1  # no drifted codes landed
+
+
 def test_streaming_knn_probe_matches_batch(spark, sf_dir, tmp_path):
     """Query vectors streamed in two micro-batches through the
     persisted IVF-ADC index produce exactly the rows one batched
