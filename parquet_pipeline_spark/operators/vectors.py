@@ -2601,3 +2601,160 @@ def _register_streaming_knn():
 
 
 _register_streaming_knn()
+
+
+def _register_streaming_append():
+    @register(
+        "s04_streaming_index_append_equivalence",
+        oracle="""
+        WITH q AS (
+          SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 5
+        ), corpus AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE vec_id >= 5 AND vec_id < 2000
+        ), n AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS indexed_total
+          FROM embeddings
+          WHERE vec_id >= 5 AND vec_id < 2000
+            AND embedding IS NOT NULL
+            AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+        )
+        SELECT q.q_id, c.vec_id,
+               ROUND(list_cosine_similarity(c.v, q.qv), 6) AS score,
+               TRUE AS append_ok, n.indexed_total
+        FROM q, n, LATERAL (
+          SELECT vec_id, v FROM corpus
+          ORDER BY list_cosine_similarity(v, q.qv) DESC, vec_id
+          LIMIT 20) c
+        """,
+    )
+    def s04_streaming_index_append_equivalence(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Streaming index maintenance ≡ batch index maintenance as
+        a HASH-GREEN row (the s02/s03 convention applied to the
+        WRITE side): the a16 batch arrives instead as TWO file
+        micro-batches through ``streaming_ivf_pq_append``, and the
+        resulting index must hold row-for-row the same codes as a
+        batch ``ivf_pq_append`` of the same vectors (same model ⇒
+        same codes ⇒ micro-batch boundaries are invisible in the
+        index bytes). ``indexed_total`` is replayed by the oracle
+        from the raw table exactly as in a16 — a streamed append
+        that dropped or duplicated rows flips the hash.
+
+        Returned rows: exact top-20 over the full corpus
+        (hash-checked) + per-query ``append_ok`` = (stream index ≡
+        batch index) ∧ (probe of the streamed index clears the a15
+        recall floor)."""
+        import json as _json
+        import os as _os
+        import time as _time
+
+        from parquet_pipeline_spark.scratch import scratch_dir
+        from parquet_pipeline_spark.streaming.events import (
+            streaming_ivf_pq_append,
+        )
+
+        emb = _emb(spark, sf_dir)
+        qrows = [
+            (r["vec_id"], r["embedding"])
+            for r in emb.filter(F.col("vec_id") < 5)
+            .select("vec_id", "embedding")
+            .collect()
+        ]
+        snapshot = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 1500))
+        batch = emb.filter((F.col("vec_id") >= 1500) & (F.col("vec_id") < 2000))
+        full = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 2000))
+        cents = ivf_centroids(snapshot, k=16)
+        books = pq_train(snapshot, m=8, k_codes=256, sample=2048)
+
+        tmp = scratch_dir("s04_stream_append_")
+        stream_idx = _os.path.join(tmp, "stream_idx.parquet")
+        batch_idx = _os.path.join(tmp, "batch_idx.parquet")
+        ivf_pq_index(snapshot, cents, books, stream_idx)
+        ivf_pq_index(snapshot, cents, books, batch_idx)
+        ivf_pq_append(spark, batch_idx, batch, cents, books)
+
+        rows = sorted(
+            (r["vec_id"], [float(x) for x in r["embedding"]])
+            for r in batch.select("vec_id", "embedding").collect()
+            if r["embedding"] is not None
+        )  # bounded: 500 vectors at the id-capped slice
+        src = _os.path.join(tmp, "src")
+        _os.makedirs(src)
+        half = len(rows) // 2 or 1
+        now = _time.time()
+        n_chunks = 0  # id-capped slices can make the batch empty
+        for i, chunk in enumerate((rows[:half], rows[half:])):
+            if not chunk:
+                continue
+            n_chunks += 1
+            p = _os.path.join(src, f"b{i}.jsonl")
+            with open(p, "w") as fh:
+                fh.write(
+                    "\n".join(
+                        _json.dumps({"vec_id": v, "embedding": e})
+                        for v, e in chunk
+                    )
+                )
+            _os.utime(p, (now + i, now + i))
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = streaming_ivf_pq_append(
+            stream, stream_idx, cents, books, _os.path.join(tmp, "ckpt")
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("s04 streaming append did not finish in 300s")
+
+        s_df = spark.read.parquet(stream_idx)
+        b_df = spark.read.parquet(batch_idx).select(*s_df.columns)
+        same_index = (
+            s_df.exceptAll(b_df).count() == 0
+            and b_df.exceptAll(s_df).count() == 0
+        )
+        # one committed append per non-empty trigger file (empty
+        # micro-batches skip the append entirely, so an id-capped sf
+        # with an empty batch legitimately records zero)
+        meta_ok = read_ivfpq_meta(stream_idx)["appends"] == n_chunks
+        indexed_total = s_df.count()
+
+        exact = exact_knn_join(full, qrows, k=20)
+        exact_ids: dict[int, set] = {}
+        for r in exact.collect():  # bounded: 5 × 20
+            exact_ids.setdefault(r["q_id"], set()).add(r["vec_id"])
+        ok_rows = []
+        for q_id, qv in qrows:
+            if q_id not in exact_ids:
+                continue
+            got = {
+                r["vec_id"]
+                for r in ivf_pq_topk(
+                    spark, stream_idx, cents, books, full, q_id, qv,
+                    k=20, nprobe=8,
+                ).collect()
+            }
+            want = exact_ids[q_id]
+            ok_rows.append(
+                (
+                    q_id,
+                    same_index
+                    and meta_ok
+                    and len(got & want) >= 0.4 * len(want),
+                )
+            )
+        ok = spark.createDataFrame(ok_rows, "q_id long, append_ok boolean")
+        return (
+            exact.join(ok, "q_id")
+            .withColumn("indexed_total", F.lit(int(indexed_total)).cast("bigint"))
+            .select("q_id", "vec_id", "score", "append_ok", "indexed_total")
+        )
+
+    return s04_streaming_index_append_equivalence
+
+
+_register_streaming_append()
