@@ -1,10 +1,15 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+The FINAL stdout line is the compact headline JSON the driver records
+(hard-capped under its 2000-byte stdout-tail window — see
+HEADLINE_LINE_BUDGET):
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {"q01_...": sec, ...}, "queries_min": {...},
-   "runs": 3, "sf": 0.1}
+   "runs": 3, "sf": 0.1, "calibration_factor": ..., ...}
+The bulky calibration payload (raw pin samples, old-base continuity)
+prints on a separate earlier line and the full record is also written
+to BENCH_CALIB.json beside this file.
 
 Each query is timed to full materialization (count of the result),
 after a session warm-up so JVM startup isn't attributed to the first
@@ -302,6 +307,59 @@ def calibration(
     return out
 
 
+# Driver-record budget (VERDICT r12 finding 2): the driver keeps only
+# the LAST ~2000 bytes of bench stdout and parses the final JSON line
+# inside that tail. The r12 line grew past the window when
+# calibration_pin_raw + the old-base continuity fields landed, so the
+# FRONT of the JSON — including the headline raw value — was truncated
+# out of the official record (BENCH_r12.json parsed: null). Fix: the
+# bulky calibration payload rides on a SEPARATE earlier stdout line
+# and in BENCH_CALIB.json next to this file; the final line carries
+# only the compact headline fields and is hard-capped below the tail
+# window with margin for the line-boundary scan.
+HEADLINE_LINE_BUDGET = 1900
+
+# Fields whose size grows with sample count / pin count, or that exist
+# only for cross-generation continuity — never on the final line.
+# Everything here is recoverable from BENCH_CALIB.json and the detail
+# stdout line.
+DETAIL_KEYS = (
+    "calibration_pin_raw",
+    "calibration_factor_oldbase",
+    "value_normalized_oldbase",
+    "calibration_samples_oldbase",
+    "calibration_factor_legacy",
+    "value_normalized_legacy",
+)
+
+
+def split_record(out: dict) -> tuple[dict, dict]:
+    """(headline, detail): detail takes the bulky/continuity fields,
+    headline keeps everything a band comparison needs (metric, value,
+    queries, queries_min, factor, normalized, band, schema, burst)."""
+    detail = {k: out[k] for k in DETAIL_KEYS if k in out}
+    headline = {k: v for k, v in out.items() if k not in detail}
+    return headline, detail
+
+
+def headline_line(headline: dict, budget: int = HEADLINE_LINE_BUDGET) -> str:
+    """Serialize the final stdout line under the driver's tail budget.
+
+    Should fit as-is for the default suite (r11's equivalent line was
+    1,813 bytes; test_bench_calibration pins the margin with a
+    realistic payload). If a future suite outgrows the budget anyway,
+    strip progressively rather than lose the headline: queries_min
+    first, then calibration_samples — both recoverable from
+    BENCH_CALIB.json."""
+    line = json.dumps(headline)
+    for victim in ("queries_min", "calibration_samples"):
+        if len(line) <= budget:
+            break
+        headline = {k: v for k, v in headline.items() if k != victim}
+        line = json.dumps(headline)
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -431,7 +489,17 @@ def main() -> None:
         "sf": sf,
     }
     out.update(calibration(timings, sf, total, pin_samples, groups))
-    print(json.dumps(out))
+    headline, detail = split_record(out)
+    # the FULL record (headline ∪ detail) survives in the side file
+    # regardless of what the stdout tail captures
+    calib_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_CALIB.json"
+    )
+    with open(calib_path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    if detail:
+        print(json.dumps({"metric": "calibration_detail", **detail}))
+    print(headline_line(headline))
 
 
 if __name__ == "__main__":
