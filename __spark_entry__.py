@@ -101,6 +101,18 @@ _CHANGED_SINCE_LAST_GREEN = {
     "a09_ivf_knn_join": 12,
     "a13_pq_recall_floor": 12,
     "v07_exact_knn_join": 12,
+    # r13: replay-dedup contract (pq_topk groupBy-max, knn_join
+    # shortlist dropDuplicates, compact full-row dedup), broadcast
+    # LUT in the batched probe, -inf masking fix, a16 cached build,
+    # streaming probe chunking — byte-identical on clean data,
+    # re-gate every rider
+    "a13_pq_recall_floor": 13,
+    "a14_pq_compression": 13,
+    "a15_ivf_pq_recall_floor": 13,
+    "a16_ivf_pq_incremental": 13,
+    "a17_ivf_pq_batch_knn": 13,
+    "s03_streaming_knn_equivalence": 13,
+    "s04_streaming_index_append_equivalence": 13,
 }
 
 

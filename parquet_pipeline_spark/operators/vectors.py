@@ -1620,6 +1620,16 @@ def pq_topk(
     return (
         codes_df.select(F.col(id_col), F.round(score, 6).alias("score_pq"))
         .filter(F.col("score_pq").isNotNull())
+        # Replay-dedup (VERDICT r12 item 2): an at-least-once appended
+        # index can hold the same id twice (a crash-replayed
+        # ivf_pq_append batch); identical codes score identically, but
+        # without this each copy eats its own top-k/shortlist slot and
+        # can displace the true k-th id. groupBy-max is deterministic
+        # even if codes ever differed, and partial aggregation keeps
+        # the exchange to one (id, score) pair per map-side distinct
+        # id. Pinned by the crash-replay tests in test_vectors.py.
+        .groupBy(id_col)
+        .agg(F.max("score_pq").alias("score_pq"))
         .orderBy(F.col("score_pq").desc(), id_col)
         .limit(k)
     )
@@ -1890,9 +1900,14 @@ def ivf_pq_append(
 
     Exactly-once is the CALLER's contract (same as the d11 snapshot
     convention): re-appending a batch duplicates its rows. A
-    duplicate id wastes index bytes but cannot corrupt probe
-    results — the refine step semi-joins the corpus against the
-    shortlist ids, so each id is re-ranked once.
+    duplicate id wastes index bytes and shortlist depth but cannot
+    corrupt probe results: ``pq_topk`` dedups ids before its top-k
+    (groupBy-max), the refined paths semi-join the corpus against
+    distinct shortlist ids, and ``ivf_pq_knn_join`` drops duplicate
+    (q_id, id) pairs before its shortlist window — all pinned by the
+    crash-replay tests in tests/test_vectors.py. The next
+    ``ivf_pq_compact`` reclaims the wasted bytes (full-row dedup
+    during its rewrite).
 
     Returns the number of code rows appended."""
     import json as _json
@@ -1936,12 +1951,22 @@ def ivf_pq_compact(spark: SparkSession, index_path: str) -> int:
     same maintenance pass (``compact_partitioned``: one shuffle on
     ``cell``, pruning-preserving layout, crash-safe tmp+rename swap).
 
+    Replay recovery (VERDICT r12 item 2): the rewrite also drops
+    EXACT duplicate code rows — the state a crash-replayed
+    ``ivf_pq_append`` leaves behind (same id, same codes, same cell,
+    appended twice). The probe paths already dedup ids so duplicates
+    cannot corrupt a top-k, but they waste index bytes and shortlist
+    depth until this pass reclaims them. Distinct ids are untouched:
+    under the fingerprint contract the same model encodes an id to
+    the same row, so full-row dedup is exactly replay dedup.
+
     The metadata sidecar lives INSIDE the index directory, so the
     swap would drop it: it is read before (which also validates the
     index has provenance — never compact an index you couldn't
     append to) and re-written after, with ``appends`` reset to 0 and
     a ``compactions`` counter bumped. The model fingerprint is
-    untouched — compaction moves bytes, not meaning.
+    untouched — compaction moves bytes and drops replay litter, not
+    meaning.
 
     Crash window: dying between the internal swap and the sidecar
     rewrite leaves a compacted index WITHOUT metadata — subsequent
@@ -1957,7 +1982,9 @@ def ivf_pq_compact(spark: SparkSession, index_path: str) -> int:
     from parquet_pipeline_spark.sources.writers import compact_partitioned
 
     meta = read_ivfpq_meta(index_path)
-    n_files = compact_partitioned(spark, index_path, ["cell"])
+    n_files = compact_partitioned(
+        spark, index_path, ["cell"], drop_duplicate_rows=True
+    )
     meta["appends"] = 0
     meta["compactions"] = int(meta.get("compactions", 0)) + 1
     with open(_os.path.join(index_path, _IVFPQ_META_NAME), "w") as fh:
@@ -2082,6 +2109,7 @@ def ivf_pq_knn_join(
         set(_probe_cells(centroids, list(q[1]), nprobe)) for q in query_rows
     ]
     all_cells = sorted(set().union(*probe_sets))
+    probe_arrs = [np.fromiter(s, dtype=np.int64) for s in probe_sets]
 
     books = [np.asarray(c, dtype=np.float64) for c in codebooks]
     m, dsub = len(books), books[0].shape[1]
@@ -2094,6 +2122,18 @@ def ivf_pq_knn_join(
         ]
     )
 
+    # Ship the per-query state to executors ONCE (VERDICT r12 item 4):
+    # closure-capturing luts + probe sets serializes ~nq×m×k_codes×8 B
+    # into EVERY task's pickled function (~16 MB at nq=1000,
+    # re-deserialized per task); a Spark broadcast moves it once per
+    # executor over the torrent channel instead. The broadcast handle
+    # lives inside the returned plan's closures, so the ContextCleaner
+    # reclaims it when the consumer drops the DataFrame — an explicit
+    # destroy() here would race the (lazy) execution.
+    bc = spark.sparkContext.broadcast(
+        {"q_ids": q_ids, "qm": qm, "luts": luts, "probe_arrs": probe_arrs}
+    )
+
     adc_schema = T.StructType(
         [
             T.StructField("q_id", T.LongType()),
@@ -2104,10 +2144,18 @@ def ivf_pq_knn_join(
     sl = shortlist
 
     def adc_partial(batches):
+        state = bc.value
+        b_qids, b_luts = state["q_ids"], state["luts"]
+        b_probes = state["probe_arrs"]
         for pdf in batches:
+            raw = pdf["codes"].tolist()
+            # empty-batch guard (ADVICE r12): np.array([]) is 1-D, so
+            # the .all(axis=1) below would raise AxisError and abort
+            # the probe instead of skipping the batch
+            if not len(raw):
+                continue
             ids = pdf[id_col].to_numpy()
             cells = pdf["cell"].to_numpy()
-            raw = pdf["codes"].tolist()
             codes = np.array(
                 [
                     c
@@ -2123,22 +2171,27 @@ def ivf_pq_knn_join(
             ids, cells, codes = ids[valid], cells[valid], codes[valid]
             if not len(ids):
                 continue
-            sims = np.zeros((len(q_ids), len(ids)), dtype=np.float64)
+            sims = np.zeros((len(b_qids), len(ids)), dtype=np.float64)
             for s in range(m):
-                sims += luts[:, s, :][:, codes[:, s]]
+                sims += b_luts[:, s, :][:, codes[:, s]]
             qi_out, id_out, sc_out = [], [], []
             kk = min(sl, len(ids))
-            for j in range(len(q_ids)):
-                col = np.where(
-                    np.isin(cells, list(probe_sets[j])), sims[j], -np.inf
-                )
+            for j in range(len(b_qids)):
+                col = np.where(np.isin(cells, b_probes[j]), sims[j], -np.inf)
                 if len(col) > kk:
+                    # When query j has fewer than kk in-probe rows in
+                    # this batch, the kk-th value is -inf and
+                    # `col >= thresh` would admit MASKED rows — cells
+                    # query j never probed — breaking per-query batch
+                    # independence (ADVICE r12 high; a09's kernel
+                    # filters score > -inf for the same reason).
                     thresh = np.partition(col, -kk)[-kk]
                     cand = np.nonzero(col >= thresh)[0]
+                    cand = cand[np.isfinite(col[cand])]
                 else:
                     cand = np.nonzero(col > -np.inf)[0]
                 order = cand[np.lexsort((ids[cand], -col[cand]))][:kk]
-                qi_out.append(np.full(len(order), q_ids[j], dtype=np.int64))
+                qi_out.append(np.full(len(order), b_qids[j], dtype=np.int64))
                 id_out.append(ids[order])
                 sc_out.append(col[order])
             yield pd.DataFrame(
@@ -2157,6 +2210,14 @@ def ivf_pq_knn_join(
     w = W.partitionBy("q_id").orderBy(F.col("score_pq").desc(), id_col)
     short = (
         codes_scan.mapInPandas(adc_partial, adc_schema)
+        # Replay-dedup (VERDICT r12 item 2, ADVICE medium): an
+        # at-least-once appended index holds duplicate id rows with
+        # identical codes; without this each copy takes its own
+        # row_number — eating shortlist depth here and, downstream,
+        # putting the same id twice into a final top-k while crowding
+        # out the true k-th (ann_knn_join's dropDuplicates at its
+        # candidate step is the same rule). Shortlist-sized exchange.
+        .dropDuplicates(["q_id", id_col])
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= sl)
         .select("q_id", id_col)
@@ -2167,7 +2228,6 @@ def ivf_pq_knn_join(
     # nq×shortlist-bounded), score each (q_id, vec_id) PAIR against
     # that query's vector, window the final top-k
     refine_in = emb.select(id_col, vec_col).join(F.broadcast(short), id_col)
-    q_index = {int(q): j for j, q in enumerate(q_ids)}
 
     out_schema = T.StructType(
         [
@@ -2178,7 +2238,11 @@ def ivf_pq_knn_join(
     )
 
     def exact_pairs(batches):
+        b_qm = bc.value["qm"]
+        q_index = {int(q): j for j, q in enumerate(bc.value["q_ids"])}
         for pdf in batches:
+            if not len(pdf):  # same empty-batch guard as adc_partial
+                continue
             ids = pdf[id_col].to_numpy()
             qs = pdf["q_id"].to_numpy()
             x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
@@ -2187,7 +2251,7 @@ def ivf_pq_knn_join(
             ids, qs, x, norms = ids[keep], qs[keep], x[keep], norms[keep]
             if not len(ids):
                 continue
-            qrows = qm[[q_index[int(q)] for q in qs]]
+            qrows = b_qm[[q_index[int(q)] for q in qs]]
             scores = (x / norms[:, None] * qrows).sum(axis=1)
             yield pd.DataFrame({"q_id": qs, id_col: ids, "score": scores})
 
@@ -2326,8 +2390,17 @@ def _register_ivf_pq_incremental():
           a from-scratch build, since it holds identical rows), AND
           the staleness contract held: an append attempted with
           drifted codebooks and with drifted centroids each REFUSED
-          (raised) without touching the index."""
+          (raised) without touching the index.
+
+        The SNAPSHOT build (centroid k-means + codebook training +
+        full encode — 18.4 s, the heaviest registry_timed row in r12)
+        is cached per process like a15's (VERDICT r12 item 3); each
+        call file-copies the cached snapshot index (the slice is
+        id-bounded, so the copy is KBs) and runs the append + both
+        drift refusals + every probe LIVE, so repeat timings measure
+        the lifecycle the row exists to certify, not k-means."""
         import os
+        import shutil
 
         from parquet_pipeline_spark.scratch import scratch_dir
 
@@ -2342,11 +2415,19 @@ def _register_ivf_pq_incremental():
         batch = emb.filter((F.col("vec_id") >= 1500) & (F.col("vec_id") < 2000))
         full = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 2000))
 
-        # model trained on the SNAPSHOT only — the batch arrives later
-        cents = ivf_centroids(snapshot, k=16)
-        books = pq_train(snapshot, m=8, k_codes=256, sample=2048)
+        # model trained on the SNAPSHOT only — the batch arrives
+        # later; built at most once per process, then copied so the
+        # live append below never mutates the cached artifact
+        base_path, cents, books = ivf_pq_build_cached(
+            snapshot,
+            cache_key=(os.path.realpath(sf_dir), "a16", 5, 1500),
+            k_cells=16,
+            m=8,
+            k_codes=256,
+            sample=2048,
+        )
         path = os.path.join(scratch_dir("a16_ivfpq_"), "idx.parquet")
-        ivf_pq_index(snapshot, cents, books, path)
+        shutil.copytree(base_path, path)
         ivf_pq_append(spark, path, batch, cents, books)
 
         # staleness contract, exercised in-gate: drifted codebooks and

@@ -88,7 +88,64 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ensure_default_string_lexing(spark)
     return spark
+
+
+def _string_lexing_matches_gate(spark: SparkSession) -> bool:
+    """Probe whether the LIVE parser's string TOKEN BOUNDARIES match
+    the model the read-only SQL gate lexes with (errors.py). Each
+    statement parses iff the parser draws the same boundary the
+    gate's regex does:
+
+    - ``SELECT '\\''`` — ``\\'`` must NOT close the literal (one
+      string containing a quote). Measured on PySpark 4.1.2 this
+      holds under BOTH values of escapedStringLiterals (the conf
+      changes unescaping only, never boundaries) — the probe exists
+      for a future parser where that stops being true.
+    - ``SELECT r'\\', 'x'`` — a RAW string must end at its first
+      quote (backslash is literal), leaving ``'x'`` a separate token.
+    - ``SELECT '--x', '/*'`` — comment openers inside a string are
+      string content, not comments (else the statement would be
+      unterminated)."""
+    for probe in ("SELECT '\\''", "SELECT r'\\', 'x'", "SELECT '--x', '/*'"):
+        try:
+            spark.sql(probe)
+        except Exception:
+            return False
+    return True
+
+
+def ensure_default_string_lexing(spark: SparkSession) -> None:
+    """The read-only SQL gate (errors.py) strips string literals using
+    Spark's DEFAULT string grammar; the builder pins
+    ``spark.sql.parser.escapedStringLiterals=false`` to make that a
+    configured invariant. But Spark 4.0 deprecates the conf ("may be
+    removed in the future"), so the pin alone is not future-proof
+    (VERDICT r12 item 6). Conf-absent path: when the conf cannot be
+    read back as ``false`` — removed in a future Spark, or flipped on
+    a pre-existing session getOrCreate couldn't reconfigure — probe
+    the live parser's token boundaries directly and REFUSE the
+    session loudly if they disagree with the gate's lexer. The normal
+    path is one conf read; the probe only runs on the fallback.
+    (Under PySpark 4.1.2 even the flipped conf passes the probe —
+    boundaries are conf-independent there, the measured fact the gate
+    already relies on; the refusal fires only on a parser whose
+    boundaries actually moved.)"""
+    try:
+        if spark.conf.get("spark.sql.parser.escapedStringLiterals") == "false":
+            return
+    except Exception:
+        pass  # conf removed/unreadable — fall through to the probe
+    if not _string_lexing_matches_gate(spark):
+        raise RuntimeError(
+            "SQL string lexing disagrees with the read-only gate: "
+            "spark.sql.parser.escapedStringLiterals could not be pinned "
+            "false (removed or overridden) AND the live parser probe "
+            "shows string token boundaries the gate's lexer does not "
+            "model. Refusing to serve a session where a mutation keyword "
+            "could hide inside what the gate thinks is a string."
+        )
 
 
 def cloud_storage_conf(

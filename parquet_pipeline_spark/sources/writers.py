@@ -173,6 +173,7 @@ def compact_partitioned(
     path: str,
     partition_cols: list[str],
     sort_cols: list[str] | None = None,
+    drop_duplicate_rows: bool = False,
 ) -> int:
     """Small-file compaction that PRESERVES a hive-partitioned
     layout (and therefore partition pruning). This is the
@@ -186,11 +187,21 @@ def compact_partitioned(
     in one task, so the rewrite lands exactly one file per partition
     directory (``sort_cols`` orders rows inside it for row-group
     stats). Same tmp-dir + rename swap crash story as ``compact``.
-    Returns the new total file count."""
+    Returns the new total file count.
+
+    ``drop_duplicate_rows`` additionally removes exact duplicate rows
+    during the rewrite — the recovery path for at-least-once appends
+    (a crash-replayed batch re-appends byte-identical rows; see
+    ``ivf_pq_compact``). The dedup rides the shuffle the compaction
+    already pays: Catalyst plans the dropDuplicates aggregate and the
+    repartition on the partition columns as adjacent exchanges over
+    batch-sized data, never a second corpus pass."""
     import os as _os
 
     _recover_and_clean(path, "._compacting")
     df = spark.read.parquet(path)
+    if drop_duplicate_rows:
+        df = df.dropDuplicates()
     arranged = df.repartition(*partition_cols)
     if sort_cols:
         arranged = arranged.sortWithinPartitions(*sort_cols)

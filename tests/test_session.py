@@ -83,3 +83,75 @@ def test_cloud_parquet_roundtrip(spark):
     df = spark.range(100).withColumnRenamed("id", "v")
     write_parquet(df, uri)
     assert spark.read.parquet(uri).count() == 100
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r12 item 6: escapedStringLiterals is deprecated in Spark 4.0
+# — the gate invariant must survive the conf disappearing.
+# ---------------------------------------------------------------------------
+class _ConflessSpark:
+    """A session whose escapedStringLiterals conf is GONE (the future
+    Spark the deprecation warning promises), delegating sql() to a
+    real session so the parser probe runs against the live grammar."""
+
+    class _Conf:
+        def get(self, key):
+            raise Exception(f"no such config: {key}")
+
+    def __init__(self, real):
+        self._real = real
+        self.conf = self._Conf()
+
+    def sql(self, q):
+        return self._real.sql(q)
+
+
+class _BrokenLexerSpark(_ConflessSpark):
+    """Conf gone AND the parser refuses the gate's boundary probes —
+    the one state ensure_default_string_lexing must refuse."""
+
+    def sql(self, q):
+        raise Exception("PARSE_SYNTAX_ERROR")
+
+
+def test_lexing_guard_fast_path_reads_conf_only(spark):
+    from parquet_pipeline_spark.session import ensure_default_string_lexing
+
+    assert spark.conf.get("spark.sql.parser.escapedStringLiterals") == "false"
+    ensure_default_string_lexing(spark)  # no raise
+
+
+def test_lexing_guard_conf_absent_probes_and_accepts(spark):
+    """Conf removed: the probe runs against the real parser and the
+    boundaries still match the gate's lexer -> session accepted."""
+    from parquet_pipeline_spark.session import (
+        _string_lexing_matches_gate,
+        ensure_default_string_lexing,
+    )
+
+    fake = _ConflessSpark(spark)
+    ensure_default_string_lexing(fake)  # no raise
+    assert _string_lexing_matches_gate(fake)
+
+
+def test_lexing_guard_conf_flipped_probes_boundaries(spark):
+    """Even with the conf flipped to the legacy value, PySpark 4.1.2
+    token boundaries are unchanged (the measured fact the gate relies
+    on) — the guard probes and accepts rather than hard-failing on
+    the conf value alone."""
+    from parquet_pipeline_spark.session import ensure_default_string_lexing
+
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        ensure_default_string_lexing(spark)  # probe path, no raise
+    finally:
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
+
+
+def test_lexing_guard_refuses_moved_boundaries(spark):
+    import pytest as _pytest
+
+    from parquet_pipeline_spark.session import ensure_default_string_lexing
+
+    with _pytest.raises(RuntimeError, match="disagrees with the read-only gate"):
+        ensure_default_string_lexing(_BrokenLexerSpark(spark))

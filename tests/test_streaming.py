@@ -1047,3 +1047,107 @@ def test_streaming_incremental_dedup_flags_idempotent_per_batch(spark, sf_dir, t
     run("ck2")  # full replay: same batch ids -> partitions rewritten
     second = spark.read.parquet(dest).select("doc_id", "dup_of", "is_dup").collect()
     assert sorted(map(tuple, second)) == sorted(map(tuple, first))
+
+
+def test_streaming_knn_probe_splits_oversized_trigger(spark, sf_dir, tmp_path):
+    """VERDICT r12 item 7: one trigger carrying more queries than
+    max_queries_per_trigger is SPLIT into chunked probe plans — and
+    because the probe is per-query masked, the chunked union is
+    byte-identical to the one-batch answer (one _batch_id partition:
+    splitting is an internal memory bound, not a replay unit)."""
+    import json as _json
+
+    from parquet_pipeline_spark.operators.vectors import (
+        ivf_centroids,
+        ivf_pq_index,
+        ivf_pq_knn_join,
+        pq_train,
+    )
+    from parquet_pipeline_spark.streaming.events import streaming_knn_probe
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter("vec_id >= 4")
+    cents = ivf_centroids(corpus, k=8)
+    books = pq_train(corpus, m=8, k_codes=16, sample=256)
+    idx = str(tmp_path / "idx")
+    ivf_pq_index(corpus, cents, books, idx)
+
+    qrows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter("vec_id < 4").collect()
+    ]
+    want = sorted(
+        tuple(r)
+        for r in ivf_pq_knn_join(
+            spark, idx, cents, books, corpus, qrows, k=5, nprobe=4
+        ).collect()
+    )
+
+    src = tmp_path / "q_stream"
+    src.mkdir()
+    (src / "all.jsonl").write_text(
+        "\n".join(_json.dumps({"vec_id": q, "embedding": v}) for q, v in qrows)
+    )
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).json(str(src))
+    dest = str(tmp_path / "res")
+    q = streaming_knn_probe(
+        stream, idx, cents, books, corpus, dest, str(tmp_path / "ck"),
+        k=5, nprobe=4, max_queries_per_trigger=2,
+    )
+    assert q.awaitTermination(180)
+
+    out = spark.read.parquet(dest)
+    got = sorted(
+        tuple(r) for r in out.select("q_id", "vec_id", "score").collect()
+    )
+    assert got == want
+    assert out.select("_batch_id").distinct().count() == 1
+
+
+def test_streaming_knn_probe_refuses_backlog_drain(spark, sf_dir, tmp_path):
+    """A first trigger draining a backlog past max_trigger_backlog
+    must FAIL the stream loudly before collecting it driver-side."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from parquet_pipeline_spark.operators.vectors import (
+        ivf_centroids,
+        ivf_pq_index,
+        pq_train,
+    )
+    from parquet_pipeline_spark.streaming.events import streaming_knn_probe
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter("vec_id >= 4")
+    cents = ivf_centroids(corpus, k=8)
+    books = pq_train(corpus, m=8, k_codes=16, sample=256)
+    idx = str(tmp_path / "idx")
+    ivf_pq_index(corpus, cents, books, idx)
+
+    qrows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter("vec_id < 4").collect()
+    ]
+    src = tmp_path / "q_stream"
+    src.mkdir()
+    (src / "all.jsonl").write_text(
+        "\n".join(_json.dumps({"vec_id": q, "embedding": v}) for q, v in qrows)
+    )
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).json(str(src))
+    q = streaming_knn_probe(
+        stream, idx, cents, books, corpus,
+        str(tmp_path / "res"), str(tmp_path / "ck"),
+        k=5, nprobe=4, max_trigger_backlog=2,
+    )
+    with _pytest.raises(Exception, match="max_trigger_backlog"):
+        q.awaitTermination(180)
+        raise AssertionError("stream should have failed")

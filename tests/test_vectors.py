@@ -935,3 +935,98 @@ def test_pq_topk_corrupt_codes_are_cell_level(spark):
     got = {r["vec_id"]: r["score_pq"] for r in pq_topk(dirty, books, qv, k=50).collect()}
     assert not any(v >= 900001 for v in got), "corrupt row retrieved"
     assert got == clean  # clean scores byte-identical
+
+
+@pytest.mark.parametrize("seed", [7, 103])
+def test_ivf_pq_replayed_append_cannot_corrupt_probes(spark, tmp_path, seed):
+    """The at-least-once replay contract the docstrings promise
+    (VERDICT r12 item 2): appending the SAME batch twice — the state a
+    crash between the append and the checkpoint commit leaves behind —
+    must not change ANY probe answer. Every probe path (pq_topk,
+    ivf_pq_topk, ivf_pq_knn_join) returns k DISTINCT ids identical to
+    the clean index's, and ivf_pq_compact reclaims the duplicate rows
+    (row count back to the clean index's) while preserving answers."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.vectors import (
+        ivf_centroids,
+        ivf_pq_append,
+        ivf_pq_compact,
+        ivf_pq_index,
+        ivf_pq_knn_join,
+        ivf_pq_topk,
+        pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    off = seed % 97  # two distinct corpus slices / query sets
+    snap = emb.filter((F.col("vec_id") >= 5 + off) & (F.col("vec_id") < 400 + off))
+    batch = emb.filter((F.col("vec_id") >= 400 + off) & (F.col("vec_id") < 600 + off))
+    full = emb.filter((F.col("vec_id") >= 5 + off) & (F.col("vec_id") < 600 + off))
+    qrows = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+    cents = ivf_centroids(snap, k=8)
+    books = pq_train(snap, m=8, k_codes=16, sample=256)
+
+    clean_path = str(tmp_path / "clean.parquet")
+    ivf_pq_index(snap, cents, books, clean_path)
+    ivf_pq_append(spark, clean_path, batch, cents, books)
+    replay_path = str(tmp_path / "replay.parquet")
+    ivf_pq_index(snap, cents, books, replay_path)
+    ivf_pq_append(spark, replay_path, batch, cents, books)
+    ivf_pq_append(spark, replay_path, batch, cents, books)  # crash replay
+
+    n_clean = spark.read.parquet(clean_path).count()
+    n_batch = batch.count()
+    assert spark.read.parquet(replay_path).count() == n_clean + n_batch
+
+    def snap_rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # batched probe: identical answers, k distinct ids per query
+    kj_clean = ivf_pq_knn_join(
+        spark, clean_path, cents, books, full, qrows, k=10, nprobe=8
+    )
+    kj_replay = ivf_pq_knn_join(
+        spark, replay_path, cents, books, full, qrows, k=10, nprobe=8
+    )
+    rows_clean, rows_replay = snap_rows(kj_clean), snap_rows(kj_replay)
+    assert rows_replay == rows_clean
+    per_q: dict[int, list] = {}
+    for q, vid, _s in rows_replay:
+        per_q.setdefault(q, []).append(vid)
+    for q, vids in per_q.items():
+        assert len(vids) == len(set(vids)) == 10, (q, vids)
+
+    # single-query probe path (pq_topk shortlist under the hood)
+    q0, qv0 = qrows[0]
+    tk_clean = snap_rows(
+        ivf_pq_topk(spark, clean_path, cents, books, full, q0, qv0, k=10, nprobe=8)
+    )
+    tk_replay = snap_rows(
+        ivf_pq_topk(spark, replay_path, cents, books, full, q0, qv0, k=10, nprobe=8)
+    )
+    assert tk_replay == tk_clean
+    assert len({r[1] for r in tk_replay}) == 10
+
+    # direct ADC top-k over the duplicated codes: still k distinct ids
+    from parquet_pipeline_spark.operators.vectors import pq_topk
+
+    codes_clean = spark.read.parquet(clean_path)
+    codes_replay = spark.read.parquet(replay_path)
+    pt_clean = snap_rows(pq_topk(codes_clean, books, qv0, k=10))
+    pt_replay = snap_rows(pq_topk(codes_replay, books, qv0, k=10))
+    assert pt_replay == pt_clean
+    assert len({r[0] for r in pt_replay}) == 10
+
+    # compaction reclaims the replay litter and preserves answers
+    ivf_pq_compact(spark, replay_path)
+    assert spark.read.parquet(replay_path).count() == n_clean
+    kj_after = ivf_pq_knn_join(
+        spark, replay_path, cents, books, full, qrows, k=10, nprobe=8
+    )
+    assert snap_rows(kj_after) == rows_clean

@@ -250,6 +250,89 @@ def check_ivfpq_index(spark, tmp, rng) -> list[str]:
     return errs
 
 
+def check_replayed_append(spark, tmp, rng) -> list[str]:
+    """At-least-once replay (VERDICT r12 item 2): append the SAME
+    batch twice — the crash-between-append-and-checkpoint state — and
+    require every probe path to return k DISTINCT ids identical to a
+    clean index's, with ivf_pq_compact reclaiming the duplicate rows.
+    Batch bounds and probe shape are rng-fuzzed."""
+    from parquet_pipeline_spark.operators.vectors import (
+        ivf_centroids,
+        ivf_pq_append,
+        ivf_pq_compact,
+        ivf_pq_index,
+        ivf_pq_knn_join,
+        ivf_pq_topk,
+        pq_train,
+    )
+
+    errs: list[str] = []
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    lo = 5 + rng.randrange(0, 50)
+    mid = lo + 300 + rng.randrange(0, 100)
+    hi = mid + 150 + rng.randrange(0, 100)
+    snap = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < mid))
+    batch = emb.filter((F.col("vec_id") >= mid) & (F.col("vec_id") < hi))
+    full = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+    cents = ivf_centroids(snap, k=8)
+    books = pq_train(snap, m=8, k_codes=16, sample=256)
+    qrows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+    k = rng.choice([5, 10])
+    nprobe = rng.choice([4, 8])
+
+    clean_path = os.path.join(tmp, "rp_clean")
+    ivf_pq_index(snap, cents, books, clean_path)
+    ivf_pq_append(spark, clean_path, batch, cents, books)
+    replay_path = os.path.join(tmp, "rp_replay")
+    ivf_pq_index(snap, cents, books, replay_path)
+    ivf_pq_append(spark, replay_path, batch, cents, books)
+    ivf_pq_append(spark, replay_path, batch, cents, books)  # the replay
+
+    def probe_rows(path):
+        return sorted(
+            tuple(r)
+            for r in ivf_pq_knn_join(
+                spark, path, cents, books, full, qrows, k=k, nprobe=nprobe
+            ).collect()
+        )
+
+    clean_rows = probe_rows(clean_path)
+    replay_rows = probe_rows(replay_path)
+    if replay_rows != clean_rows:
+        errs.append("replayed append changed batched probe results")
+    per_q: dict[int, list] = {}
+    for q, vid, _s in replay_rows:
+        per_q.setdefault(q, []).append(vid)
+    for q, vids in per_q.items():
+        if len(vids) != len(set(vids)):
+            errs.append(f"batched probe returned a duplicate id for q {q}")
+        if len(vids) != k:
+            errs.append(f"batched probe returned {len(vids)} ids for q {q}, want {k}")
+
+    q0, qv0 = qrows[0]
+    tk = lambda p: sorted(
+        tuple(r)
+        for r in ivf_pq_topk(
+            spark, p, cents, books, full, q0, qv0, k=k, nprobe=nprobe
+        ).collect()
+    )
+    if tk(replay_path) != tk(clean_path):
+        errs.append("replayed append changed single-query probe results")
+
+    n_clean = spark.read.parquet(clean_path).count()
+    ivf_pq_compact(spark, replay_path)
+    if spark.read.parquet(replay_path).count() != n_clean:
+        errs.append("compact did not reclaim replay-duplicated rows")
+    if probe_rows(replay_path) != clean_rows:
+        errs.append("compacted replay index changed probe results")
+    return errs
+
+
 def check_ivf_dim_mismatch(spark, tmp, rng) -> list[str]:
     from parquet_pipeline_spark.operators.vectors import (
         ivf_centroids,
@@ -387,6 +470,7 @@ def main() -> None:
     checks = [
         ("minhash_index", check_minhash_index),
         ("ivfpq_index", check_ivfpq_index),
+        ("replayed_append", check_replayed_append),
         ("ivf_dim_mismatch", check_ivf_dim_mismatch),
         ("checkpoint_staleness", check_checkpoint_staleness),
     ]

@@ -50,6 +50,13 @@ DEFAULT_NAMES = [
     "a15_ivf_pq_recall_floor",
     "a16_ivf_pq_incremental",
     "a17_ivf_pq_batch_knn",
+    # r13 (VERDICT r12 item 8): the streaming rows — each runs a real
+    # availableNow stream (checkpoint + sink under scratch), so these
+    # medians price the per-trigger machinery, not just the operators
+    "s01_streaming_incremental_dedup",
+    "s02_streaming_batch_equivalence",
+    "s03_streaming_knn_equivalence",
+    "s04_streaming_index_append_equivalence",
 ]
 
 
