@@ -1574,12 +1574,27 @@ def pq_topk(
     query_vec,
     k: int = 10,
     id_col: str = "vec_id",
+    dedup_ids: bool = True,
 ) -> DataFrame:
     """Top-k by ADC over a PQ-coded corpus: the whole scan is
     codegen'd long/double arithmetic against one literal LUT — no
     Python, no join, m bytes of index per row. Returns
     (id, score_pq) ordered score desc, id asc (the exact_knn_join
     tie-break).
+
+    ``dedup_ids`` (VERDICT r12 item 2, default SAFE): an
+    at-least-once appended index can hold the same id twice (a
+    crash-replayed ``ivf_pq_append`` batch); identical codes score
+    identically, but without dedup each copy eats its own
+    top-k/shortlist slot and can displace the true k-th id. The
+    groupBy-max is deterministic even if codes ever differed, and
+    partial aggregation keeps the exchange to one (id, score) pair
+    per map-side distinct id — but it IS one extra exchange the
+    duplicate-free case (a fresh build, or post-compact: the index
+    metadata's ``appends == 0`` certifies it) doesn't need; callers
+    that hold that certificate pass False and keep the shuffle-free
+    scan→TakeOrdered plan (``ivf_pq_topk`` decides from the sidecar).
+    Pinned by the crash-replay tests in tests/test_vectors.py.
 
     Corrupt-code contract (r12, the xlsx cell-dirt taxonomy applied
     to the index): the data-dependent array reads use ``F.get`` —
@@ -1617,22 +1632,14 @@ def pq_topk(
     for s in range(m):
         term = F.get(F.element_at(lut, s + 1), F.get(F.col("codes"), s))
         score = term if score is None else score + term
-    return (
-        codes_df.select(F.col(id_col), F.round(score, 6).alias("score_pq"))
-        .filter(F.col("score_pq").isNotNull())
-        # Replay-dedup (VERDICT r12 item 2): an at-least-once appended
-        # index can hold the same id twice (a crash-replayed
-        # ivf_pq_append batch); identical codes score identically, but
-        # without this each copy eats its own top-k/shortlist slot and
-        # can displace the true k-th id. groupBy-max is deterministic
-        # even if codes ever differed, and partial aggregation keeps
-        # the exchange to one (id, score) pair per map-side distinct
-        # id. Pinned by the crash-replay tests in test_vectors.py.
-        .groupBy(id_col)
-        .agg(F.max("score_pq").alias("score_pq"))
-        .orderBy(F.col("score_pq").desc(), id_col)
-        .limit(k)
-    )
+    scored = codes_df.select(
+        F.col(id_col), F.round(score, 6).alias("score_pq")
+    ).filter(F.col("score_pq").isNotNull())
+    if dedup_ids:
+        scored = scored.groupBy(id_col).agg(
+            F.max("score_pq").alias("score_pq")
+        )
+    return scored.orderBy(F.col("score_pq").desc(), id_col).limit(k)
 
 
 def pq_topk_refined(
@@ -1645,6 +1652,7 @@ def pq_topk_refined(
     shortlist: int = 200,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dedup_ids: bool = True,
 ) -> DataFrame:
     """ADC shortlist → exact re-rank: the production PQ shape. The
     codegen'd ADC scan picks ``shortlist`` candidates from codes (m
@@ -1656,8 +1664,21 @@ def pq_topk_refined(
     with the corpus for a flat scan (200 is 10% of a 2k slice but 1%
     of 20k, where one query read 0.45) — at real scale pair this
     with the IVF cells (ADC within probed cells) instead of growing
-    the shortlist."""
-    short = pq_topk(codes_df, codebooks, query_vec, k=shortlist, id_col=id_col)
+    the shortlist.
+
+    ``dedup_ids`` follows pq_topk's contract (default SAFE): the
+    final result is duplicate-free either way (the refine is a
+    semi-join on distinct ids), but duplicate code rows erode
+    shortlist DEPTH unless dedup'd; pass False only for codes that
+    are unique by construction (a fresh pq_encode — a13/a14 do)."""
+    short = pq_topk(
+        codes_df,
+        codebooks,
+        query_vec,
+        k=shortlist,
+        id_col=id_col,
+        dedup_ids=dedup_ids,
+    )
     sub = emb.join(F.broadcast(short.select(id_col)), id_col, "left_semi")
     return exact_knn_join(sub, [(q_id, list(query_vec))], k=k, id_col=id_col, vec_col=vec_col)
 
@@ -1719,7 +1740,10 @@ def _register_pq():
             got = {
                 r["vec_id"]
                 for r in pq_topk_refined(
-                    codes, books, corpus, q_id, qv, k=20, shortlist=200
+                    # fresh pq_encode output: ids unique by
+                    # construction, skip the dedup exchange
+                    codes, books, corpus, q_id, qv, k=20, shortlist=200,
+                    dedup_ids=False,
                 ).collect()
             }
             want = exact_ids[q_id]
@@ -2031,6 +2055,22 @@ def ivf_pq_build_cached(
     return path, cents, books
 
 
+def _index_may_hold_duplicates(index_path: str) -> bool:
+    """Whether a persisted IVF-PQ index can contain replay-duplicated
+    rows. The lifecycle makes this decidable from the sidecar:
+    ``ivf_pq_index`` writes unique rows with ``appends == 0``;
+    ``ivf_pq_append`` is the only at-least-once step and bumps the
+    counter; ``ivf_pq_compact`` drops exact duplicates and resets it.
+    So ``appends > 0`` is exactly the window where duplicates are
+    possible. Unreadable/absent metadata answers True — default-safe
+    (probes still serve; only appends refuse a provenance-less
+    index)."""
+    try:
+        return int(read_ivfpq_meta(index_path).get("appends", 1)) > 0
+    except Exception:  # noqa: BLE001 — no provenance: assume the worst
+        return True
+
+
 def ivf_pq_topk(
     spark: SparkSession,
     index_path: str,
@@ -2048,10 +2088,20 @@ def ivf_pq_topk(
     """Probe the nprobe nearest cells (driver-side over the bounded
     centroid list), ADC-score just those partitions' code rows in
     codegen, then exact-refine the shortlist — IVF pruning × PQ
-    compression × exact re-rank composed from their tested parts."""
+    compression × exact re-rank composed from their tested parts.
+    The shortlist dedups ids only when the sidecar says the index has
+    un-compacted appends (see ``_index_may_hold_duplicates``) — a
+    fresh or compacted index keeps the shuffle-free ADC plan."""
     cells = _probe_cells(centroids, list(query_vec), nprobe)
     codes = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
-    short = pq_topk(codes, codebooks, query_vec, k=shortlist, id_col=id_col)
+    short = pq_topk(
+        codes,
+        codebooks,
+        query_vec,
+        k=shortlist,
+        id_col=id_col,
+        dedup_ids=_index_may_hold_duplicates(index_path),
+    )
     sub = emb.join(F.broadcast(short.select(id_col)), id_col, "left_semi")
     return exact_knn_join(sub, [(q_id, list(query_vec))], k=k, id_col=id_col, vec_col=vec_col)
 
@@ -2129,10 +2179,16 @@ def ivf_pq_knn_join(
     # executor over the torrent channel instead. The broadcast handle
     # lives inside the returned plan's closures, so the ContextCleaner
     # reclaims it when the consumer drops the DataFrame — an explicit
-    # destroy() here would race the (lazy) execution.
-    bc = spark.sparkContext.broadcast(
-        {"q_ids": q_ids, "qm": qm, "luts": luts, "probe_arrs": probe_arrs}
-    )
+    # destroy() here would race the (lazy) execution. Below ~4 MB the
+    # torrent setup costs more than it saves (a 20-query LUT is
+    # ~330 KB), so small batches keep plain closure capture.
+    state = {"q_ids": q_ids, "qm": qm, "luts": luts, "probe_arrs": probe_arrs}
+    state_bytes = luts.nbytes + qm.nbytes + sum(a.nbytes for a in probe_arrs)
+    if state_bytes > 4 * 1024 * 1024:
+        bc = spark.sparkContext.broadcast(state)
+        get_state = lambda: bc.value  # noqa: E731
+    else:
+        get_state = lambda: state  # noqa: E731
 
     adc_schema = T.StructType(
         [
@@ -2144,9 +2200,9 @@ def ivf_pq_knn_join(
     sl = shortlist
 
     def adc_partial(batches):
-        state = bc.value
-        b_qids, b_luts = state["q_ids"], state["luts"]
-        b_probes = state["probe_arrs"]
+        st = get_state()
+        b_qids, b_luts = st["q_ids"], st["luts"]
+        b_probes = st["probe_arrs"]
         for pdf in batches:
             raw = pdf["codes"].tolist()
             # empty-batch guard (ADVICE r12): np.array([]) is 1-D, so
@@ -2208,17 +2264,20 @@ def ivf_pq_knn_join(
         .select(id_col, "codes", "cell")
     )
     w = W.partitionBy("q_id").orderBy(F.col("score_pq").desc(), id_col)
+    short = codes_scan.mapInPandas(adc_partial, adc_schema)
+    # Replay-dedup (VERDICT r12 item 2, ADVICE medium): an
+    # at-least-once appended index holds duplicate id rows with
+    # identical codes; without this each copy takes its own
+    # row_number — eating shortlist depth here and, downstream,
+    # putting the same id twice into a final top-k while crowding
+    # out the true k-th (ann_knn_join's dropDuplicates at its
+    # candidate step is the same rule). Shortlist-sized exchange,
+    # paid only inside the lifecycle window where duplicates are
+    # possible (un-compacted appends — see _index_may_hold_duplicates)
+    if _index_may_hold_duplicates(index_path):
+        short = short.dropDuplicates(["q_id", id_col])
     short = (
-        codes_scan.mapInPandas(adc_partial, adc_schema)
-        # Replay-dedup (VERDICT r12 item 2, ADVICE medium): an
-        # at-least-once appended index holds duplicate id rows with
-        # identical codes; without this each copy takes its own
-        # row_number — eating shortlist depth here and, downstream,
-        # putting the same id twice into a final top-k while crowding
-        # out the true k-th (ann_knn_join's dropDuplicates at its
-        # candidate step is the same rule). Shortlist-sized exchange.
-        .dropDuplicates(["q_id", id_col])
-        .withColumn("rn", F.row_number().over(w))
+        short.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= sl)
         .select("q_id", id_col)
     )
@@ -2238,8 +2297,9 @@ def ivf_pq_knn_join(
     )
 
     def exact_pairs(batches):
-        b_qm = bc.value["qm"]
-        q_index = {int(q): j for j, q in enumerate(bc.value["q_ids"])}
+        st = get_state()
+        b_qm = st["qm"]
+        q_index = {int(q): j for j, q in enumerate(st["q_ids"])}
         for pdf in batches:
             if not len(pdf):  # same empty-batch guard as adc_partial
                 continue
