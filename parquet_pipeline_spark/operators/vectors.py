@@ -2509,16 +2509,22 @@ def _register_ivf_pq_incremental():
         exact_ids: dict[int, set] = {}
         for r in exact.collect():  # bounded: 5 × 20
             exact_ids.setdefault(r["q_id"], set()).add(r["vec_id"])
+        # probe the appended index with the BATCHED plan (one job
+        # chain for all 5 queries instead of 5 sequential chains;
+        # r13). The index has appends=1, so this is also the one
+        # official row that exercises the replay-dedup window
+        # (_index_may_hold_duplicates → shortlist dropDuplicates)
+        # in-gate on every run.
+        got_ids: dict[int, set] = {}
+        for r in ivf_pq_knn_join(
+            spark, path, cents, books, full, qrows, k=20, nprobe=8
+        ).collect():  # bounded: 5 × 20
+            got_ids.setdefault(r["q_id"], set()).add(r["vec_id"])
         ok_rows = []
-        for q_id, qv in qrows:
+        for q_id, _qv in qrows:
             if q_id not in exact_ids:
                 continue
-            got = {
-                r["vec_id"]
-                for r in ivf_pq_topk(
-                    spark, path, cents, books, full, q_id, qv, k=20, nprobe=8
-                ).collect()
-            }
+            got = got_ids.get(q_id, set())
             want = exact_ids[q_id]
             ok_rows.append(
                 (q_id, contract_ok and len(got & want) >= 0.4 * len(want))
