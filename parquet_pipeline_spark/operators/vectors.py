@@ -2106,6 +2106,14 @@ def ivf_pq_topk(
     return exact_knn_join(sub, [(q_id, list(query_vec))], k=k, id_col=id_col, vec_col=vec_col)
 
 
+# Executor-state shipping threshold for the batched probe: above this,
+# the (nq, m, k_codes) LUT + probe sets go out as a Spark broadcast
+# (once per executor); below it, closure capture is cheaper than the
+# torrent setup (a 20-query LUT is ~330 KB). Module-level so tests can
+# force the broadcast path at small nq.
+_BROADCAST_STATE_BYTES = 4 * 1024 * 1024
+
+
 def ivf_pq_knn_join(
     spark: SparkSession,
     index_path: str,
@@ -2184,7 +2192,7 @@ def ivf_pq_knn_join(
     # ~330 KB), so small batches keep plain closure capture.
     state = {"q_ids": q_ids, "qm": qm, "luts": luts, "probe_arrs": probe_arrs}
     state_bytes = luts.nbytes + qm.nbytes + sum(a.nbytes for a in probe_arrs)
-    if state_bytes > 4 * 1024 * 1024:
+    if state_bytes > _BROADCAST_STATE_BYTES:
         bc = spark.sparkContext.broadcast(state)
         get_state = lambda: bc.value  # noqa: E731
     else:

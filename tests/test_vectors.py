@@ -1030,3 +1030,38 @@ def test_ivf_pq_replayed_append_cannot_corrupt_probes(spark, tmp_path, seed):
         spark, replay_path, cents, books, full, qrows, k=10, nprobe=8
     )
     assert snap_rows(kj_after) == rows_clean
+
+
+def test_ivf_pq_knn_join_broadcast_path_identical(spark, tmp_path, monkeypatch):
+    """The broadcast leg of the executor-state shipping (used above
+    the ~4 MB threshold, i.e. big query batches) must be semantically
+    invisible: forcing it at small nq returns byte-identical rows to
+    the closure-capture leg."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators import vectors as V
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    cents = V.ivf_centroids(corpus, k=8)
+    books = V.pq_train(corpus, m=8, k_codes=16, sample=256)
+    path = str(tmp_path / "idx.parquet")
+    V.ivf_pq_index(corpus, cents, books, path)
+    qrows = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+
+    def rows():
+        return sorted(
+            tuple(r)
+            for r in V.ivf_pq_knn_join(
+                spark, path, cents, books, corpus, qrows, k=10, nprobe=8
+            ).collect()
+        )
+
+    closure_rows = rows()  # default threshold: tiny state -> closure
+    monkeypatch.setattr(V, "_BROADCAST_STATE_BYTES", 0)  # force broadcast
+    assert rows() == closure_rows
