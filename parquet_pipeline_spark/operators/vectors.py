@@ -2801,9 +2801,17 @@ def _register_streaming_append():
         Returned rows: exact top-20 over the full corpus
         (hash-checked) + per-query ``append_ok`` = (stream index ≡
         batch index) ∧ (probe of the streamed index clears the a15
-        recall floor)."""
+        recall floor).
+
+        The snapshot model + index build is the SAME artifact a16
+        caches (identical slice and params — ivf_pq_build_cached
+        recomputes exactly what this row used to build inline), so
+        each call copies it twice and spends its time on what the
+        row certifies: the live stream, the batch append, the
+        row-for-row equality, and the probes (batched plan, r13)."""
         import json as _json
         import os as _os
+        import shutil as _shutil
         import time as _time
 
         from parquet_pipeline_spark.scratch import scratch_dir
@@ -2821,14 +2829,20 @@ def _register_streaming_append():
         snapshot = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 1500))
         batch = emb.filter((F.col("vec_id") >= 1500) & (F.col("vec_id") < 2000))
         full = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 2000))
-        cents = ivf_centroids(snapshot, k=16)
-        books = pq_train(snapshot, m=8, k_codes=256, sample=2048)
+        base_path, cents, books = ivf_pq_build_cached(
+            snapshot,
+            cache_key=(_os.path.realpath(sf_dir), "a16", 5, 1500),
+            k_cells=16,
+            m=8,
+            k_codes=256,
+            sample=2048,
+        )
 
         tmp = scratch_dir("s04_stream_append_")
         stream_idx = _os.path.join(tmp, "stream_idx.parquet")
         batch_idx = _os.path.join(tmp, "batch_idx.parquet")
-        ivf_pq_index(snapshot, cents, books, stream_idx)
-        ivf_pq_index(snapshot, cents, books, batch_idx)
+        _shutil.copytree(base_path, stream_idx)
+        _shutil.copytree(base_path, batch_idx)
         ivf_pq_append(spark, batch_idx, batch, cents, books)
 
         rows = sorted(
@@ -2882,17 +2896,18 @@ def _register_streaming_append():
         exact_ids: dict[int, set] = {}
         for r in exact.collect():  # bounded: 5 × 20
             exact_ids.setdefault(r["q_id"], set()).add(r["vec_id"])
+        # batched probe of the STREAMED index (appends>0 there, so
+        # this also runs the replay-dedup shortlist path in-gate)
+        got_ids: dict[int, set] = {}
+        for r in ivf_pq_knn_join(
+            spark, stream_idx, cents, books, full, qrows, k=20, nprobe=8
+        ).collect():  # bounded: 5 × 20
+            got_ids.setdefault(r["q_id"], set()).add(r["vec_id"])
         ok_rows = []
-        for q_id, qv in qrows:
+        for q_id, _qv in qrows:
             if q_id not in exact_ids:
                 continue
-            got = {
-                r["vec_id"]
-                for r in ivf_pq_topk(
-                    spark, stream_idx, cents, books, full, q_id, qv,
-                    k=20, nprobe=8,
-                ).collect()
-            }
+            got = got_ids.get(q_id, set())
             want = exact_ids[q_id]
             ok_rows.append(
                 (
