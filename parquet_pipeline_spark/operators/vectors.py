@@ -1966,7 +1966,12 @@ def ivf_pq_append(
     return n
 
 
-def ivf_pq_compact(spark: SparkSession, index_path: str) -> int:
+def ivf_pq_compact(
+    spark: SparkSession,
+    index_path: str,
+    max_records_per_file: int | None = None,
+    split_per_partition: int = 1,
+) -> int:
     """Compact an appended-to IVF-ADC index back to one file per cell
     partition. Each ``ivf_pq_append`` lands one-plus part-files in
     every cell its batch touches, so after N ingest batches a probe
@@ -2007,7 +2012,20 @@ def ivf_pq_compact(spark: SparkSession, index_path: str) -> int:
 
     meta = read_ivfpq_meta(index_path)
     n_files = compact_partitioned(
-        spark, index_path, ["cell"], drop_duplicate_rows=True
+        spark,
+        index_path,
+        ["cell"],
+        # replay duplicates can only exist inside the un-compacted-
+        # appends window (the same certificate the probes consult);
+        # a re-compaction of an already-clean index skips the dedup's
+        # extra full-row exchange
+        drop_duplicate_rows=int(meta.get("appends", 1)) > 0,
+        # skew controls pass through: a hot cell at 10^9 vectors must
+        # not become one straggler task / one giant file (see
+        # compact_partitioned's r13 note); defaults keep the exact
+        # one-file-per-cell contract the tests pin
+        max_records_per_file=max_records_per_file,
+        split_per_partition=split_per_partition,
     )
     meta["appends"] = 0
     meta["compactions"] = int(meta.get("compactions", 0)) + 1

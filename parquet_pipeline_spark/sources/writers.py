@@ -174,6 +174,8 @@ def compact_partitioned(
     partition_cols: list[str],
     sort_cols: list[str] | None = None,
     drop_duplicate_rows: bool = False,
+    max_records_per_file: int | None = None,
+    split_per_partition: int = 1,
 ) -> int:
     """Small-file compaction that PRESERVES a hive-partitioned
     layout (and therefore partition pruning). This is the
@@ -195,20 +197,45 @@ def compact_partitioned(
     ``ivf_pq_compact``). The dedup rides the shuffle the compaction
     already pays: Catalyst plans the dropDuplicates aggregate and the
     repartition on the partition columns as adjacent exchanges over
-    batch-sized data, never a second corpus pass."""
+    batch-sized data, never a second corpus pass.
+
+    Skew controls (r13 — the 100-TB hole in one-file-per-partition):
+    repartitioning on the partition columns alone puts each partition
+    VALUE in exactly one task, so a hot value (a dense IVF cell, a
+    crowded minhash band) becomes one straggler task writing one
+    giant file. ``split_per_partition=N`` salts the shuffle with a
+    deterministic full-row hash mod N, bounding a hot value's rewrite
+    to N parallel tasks (≤N files per partition directory — pruning
+    is untouched, the hive layout is unchanged);
+    ``max_records_per_file`` additionally caps file size inside each
+    task (Spark's maxRecordsPerFile), keeping row-group-sized files
+    for downstream scans. Defaults preserve the historical exact
+    one-file-per-partition contract."""
     import os as _os
+
+    from pyspark.sql import functions as _F
 
     _recover_and_clean(path, "._compacting")
     df = spark.read.parquet(path)
     if drop_duplicate_rows:
         df = df.dropDuplicates()
-    arranged = df.repartition(*partition_cols)
+    if split_per_partition > 1:
+        salt = _F.pmod(
+            _F.abs(_F.hash(*[_F.col(c) for c in df.columns])),
+            _F.lit(split_per_partition),
+        )
+        arranged = df.repartition(
+            *[_F.col(c) for c in partition_cols], salt
+        )
+    else:
+        arranged = df.repartition(*partition_cols)
     if sort_cols:
         arranged = arranged.sortWithinPartitions(*sort_cols)
     tmp = path.rstrip("/") + "._compacting"
-    arranged.write.option("compression", "zstd").partitionBy(
-        *partition_cols
-    ).parquet(tmp)
+    writer = arranged.write.option("compression", "zstd")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy(*partition_cols).parquet(tmp)
     _swap(path, tmp)
     return sum(
         1

@@ -1065,3 +1065,80 @@ def test_ivf_pq_knn_join_broadcast_path_identical(spark, tmp_path, monkeypatch):
     closure_rows = rows()  # default threshold: tiny state -> closure
     monkeypatch.setattr(V, "_BROADCAST_STATE_BYTES", 0)  # force broadcast
     assert rows() == closure_rows
+
+
+def test_ivf_pq_compact_skew_controls(spark, tmp_path):
+    """The 100-TB skew controls on compaction: split_per_partition
+    bounds a hot cell's rewrite to N tasks (≤N files per cell dir,
+    hive layout and pruning untouched), max_records_per_file caps
+    file sizes — and neither may change row count, probe answers,
+    metadata, or the replay-dedup guarantee."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.vectors import (
+        ivf_centroids,
+        ivf_pq_append,
+        ivf_pq_compact,
+        ivf_pq_index,
+        ivf_pq_topk,
+        pq_train,
+        read_ivfpq_meta,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    snap = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 400))
+    batch = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450))
+    full = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 450))
+    cents = ivf_centroids(snap, k=4)
+    books = pq_train(snap, m=8, k_codes=16, sample=256)
+    path = str(tmp_path / "idx.parquet")
+    ivf_pq_index(snap, cents, books, path)
+    ivf_pq_append(spark, path, batch, cents, books)
+    ivf_pq_append(spark, path, batch, cents, books)  # replay litter too
+
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    before = [
+        tuple(r)
+        for r in ivf_pq_topk(
+            spark, path, cents, books, full, 0, qv, k=10, nprobe=4
+        ).collect()
+    ]
+    n_unique = (
+        spark.read.parquet(path).count()
+        - batch.filter(F.col("embedding").isNotNull()).count()
+    )
+
+    n_files = ivf_pq_compact(
+        spark, path, max_records_per_file=50, split_per_partition=2
+    )
+    per_dir = {}
+    for root, _dirs, files in os.walk(path):
+        n = sum(f.endswith(".parquet") for f in files)
+        if n:
+            per_dir[root] = n
+    # a dense cell (~100 rows) must split: >1 file somewhere, and the
+    # layout stays hive-partitioned (every data dir is a cell=N dir)
+    assert any(n > 1 for n in per_dir.values())
+    assert all("cell=" in d for d in per_dir)
+    assert n_files == sum(per_dir.values())
+
+    # pruning is untouched
+    probe = spark.read.parquet(path).filter(F.col("cell").isin([0, 1]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+    # replay litter reclaimed, answers byte-identical, meta reset
+    assert spark.read.parquet(path).count() == n_unique
+    after = [
+        tuple(r)
+        for r in ivf_pq_topk(
+            spark, path, cents, books, full, 0, qv, k=10, nprobe=4
+        ).collect()
+    ]
+    assert after == before
+    meta = read_ivfpq_meta(path)
+    assert meta["appends"] == 0 and meta["compactions"] == 1

@@ -138,6 +138,37 @@ def main() -> None:
             out["ivfpq_littered_probe_sec"] / out["ivfpq_compacted_probe_sec"], 2
         )
         out["ivfpq_corpus_rows"] = n_emb
+
+        # r13 skew leg: repartition on the partition columns alone
+        # puts each partition VALUE in one task, so a hot value (90%
+        # of rows here) makes compaction a single-straggler job.
+        # split_per_partition bounds the hot value's rewrite to N
+        # parallel tasks; max_records_per_file is held equal on both
+        # legs so the delta isolates task parallelism.
+        hot = spark.range(2_000_000).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise((F.col("id") % 16).cast("int"))
+            .alias("cell"),
+        )
+        for split, key in (
+            (1, "skew_compact_sec_nosplit"),
+            (8, "skew_compact_sec_split8"),
+        ):
+            sidx = os.path.join(tmp, f"skew{split}")
+            hot.write.partitionBy("cell").parquet(sidx)
+            t0 = time.time()
+            compact_partitioned(
+                spark,
+                sidx,
+                ["cell"],
+                split_per_partition=split,
+                max_records_per_file=250_000,
+            )
+            out[key] = round(time.time() - t0, 3)
+        out["skew_split_speedup"] = round(
+            out["skew_compact_sec_nosplit"] / out["skew_compact_sec_split8"], 2
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps(out))
