@@ -1851,6 +1851,8 @@ def semdedup_pairs(
 
     def assign_batches(batches):
         for pdf in batches:
+            if not len(pdf):  # empty Arrow batch (r13 guard)
+                continue
             m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             norms = np.sqrt((m * m).sum(axis=1))
             norms[norms == 0.0] = 1.0
@@ -1959,6 +1961,8 @@ def semdedup_pairs_hierarchical(
 
     def assign_batches(batches):
         for pdf in batches:
+            if not len(pdf):  # empty Arrow batch (r13 guard)
+                continue
             m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             norms = np.sqrt((m * m).sum(axis=1))
             norms[norms == 0.0] = 1.0

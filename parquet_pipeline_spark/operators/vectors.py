@@ -666,6 +666,8 @@ def ivf_knn_join(
 
     def partial_topk(batches):
         for pdf in batches:
+            if not len(pdf):  # empty Arrow batch: sum(axis=1) on a
+                continue      # 1-D empty array would AxisError (r13)
             ids = pdf[id_col].to_numpy()
             cells = pdf["cell"].to_numpy()
             m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
@@ -1367,6 +1369,8 @@ def exact_knn_join(
 
     def partial_topk(batches):
         for pdf in batches:
+            if not len(pdf):  # empty Arrow batch (r13 guard)
+                continue
             ids = pdf[id_col].to_numpy()
             m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             norms = np.sqrt((m * m).sum(axis=1))
@@ -1547,6 +1551,8 @@ def pq_encode(
 
     def enc(batches):
         for pdf in batches:
+            if not len(pdf):  # empty Arrow batch (r13 guard)
+                continue
             ids = pdf[id_col].to_numpy()
             x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             norms = np.sqrt((x * x).sum(axis=1))
