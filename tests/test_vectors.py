@@ -1142,3 +1142,71 @@ def test_ivf_pq_compact_skew_controls(spark, tmp_path):
     assert after == before
     meta = read_ivfpq_meta(path)
     assert meta["appends"] == 0 and meta["compactions"] == 1
+
+
+def test_ivf_pq_knn_join_small_probe_pool_stays_masked(spark, tmp_path):
+    """Regression pin for the r12-advice masking hole: when a query
+    has FEWER in-probe rows than the shortlist inside an Arrow batch,
+    the kernel's threshold is -inf and `col >= thresh` used to admit
+    rows from cells the query never probed (masked to -inf), which
+    the exact refine would then re-score with a REAL cosine — foreign
+    cells entering the top-k, and solo != batched. Construct exactly
+    that: nprobe=1, shortlist = whole corpus, two queries probing
+    (generally) different cells, co-batched."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.vectors import (
+        _probe_cells,
+        ivf_assign,
+        ivf_centroids,
+        ivf_pq_index,
+        ivf_pq_knn_join,
+        pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    cents = ivf_centroids(corpus, k=8)
+    books = pq_train(corpus, m=8, k_codes=16, sample=256)
+    path = str(tmp_path / "idx.parquet")
+    ivf_pq_index(corpus, cents, books, path)
+    n = corpus.count()
+
+    qrows = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+    # per-query allowed id set: the ids ivf_assign puts in the ONE
+    # cell each query probes at nprobe=1
+    assigned = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign(corpus, cents).select("vec_id", "cell").collect()
+    }
+    allowed = {}
+    for q_id, qv in qrows:
+        cell = _probe_cells(cents, list(qv), 1)[0]
+        allowed[q_id] = {v for v, c in assigned.items() if c == cell}
+
+    got = ivf_pq_knn_join(
+        spark, path, cents, books, corpus, qrows, k=10, nprobe=1, shortlist=n
+    ).collect()
+    by_q: dict[int, set] = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], set()).add(r["vec_id"])
+    for q_id, ids in by_q.items():
+        assert ids <= allowed[q_id], (
+            f"query {q_id} retrieved ids outside its probed cell"
+        )
+
+    # and batched == solo per query (batch independence)
+    for q_id, qv in qrows:
+        solo = {
+            r["vec_id"]
+            for r in ivf_pq_knn_join(
+                spark, path, cents, books, corpus, [(q_id, qv)],
+                k=10, nprobe=1, shortlist=n,
+            ).collect()
+        }
+        assert solo == by_q.get(q_id, set())
