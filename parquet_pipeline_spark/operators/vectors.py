@@ -686,6 +686,12 @@ def ivf_knn_join(
                 if len(col) > kk:
                     thresh = np.partition(col, -kk)[-kk]
                     cand = np.nonzero(col >= thresh)[0]
+                    # a small in-probe pool makes thresh -inf and the
+                    # mask admits dead rows; downstream filters them
+                    # (score > -inf) so this is slot/shuffle hygiene,
+                    # not correctness — unlike the PQ path, where the
+                    # refine made it a wrong-answer bug (r13)
+                    cand = cand[np.isfinite(col[cand])]
                 else:
                     cand = np.nonzero(col > -np.inf)[0]
                 order = cand[np.lexsort((ids[cand], -col[cand]))][:kk]
