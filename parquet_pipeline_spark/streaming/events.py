@@ -754,6 +754,7 @@ def streaming_ivf_pq_append(
     codebooks,
     checkpoint: str,
     trigger_once: bool = True,
+    compact_every: int | None = None,
 ):
     """Continuous IVF-ADC index maintenance: each micro-batch of new
     embeddings is PQ-encoded and appended into its cell partitions
@@ -777,15 +778,33 @@ def streaming_ivf_pq_append(
     ``ivf_pq_compact`` rewrite reclaims the bytes — it drops exact
     duplicate rows during its shuffle. Compact when
     ``read_ivfpq_meta(path)['appends']`` crosses a threshold,
-    exactly as in the batch lifecycle."""
-    from parquet_pipeline_spark.operators.vectors import ivf_pq_append
+    exactly as in the batch lifecycle — or let the STREAM do it:
+    ``compact_every=N`` runs ``ivf_pq_compact`` inside the trigger
+    whenever the sidecar's append counter reaches N, so the index's
+    small-file litter is bounded at N batches' worth without an
+    external maintenance scheduler. The compaction rides the same
+    foreachBatch transaction boundary as the append (its own
+    tmp+rename swap crash story applies, vectors.ivf_pq_compact);
+    because the counter is read from the sidecar — not trigger
+    arithmetic — a restart from a checkpoint neither skips nor
+    double-runs maintenance."""
+    from parquet_pipeline_spark.operators.vectors import (
+        ivf_pq_append,
+        ivf_pq_compact,
+        read_ivfpq_meta,
+    )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
-        ivf_pq_append(
-            batch_df.sparkSession, index_path, batch_df, centroids, codebooks
-        )
+        spark = batch_df.sparkSession
+        ivf_pq_append(spark, index_path, batch_df, centroids, codebooks)
+        if (
+            compact_every
+            and int(read_ivfpq_meta(index_path).get("appends", 0))
+            >= compact_every
+        ):
+            ivf_pq_compact(spark, index_path)
 
     writer = emb_stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint
