@@ -72,48 +72,70 @@ def _last_green_round() -> dict[str, int]:
 # lands, the entry neutralizes itself (ADVICE r11: the old static
 # set kept consuming the fixed re-gate budget until hand-edited).
 # Entries are append-only history; stale ones cost nothing.
-_CHANGED_SINCE_LAST_GREEN = {
+# A LIST of (name, round) pairs folded with max() — not a dict
+# literal, where a re-touched query silently last-wins on its
+# duplicate key (VERDICT r13 item 3: a13/a15 each appeared twice;
+# correct only by the accident of append-at-end). The fold makes
+# collisions structurally harmless: every historical pair stays,
+# the newest round always wins, order can't matter.
+_CHANGED_LOG = [
     # r11: ''→NULL canonicalization on both sides (ADVICE r10)
-    "i01_xlsx_roundtrip": 11,
-    "i06_http_roundtrip": 11,
+    ("i01_xlsx_roundtrip", 11),
+    ("i06_http_roundtrip", 11),
     # r11: bloom probe rewrite (double hashing + JVM-side literal) —
     # byte-identical by construction, re-gate anyway
-    "a08_bloom_prejoin": 11,
+    ("a08_bloom_prejoin", 11),
     # r11: minhash signature table extracted from banded_minhash
     # (shared with the new sig prefilter) — same bytes, re-gate the
     # whole family that rides it
-    "d03_minhash_lsh_neardup": 11,
-    "d07_lsh_bucket_pairs": 11,
-    "d10_incremental_dedup": 11,
-    "d11_incremental_dedup_indexed": 11,
-    "d13_transitive_components": 11,
-    "s01_streaming_incremental_dedup": 11,
-    "s02_streaming_batch_equivalence": 11,
+    ("d03_minhash_lsh_neardup", 11),
+    ("d07_lsh_bucket_pairs", 11),
+    ("d10_incremental_dedup", 11),
+    ("d11_incremental_dedup_indexed", 11),
+    ("d13_transitive_components", 11),
+    ("s01_streaming_incremental_dedup", 11),
+    ("s02_streaming_batch_equivalence", 11),
     # r11: explode(sequence)+element_at pair-build rewrite
-    "t08_word_bigrams": 11,
-    "t22_lm_score": 11,
+    ("t08_word_bigrams", 11),
+    ("t22_lm_score", 11),
     # r12: index build cached per process (build-once/probe-many) —
     # same deterministic artifact, re-gate anyway
-    "a15_ivf_pq_recall_floor": 12,
+    ("a15_ivf_pq_recall_floor", 12),
     # r12: cell-level dirty-row contract in the kNN/ADC machinery
     # (F.get codes, size(vec)==dim scan filters) — byte-identical on
     # clean data, re-gate the riders
-    "a09_ivf_knn_join": 12,
-    "a13_pq_recall_floor": 12,
-    "v07_exact_knn_join": 12,
+    ("a09_ivf_knn_join", 12),
+    ("a13_pq_recall_floor", 12),
+    ("v07_exact_knn_join", 12),
     # r13: replay-dedup contract (pq_topk groupBy-max, knn_join
-    # shortlist dropDuplicates, compact full-row dedup), broadcast
-    # LUT in the batched probe, -inf masking fix, a16 cached build,
-    # streaming probe chunking — byte-identical on clean data,
-    # re-gate every rider
-    "a13_pq_recall_floor": 13,
-    "a14_pq_compression": 13,
-    "a15_ivf_pq_recall_floor": 13,
-    "a16_ivf_pq_incremental": 13,
-    "a17_ivf_pq_batch_knn": 13,
-    "s03_streaming_knn_equivalence": 13,
-    "s04_streaming_index_append_equivalence": 13,
-}
+    # shortlist dedup, compact full-row dedup), broadcast LUT in the
+    # batched probe, -inf masking fix, a16 cached build, streaming
+    # probe chunking — byte-identical on clean data, re-gate every
+    # rider
+    ("a13_pq_recall_floor", 13),
+    ("a14_pq_compression", 13),
+    ("a15_ivf_pq_recall_floor", 13),
+    ("a16_ivf_pq_incremental", 13),
+    ("a17_ivf_pq_batch_knn", 13),
+    ("s03_streaming_knn_equivalence", 13),
+    ("s04_streaming_index_append_equivalence", 13),
+    # r14: knn_join shortlist dedup → groupBy-max (ADVICE r13),
+    # streaming probe batch persisted (double-scan fix), batched
+    # a13/a15 gate probes, ivf_pq_compact staged-swap recovery —
+    # byte-identical results by construction, re-gate the riders
+    ("a13_pq_recall_floor", 14),
+    ("a15_ivf_pq_recall_floor", 14),
+    ("a16_ivf_pq_incremental", 14),
+    ("a17_ivf_pq_batch_knn", 14),
+    ("s03_streaming_knn_equivalence", 14),
+    ("s04_streaming_index_append_equivalence", 14),
+]
+
+_CHANGED_SINCE_LAST_GREEN: dict = {}
+for _name, _rnd in _CHANGED_LOG:
+    _CHANGED_SINCE_LAST_GREEN[_name] = max(
+        _CHANGED_SINCE_LAST_GREEN.get(_name, 0), _rnd
+    )
 
 
 def _priority_order(mapping: dict) -> dict:

@@ -2311,9 +2311,17 @@ def ivf_pq_knn_join(
     # out the true k-th (ann_knn_join's dropDuplicates at its
     # candidate step is the same rule). Shortlist-sized exchange,
     # paid only inside the lifecycle window where duplicates are
-    # possible (un-compacted appends — see _index_may_hold_duplicates)
+    # possible (un-compacted appends — see _index_may_hold_duplicates).
+    # groupBy-max, not dropDuplicates: matches pq_topk's deterministic
+    # contract — replayed copies carry identical codes so max() is a
+    # no-op today, but if a partially corrupt replay ever wrote
+    # divergent codes, an arbitrary-row keep would make the batched
+    # shortlist nondeterministic while the single-query path stays
+    # deterministic (ADVICE r13).
     if _index_may_hold_duplicates(index_path):
-        short = short.dropDuplicates(["q_id", id_col])
+        short = short.groupBy("q_id", id_col).agg(
+            F.max("score_pq").alias("score_pq")
+        )
     short = (
         short.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= sl)

@@ -194,10 +194,14 @@ def compact_partitioned(
     ``drop_duplicate_rows`` additionally removes exact duplicate rows
     during the rewrite — the recovery path for at-least-once appends
     (a crash-replayed batch re-appends byte-identical rows; see
-    ``ivf_pq_compact``). The dedup rides the shuffle the compaction
-    already pays: Catalyst plans the dropDuplicates aggregate and the
-    repartition on the partition columns as adjacent exchanges over
-    batch-sized data, never a second corpus pass.
+    ``ivf_pq_compact``). Cost honesty: dropDuplicates is its own
+    full-width hash exchange over the ENTIRE index, ahead of the
+    repartition exchange — a compaction with dedup pays two full
+    shuffles of the corpus, not one. That is why ``ivf_pq_compact``
+    gates it on the sidecar's ``appends > 0`` certificate: the extra
+    exchange runs only inside the lifecycle window where duplicates
+    are possible, and a clean index compacts with the single
+    historical shuffle.
 
     Skew controls (r13 — the 100-TB hole in one-file-per-partition):
     repartitioning on the partition columns alone puts each partition
@@ -220,8 +224,12 @@ def compact_partitioned(
     if drop_duplicate_rows:
         df = df.dropDuplicates()
     if split_per_partition > 1:
+        # pmod already maps negative hashes into [0, N) — no abs():
+        # under ANSI mode abs(Int.MinValue) throws ARITHMETIC_OVERFLOW,
+        # and hash() lands on -2147483648 for ~1 in 4.3B rows, which at
+        # the 10^9-row scale this salt exists for is a real job abort.
         salt = _F.pmod(
-            _F.abs(_F.hash(*[_F.col(c) for c in df.columns])),
+            _F.hash(*[_F.col(c) for c in df.columns]),
             _F.lit(split_per_partition),
         )
         arranged = df.repartition(

@@ -867,22 +867,29 @@ def streaming_knn_probe(
     from parquet_pipeline_spark.operators.vectors import ivf_pq_knn_join
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        picked = batch_df.select(id_col, vec_col)
-        # count BEFORE collect: the refusal must fire without ever
-        # materializing the oversized backlog on the driver
-        nq = picked.count()
-        if nq == 0:
-            return
-        if nq > max_trigger_backlog:
-            raise ValueError(
-                f"streaming_knn_probe: trigger {batch_id} carries {nq} "
-                f"queries (> max_trigger_backlog={max_trigger_backlog}) "
-                "— an unbounded backlog drain. Bound the source "
-                "(maxFilesPerTrigger / maxOffsetsPerTrigger) or raise "
-                "max_trigger_backlog explicitly; refusing to collect "
-                "it driver-side."
-            )
-        rows = picked.collect()
+        # persist the projected batch: micro-batch sources re-evaluate
+        # per action, so an unpersisted count-then-collect pays the
+        # source scan twice every trigger (ADVICE r13). The count still
+        # runs BEFORE collect — the refusal must fire without ever
+        # materializing the oversized backlog on the driver (the cache
+        # holds the 2-column projection executor-side, not driver-side).
+        picked = batch_df.select(id_col, vec_col).persist()
+        try:
+            nq = picked.count()
+            if nq == 0:
+                return
+            if nq > max_trigger_backlog:
+                raise ValueError(
+                    f"streaming_knn_probe: trigger {batch_id} carries {nq} "
+                    f"queries (> max_trigger_backlog={max_trigger_backlog}) "
+                    "— an unbounded backlog drain. Bound the source "
+                    "(maxFilesPerTrigger / maxOffsetsPerTrigger) or raise "
+                    "max_trigger_backlog explicitly; refusing to collect "
+                    "it driver-side."
+                )
+            rows = picked.collect()
+        finally:
+            picked.unpersist()
         qrows = [(r[id_col], r[vec_col]) for r in rows]
         res = None
         for i in range(0, len(qrows), max_queries_per_trigger):

@@ -66,6 +66,31 @@ def test_priority_order_applies_to_oracles_too():
     assert set(o) == set(registry.ORACLES)
 
 
+def test_changed_log_fold_is_max_and_collision_proof():
+    """_CHANGED_SINCE_LAST_GREEN is folded from the append-only
+    _CHANGED_LOG with max() (VERDICT r13 item 3: the old dict literal
+    silently last-wins on duplicate keys). The fold must equal the
+    max-per-name of the log regardless of entry order, and every
+    query the log names must exist in the registry."""
+    expected: dict = {}
+    for name, rnd in entry._CHANGED_LOG:
+        expected[name] = max(expected.get(name, 0), rnd)
+    assert entry._CHANGED_SINCE_LAST_GREEN == expected
+    # order-independence: folding the reversed log gives the same map
+    rev: dict = {}
+    for name, rnd in reversed(entry._CHANGED_LOG):
+        rev[name] = max(rev.get(name, 0), rnd)
+    assert rev == expected
+    # the historical duplicates are present in the log (append-only
+    # history preserved) yet resolve to the newest round
+    names = [n for n, _ in entry._CHANGED_LOG]
+    assert names.count("a13_pq_recall_floor") >= 2
+    assert expected["a13_pq_recall_floor"] == max(
+        r for n, r in entry._CHANGED_LOG if n == "a13_pq_recall_floor"
+    )
+    assert set(expected) <= set(registry.QUERIES)
+
+
 def test_rows_only_queries_count_as_officially_checked():
     """A deliberate rows-only query with an official ran-with-rows
     row must not pin the front of the queue forever."""

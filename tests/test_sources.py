@@ -169,6 +169,31 @@ def test_write_sorted_rowgroup_stats_selective(spark, sf_dir, tmp_path):
     assert spark.read.parquet(dest).count() == orders.count()
 
 
+def test_compact_salt_survives_minvalue_hash_under_ansi(spark):
+    """ADVICE r13 (medium): the split_per_partition salt must not
+    route hash() through abs() — under Spark 4's default ANSI mode
+    abs(Int.MinValue) throws ARITHMETIC_OVERFLOW, and hash() lands on
+    -2147483648 for ~1 in 4.3B rows, a real abort probability at the
+    10^9-row scale the salt exists for. pmod alone already maps
+    negative dividends into [0, N). Pin both halves: pmod handles the
+    sentinel, and the abs form really does throw here (if ANSI is
+    ever off, the second half degrades to a no-op skip)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    row = (
+        spark.range(1)
+        .select(
+            F.pmod(F.lit(-2147483648), F.lit(8)).alias("salt"),
+        )
+        .first()
+    )
+    assert row["salt"] == 0  # non-negative, in [0, 8)
+    if spark.conf.get("spark.sql.ansi.enabled", "true") == "true":
+        with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW"):
+            spark.range(1).select(F.abs(F.lit(-2147483648))).first()
+
+
 def test_compaction_reduces_files_preserves_data(spark, sf_dir, tmp_path):
     from parquet_pipeline_spark.sources.writers import compact
 
