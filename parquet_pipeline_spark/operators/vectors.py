@@ -1695,6 +1695,197 @@ def pq_topk_refined(
     return exact_knn_join(sub, [(q_id, list(query_vec))], k=k, id_col=id_col, vec_col=vec_col)
 
 
+def pq_knn_join(
+    codes_df: DataFrame,
+    codebooks,
+    emb: DataFrame,
+    query_rows: list,
+    k: int = 10,
+    shortlist: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dedup_ids: bool = True,
+) -> DataFrame:
+    """Batched full-scan ADC + exact refine: the multi-query twin of
+    ``pq_topk_refined`` and the flat-index sibling of
+    ``ivf_pq_knn_join`` — the whole query batch runs in ONE plan
+    (one codes scan, one Arrow ADC pass over every query's LUT, one
+    window for per-query shortlists, one refine join) instead of one
+    probe job chain per query. Returns (q_id, id, score), per-query
+    top-k, ordered within each q_id by score desc, id asc.
+
+    Per-query independence: there are no cells here — every query
+    scores every valid code row — so batch membership trivially
+    cannot change any query's result; equality with the solo
+    ``pq_topk_refined`` path is pinned per-query in
+    tests/test_vectors.py. The kernel rounds ADC scores to 6dp
+    BEFORE the shortlist cut, exactly like ``pq_topk``'s
+    F.round(score_pq, 6), so even shortlist-boundary tie-breaks
+    match the solo path byte-for-byte.
+
+    LUT shipping follows ivf_pq_knn_join (VERDICT r12 item 4): the
+    (nq, m, k_codes) table rides one Spark broadcast per executor
+    above _BROADCAST_STATE_BYTES, plain closure capture below it.
+
+    Dirty-code contract matches ``pq_topk``'s F.get semantics: NULL,
+    truncated, out-of-range, or negative codes are dropped, never
+    retrieved, never abort. ``dedup_ids`` follows pq_topk's contract
+    (default SAFE; pass False for codes unique by construction —
+    a fresh ``pq_encode``, which is what the a13 gate holds)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = codes_df.sparkSession
+    query_rows = [q for q in query_rows if any(float(x) != 0.0 for x in q[1])]
+    if not query_rows:
+        return spark.createDataFrame(
+            [], f"q_id long, {id_col} long, score double"
+        )
+    q_ids = np.array([q[0] for q in query_rows], dtype=np.int64)
+    qm = np.array([list(q[1]) for q in query_rows], dtype=np.float64)
+    qn = np.sqrt((qm * qm).sum(axis=1))
+    qn[qn == 0.0] = 1.0
+    qm = qm / qn[:, None]
+
+    books = [np.asarray(c, dtype=np.float64) for c in codebooks]
+    m, dsub = len(books), books[0].shape[1]
+    k_codes = books[0].shape[0]
+    luts = np.stack(
+        [
+            np.stack(
+                [books[s] @ qm[j, s * dsub : (s + 1) * dsub] for s in range(m)]
+            )
+            for j in range(len(q_ids))
+        ]
+    )
+
+    state = {"q_ids": q_ids, "qm": qm, "luts": luts}
+    state_bytes = luts.nbytes + qm.nbytes
+    if state_bytes > _BROADCAST_STATE_BYTES:
+        bc = spark.sparkContext.broadcast(state)
+        get_state = lambda: bc.value  # noqa: E731
+    else:
+        get_state = lambda: state  # noqa: E731
+
+    adc_schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("score_pq", T.DoubleType()),
+        ]
+    )
+    sl = shortlist
+
+    def adc_partial(batches):
+        st = get_state()
+        b_qids, b_luts = st["q_ids"], st["luts"]
+        for pdf in batches:
+            raw = pdf["codes"].tolist()
+            # empty-batch guard (ADVICE r12): np.array([]) is 1-D, so
+            # .all(axis=1) below would raise AxisError
+            if not len(raw):
+                continue
+            ids = pdf[id_col].to_numpy()
+            codes = np.array(
+                [
+                    c
+                    if c is not None
+                    and len(c) == m
+                    and all(x is not None for x in c)
+                    else [-1] * m
+                    for c in raw
+                ],
+                dtype=np.int64,
+            )
+            valid = ((codes >= 0) & (codes < k_codes)).all(axis=1)
+            ids, codes = ids[valid], codes[valid]
+            if not len(ids):
+                continue
+            sims = np.zeros((len(b_qids), len(ids)), dtype=np.float64)
+            for s in range(m):
+                sims += b_luts[:, s, :][:, codes[:, s]]
+            # 6dp round BEFORE the cut — pq_topk parity (see docstring)
+            sims = np.round(sims, 6)
+            qi_out, id_out, sc_out = [], [], []
+            kk = min(sl, len(ids))
+            for j in range(len(b_qids)):
+                col = sims[j]
+                if len(col) > kk:
+                    thresh = np.partition(col, -kk)[-kk]
+                    cand = np.nonzero(col >= thresh)[0]
+                else:
+                    cand = np.arange(len(col))
+                order = cand[np.lexsort((ids[cand], -col[cand]))][:kk]
+                qi_out.append(np.full(len(order), b_qids[j], dtype=np.int64))
+                id_out.append(ids[order])
+                sc_out.append(col[order])
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(qi_out) if qi_out else [],
+                    id_col: np.concatenate(id_out) if id_out else [],
+                    "score_pq": np.concatenate(sc_out) if sc_out else [],
+                }
+            )
+
+    w = W.partitionBy("q_id").orderBy(F.col("score_pq").desc(), id_col)
+    short = codes_df.select(id_col, "codes").mapInPandas(
+        adc_partial, adc_schema
+    )
+    if dedup_ids:
+        # same deterministic groupBy-max contract as pq_topk
+        short = short.groupBy("q_id", id_col).agg(
+            F.max("score_pq").alias("score_pq")
+        )
+    short = (
+        short.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= sl)
+        .select("q_id", id_col)
+    )
+
+    # exact refine: fetch only shortlisted vectors (broadcast join —
+    # the shortlist union is nq×shortlist-bounded), score each
+    # (q_id, id) PAIR against its own query, window the final top-k
+    refine_in = emb.select(id_col, vec_col).join(F.broadcast(short), id_col)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def exact_pairs(batches):
+        st = get_state()
+        b_qm = st["qm"]
+        q_index = {int(q): j for j, q in enumerate(st["q_ids"])}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            qs = pdf["q_id"].to_numpy()
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.sqrt((x * x).sum(axis=1))
+            keep = norms > 0.0
+            ids, qs, x, norms = ids[keep], qs[keep], x[keep], norms[keep]
+            if not len(ids):
+                continue
+            qrows = b_qm[[q_index[int(q)] for q in qs]]
+            scores = (x / norms[:, None] * qrows).sum(axis=1)
+            yield pd.DataFrame({"q_id": qs, id_col: ids, "score": scores})
+
+    wf = W.partitionBy("q_id").orderBy(F.col("score").desc(), id_col)
+    return (
+        refine_in.filter(
+            F.col(vec_col).isNotNull() & (F.size(vec_col) == qm.shape[1])
+        )
+        .mapInPandas(exact_pairs, out_schema)
+        .withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= k)
+        .select("q_id", id_col, F.round("score", 6).alias("score"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # a13/a14 — PQ on the official record, the a11 assertion pattern:
 # the oracle replays what is exactly replayable (the exact top-20
@@ -1745,20 +1936,25 @@ def _register_pq():
         exact_ids: dict[int, set] = {}
         for r in exact.collect():  # bounded: 5 queries × 20 rows
             exact_ids.setdefault(r["q_id"], set()).add(r["vec_id"])
+        # ONE batched plan for all 5 probes (VERDICT r13 item 1: the
+        # per-query pq_topk_refined loop was 5 sequential job chains
+        # and this row the registry's heaviest). pq_knn_join is
+        # per-query identical to the solo path — pinned by
+        # test_pq_knn_join_matches_solo_path — so the recall sets and
+        # the floor verdicts are unchanged. Fresh pq_encode output:
+        # ids unique by construction, skip the dedup exchange.
+        got_ids: dict[int, set] = {}
+        for r in pq_knn_join(
+            codes, books, corpus, qrows, k=20, shortlist=200,
+            dedup_ids=False,
+        ).collect():  # bounded: 5 × 20
+            got_ids.setdefault(r["q_id"], set()).add(r["vec_id"])
         ok_rows = []
-        for q_id, qv in qrows:
+        for q_id, _qv in qrows:
             if q_id not in exact_ids:
                 continue
-            got = {
-                r["vec_id"]
-                for r in pq_topk_refined(
-                    # fresh pq_encode output: ids unique by
-                    # construction, skip the dedup exchange
-                    codes, books, corpus, q_id, qv, k=20, shortlist=200,
-                    dedup_ids=False,
-                ).collect()
-            }
             want = exact_ids[q_id]
+            got = got_ids.get(q_id, set())
             ok_rows.append((q_id, len(got & want) >= 0.6 * len(want)))
         codes.unpersist()
         ok = spark.createDataFrame(ok_rows, "q_id long, pq_ok boolean")
@@ -2160,8 +2356,8 @@ def ivf_pq_knn_join(
     """Batched retrieval through the persisted IVF-ADC index: the PQ
     twin of ``ivf_knn_join`` (a09) and the shape a query STREAM pays
     at 100 TB — ``ivf_pq_topk`` launches one probe job chain per
-    query (a15's repeat cost is 5 sequential chains), this runs the
-    whole batch in ONE plan: a single partition-pruned scan of the
+    query; this runs the whole batch (the a15 gate rides it for its
+    5 probes since r14) in ONE plan: a single partition-pruned scan of the
     union of all queries' probed cells, one Arrow pass computing
     every query's ADC scores against its own LUT, one window for the
     per-query shortlists, one refine join.
@@ -2436,17 +2632,24 @@ def _register_ivf_pq():
         exact_ids: dict[int, set] = {}
         for r in exact.collect():  # bounded: 5 × 20
             exact_ids.setdefault(r["q_id"], set()).add(r["vec_id"])
+        # ONE batched probe for all 5 queries (VERDICT r13 item 1:
+        # the ivf_pq_topk loop was 5 sequential probe chains and this
+        # row the registry's second-heaviest). Same index, same
+        # nprobe=12: a17's in-gate solo≡batched assertion pins that
+        # ivf_pq_knn_join returns exactly what the per-query
+        # ivf_pq_topk chain returns, so each query's recall set and
+        # floor verdict are unchanged.
+        got_ids: dict[int, set] = {}
+        for r in ivf_pq_knn_join(
+            spark, path, cents, books, corpus, qrows, k=20, nprobe=12
+        ).collect():  # bounded: 5 × 20
+            got_ids.setdefault(r["q_id"], set()).add(r["vec_id"])
         ok_rows = []
-        for q_id, qv in qrows:
+        for q_id, _qv in qrows:
             if q_id not in exact_ids:
                 continue
-            got = {
-                r["vec_id"]
-                for r in ivf_pq_topk(
-                    spark, path, cents, books, corpus, q_id, qv, k=20, nprobe=12
-                ).collect()
-            }
             want = exact_ids[q_id]
+            got = got_ids.get(q_id, set())
             ok_rows.append((q_id, len(got & want) >= 0.4 * len(want)))
         ok = spark.createDataFrame(ok_rows, "q_id long, ivf_pq_ok boolean")
         return exact.join(ok, "q_id").select("q_id", "vec_id", "score", "ivf_pq_ok")

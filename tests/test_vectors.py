@@ -561,6 +561,76 @@ def test_pq_roundtrip_contracts(spark):
     assert want.exceptAll(got_df).count() == 0
 
 
+def test_pq_knn_join_matches_solo_path(spark):
+    """pq_knn_join (r14: the batched flat-ADC plan the a13 gate
+    rides) must return PER QUERY exactly what the solo
+    pq_topk_refined chain returns — same shortlist cut (the kernel
+    rounds to 6dp before the cut, pq_topk parity), same refine, same
+    tie-breaks — with a shortlist small enough that the ADC cut is
+    real. Also: zero-norm queries drop to an empty result set, and a
+    duplicate code row must not eat shortlist depth when dedup is on."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.vectors import (
+        pq_encode,
+        pq_knn_join,
+        pq_topk_refined,
+        pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 800))
+    books = pq_train(corpus, m=8, k_codes=16, sample=256)
+    codes = pq_encode(corpus, books).persist()
+    qrows = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 4).collect()
+    ]
+
+    batched = pq_knn_join(
+        codes, books, corpus, qrows, k=10, shortlist=40, dedup_ids=False
+    )
+    got = {}
+    for r in batched.collect():
+        got.setdefault(r["q_id"], []).append((r["vec_id"], r["score"]))
+    assert set(got) == {q for q, _ in qrows}
+    for q_id, qv in qrows:
+        solo = [
+            (r["vec_id"], r["score"])
+            for r in pq_topk_refined(
+                codes, books, corpus, q_id, qv, k=10, shortlist=40,
+                dedup_ids=False,
+            ).collect()
+        ]
+        assert got[q_id] == solo, q_id
+
+    # zero-norm query: dropped, never scored, never crashes
+    assert (
+        pq_knn_join(codes, books, corpus, [(99, [0.0] * 64)], k=5).count()
+        == 0
+    )
+
+    # replay-duplicate codes: with dedup on, a doubled id takes ONE
+    # shortlist slot (groupBy-max), so results equal the clean index
+    clean = {
+        (r["q_id"], r["vec_id"], r["score"])
+        for r in pq_knn_join(
+            codes, books, corpus, qrows, k=10, shortlist=40
+        ).collect()
+    }
+    littered = codes.unionByName(codes.limit(25))
+    dup = {
+        (r["q_id"], r["vec_id"], r["score"])
+        for r in pq_knn_join(
+            littered, books, corpus, qrows, k=10, shortlist=40
+        ).collect()
+    }
+    assert dup == clean
+    codes.unpersist()
+
+
 def test_ivf_pq_index_prunes_partitions(spark, tmp_path):
     """The IVF-ADC probe must be a statically partition-pruned scan:
     the physical plan's PartitionFilters carry the cell predicate (a
