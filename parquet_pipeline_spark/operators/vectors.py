@@ -2145,6 +2145,13 @@ def ivf_pq_append(
     import json as _json
     import os as _os
 
+    from parquet_pipeline_spark.sources.writers import _recover_and_clean
+
+    # same entry recovery as ivf_pq_compact (r14): a compaction killed
+    # mid-swap leaves the whole index (data + sidecar) at '._old';
+    # restore it instead of refusing on the missing sidecar. Safe
+    # under the single-maintainer model every swap here assumes.
+    _recover_and_clean(index_path, "._compacting")
     meta = read_ivfpq_meta(index_path)
     fp = _ivfpq_fingerprint(centroids, codebooks)
     for key, what in (
@@ -2200,26 +2207,46 @@ def ivf_pq_compact(
     The metadata sidecar lives INSIDE the index directory, so the
     swap would drop it: it is read before (which also validates the
     index has provenance — never compact an index you couldn't
-    append to) and re-written after, with ``appends`` reset to 0 and
-    a ``compactions`` counter bumped. The model fingerprint is
-    untouched — compaction moves bytes and drops replay litter, not
-    meaning.
+    append to) and the UPDATED sidecar (``appends`` reset to 0, a
+    ``compactions`` counter bumped, fingerprint untouched —
+    compaction moves bytes and drops replay litter, not meaning) is
+    staged INTO the rewrite's tmp dir before the swap
+    (compact_partitioned's ``pre_swap`` hook), so data and sidecar
+    install as one rename unit.
 
-    Crash window: dying between the internal swap and the sidecar
-    rewrite leaves a compacted index WITHOUT metadata — subsequent
-    appends/compactions refuse loudly (read_ivfpq_meta) rather than
-    ever serving or extending an index of unknown provenance; rebuild
-    restores it. A crash before the swap is invisible (the next
-    compact recovers the tmp dir).
+    Crash recovery (r14 — previously refuse-loudly): there is no
+    longer a state in which a compacted index exists without
+    metadata. Crash before the swap → old index + old sidecar
+    intact, the next compact recovers the staging litter
+    (_recover_and_clean). Crash mid-swap → the '._old' backup
+    (old data + old sidecar) is restored on the next run. Crash
+    after the swap → the new index already carries its new sidecar.
+    Pinned by test_ivf_pq_compact_recovers_from_crashed_swap.
 
     Returns the post-compaction parquet file count."""
     import json as _json
     import os as _os
 
-    from parquet_pipeline_spark.sources.writers import compact_partitioned
+    from parquet_pipeline_spark.sources.writers import (
+        _recover_and_clean,
+        compact_partitioned,
+    )
 
+    # recover BEFORE reading the sidecar: a run killed mid-swap left
+    # the whole index (data + sidecar) at '._old' — reading first
+    # would refuse on the missing metadata instead of restoring it
+    # (compact_partitioned runs the same recovery again, idempotently)
+    _recover_and_clean(index_path, "._compacting")
     meta = read_ivfpq_meta(index_path)
-    n_files = compact_partitioned(
+    new_meta = dict(meta)
+    new_meta["appends"] = 0
+    new_meta["compactions"] = int(meta.get("compactions", 0)) + 1
+
+    def stage_sidecar(tmp_dir: str) -> None:
+        with open(_os.path.join(tmp_dir, _IVFPQ_META_NAME), "w") as fh:
+            _json.dump(new_meta, fh)
+
+    return compact_partitioned(
         spark,
         index_path,
         ["cell"],
@@ -2234,12 +2261,8 @@ def ivf_pq_compact(
         # one-file-per-cell contract the tests pin
         max_records_per_file=max_records_per_file,
         split_per_partition=split_per_partition,
+        pre_swap=stage_sidecar,
     )
-    meta["appends"] = 0
-    meta["compactions"] = int(meta.get("compactions", 0)) + 1
-    with open(_os.path.join(index_path, _IVFPQ_META_NAME), "w") as fh:
-        _json.dump(meta, fh)
-    return n_files
 
 
 # Build-once-probe-many (VERDICT r11 item 3): the a15 registry row

@@ -176,6 +176,7 @@ def compact_partitioned(
     drop_duplicate_rows: bool = False,
     max_records_per_file: int | None = None,
     split_per_partition: int = 1,
+    pre_swap=None,
 ) -> int:
     """Small-file compaction that PRESERVES a hive-partitioned
     layout (and therefore partition pruning). This is the
@@ -244,6 +245,18 @@ def compact_partitioned(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.partitionBy(*partition_cols).parquet(tmp)
+    if pre_swap is not None:
+        # Stage caller sidecars (e.g. the IVF-PQ metadata file) INTO
+        # the tmp dir while the live table is still untouched: the
+        # double-rename then installs data + sidecar as one unit, so
+        # there is no crash window in which the new layout exists
+        # without its metadata (VERDICT r13 item 3 — the old
+        # swap-then-rewrite left exactly that window, and recovery
+        # was a loud refusal instead of a rollback). A crash before
+        # the swap leaves the old table + old sidecar intact; a crash
+        # mid-swap is restored by _recover_and_clean, sidecar
+        # included (it rides the '._old' backup).
+        pre_swap(tmp)
     _swap(path, tmp)
     return sum(
         1

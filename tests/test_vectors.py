@@ -1137,6 +1137,91 @@ def test_ivf_pq_knn_join_broadcast_path_identical(spark, tmp_path, monkeypatch):
     assert rows() == closure_rows
 
 
+def test_ivf_pq_compact_recovers_from_crashed_swap(spark, tmp_path, monkeypatch):
+    """r14 (VERDICT r13 item 3): ivf_pq_compact's crash window must be
+    RECOVERABLE, not refuse-loudly. The updated sidecar is staged into
+    the rewrite's tmp dir before the swap, so (1) a run killed before
+    the swap leaves the live index byte-for-byte untouched — old
+    sidecar, old probe answers — with the staged tmp already carrying
+    the NEW sidecar; (2) a run killed mid-swap (index at '._old',
+    stale tmp on disk) is restored by the next compact, which then
+    completes normally with the sidecar intact either way."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators import vectors as V
+    from parquet_pipeline_spark.sources import writers as Wr
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    snap = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 300))
+    batch = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 330))
+    full = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 330))
+    cents = V.ivf_centroids(snap, k=4)
+    books = V.pq_train(snap, m=8, k_codes=16, sample=256)
+    path = str(tmp_path / "idx.parquet")
+    V.ivf_pq_index(snap, cents, books, path)
+    V.ivf_pq_append(spark, path, batch, cents, books)
+    V.ivf_pq_append(spark, path, batch, cents, books)  # replay litter
+    n_littered = spark.read.parquet(path).count()
+
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+
+    def probe():
+        return [
+            tuple(r)
+            for r in V.ivf_pq_topk(
+                spark, path, cents, books, full, 0, qv, k=10, nprobe=4
+            ).collect()
+        ]
+
+    before = probe()
+
+    # (1) killed BEFORE the swap: live index untouched, tmp staged
+    real_swap = Wr._swap
+    monkeypatch.setattr(
+        Wr, "_swap", lambda p, t: (_ for _ in ()).throw(RuntimeError("killed"))
+    )
+    with pytest.raises(RuntimeError, match="killed"):
+        V.ivf_pq_compact(spark, path)
+    meta = V.read_ivfpq_meta(path)  # old sidecar still readable
+    assert int(meta["appends"]) == 2
+    assert probe() == before
+    tmp = path.rstrip("/") + "._compacting"
+    assert os.path.exists(tmp)
+    with open(os.path.join(tmp, V._IVFPQ_META_NAME)) as fh:
+        staged = json.load(fh)
+    # the tmp dir already carries the post-compaction sidecar: the
+    # swap installs data + metadata as ONE rename unit
+    assert staged["appends"] == 0
+    assert staged["compactions"] == int(meta.get("compactions", 0)) + 1
+
+    # (2) killed MID-swap: index at '._old', stale tmp left behind
+    monkeypatch.setattr(Wr, "_swap", real_swap)
+    os.rename(path, path + "._old")
+    n_files = V.ivf_pq_compact(spark, path)
+    assert n_files > 0
+    assert not os.path.exists(path + "._old")
+    assert not os.path.exists(tmp)
+    meta2 = V.read_ivfpq_meta(path)
+    assert int(meta2["appends"]) == 0
+    assert int(meta2["compactions"]) == int(meta.get("compactions", 0)) + 1
+    # the completed compact deduped the replay litter and the probe
+    # answers are unchanged (now on the shuffle-free clean-index plan)
+    assert spark.read.parquet(path).count() < n_littered
+    assert probe() == before
+
+    # (3) the same mid-swap state is recovered by the next APPEND too
+    os.rename(path, path + "._old")
+    assert V.ivf_pq_append(spark, path, batch, cents, books) > 0
+    assert not os.path.exists(path + "._old")
+    assert int(V.read_ivfpq_meta(path)["appends"]) == 1
+
+
 def test_ivf_pq_compact_skew_controls(spark, tmp_path):
     """The 100-TB skew controls on compaction: split_per_partition
     bounds a hot cell's rewrite to N tasks (≤N files per cell dir,
