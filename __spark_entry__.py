@@ -121,8 +121,10 @@ _CHANGED_LOG = [
     ("s04_streaming_index_append_equivalence", 13),
     # r14: knn_join shortlist dedup → groupBy-max (ADVICE r13),
     # streaming probe batch persisted (double-scan fix), batched
-    # a13/a15 gate probes, ivf_pq_compact staged-swap recovery —
-    # byte-identical results by construction, re-gate the riders
+    # a13/a15 gate probes, ivf_pq_compact staged-swap recovery,
+    # a13/a14 build-once cache — byte-identical results by
+    # construction, re-gate the riders
+    ("a14_pq_compression", 14),
     ("a13_pq_recall_floor", 14),
     ("a15_ivf_pq_recall_floor", 14),
     ("a16_ivf_pq_incremental", 14),
