@@ -295,3 +295,92 @@ def test_asof_join_null_contract_matches_naive(probe_secs, quotes_raw):
         i: naive(s) for i, s in enumerate(probe_secs) if s is not None
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# pq_knn_join (r14): batched flat-ADC retrieval over randomized query
+# batches must agree per-query with the solo pq_topk_refined chain.
+# Disagreement is allowed ONLY as a float-associativity tie at the
+# top-k cut: the two refine kernels sum the same float64 products in
+# different orders (matmul vs row-wise sum), so two corpus rows whose
+# exact scores differ below ~1 ulp can legitimately swap at the k-th
+# slot. Any symmetric-difference row must therefore score within 1e-9
+# of the k-th score on both sides — a structural mismatch (masking
+# bug, shortlist bug, LUT mixup across co-batched queries) produces
+# rows far from the boundary and fails.
+# ---------------------------------------------------------------------------
+_PQ_PROP_CACHE: dict = {}
+
+
+def _pq_prop_fixture():
+    """Tiny deterministic corpus + trained PQ model, built once per
+    process (hypothesis re-invokes the test body per example)."""
+    if "x" in _PQ_PROP_CACHE:
+        return _PQ_PROP_CACHE["x"]
+    import numpy as np
+
+    from parquet_pipeline_spark.operators.vectors import pq_encode, pq_train
+    from parquet_pipeline_spark.session import get_spark
+
+    spark = get_spark("tests")
+    rs = np.random.RandomState(11)
+    vecs = rs.normal(size=(60, 8)).round(2)  # 2dp keeps inputs tame
+    corpus = spark.createDataFrame(
+        [(int(i), [float(v) for v in row]) for i, row in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    ).persist()
+    books = pq_train(corpus, m=4, k_codes=8, sample=60)
+    codes = pq_encode(corpus, books).persist()
+    codes.count()
+    _PQ_PROP_CACHE["x"] = (spark, corpus, books, codes)
+    return _PQ_PROP_CACHE["x"]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    qvecs=st.lists(
+        st.lists(
+            st.integers(min_value=-6, max_value=6).map(float),
+            min_size=8,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_pq_knn_join_property_matches_solo(qvecs):
+    from parquet_pipeline_spark.operators.vectors import (
+        pq_knn_join,
+        pq_topk_refined,
+    )
+
+    spark, corpus, books, codes = _pq_prop_fixture()
+    k, sl = 5, 12  # shortlist < corpus: the ADC cut is real
+    qrows = [(100 + i, v) for i, v in enumerate(qvecs)]
+    batched: dict[int, dict] = {}
+    for r in pq_knn_join(
+        codes, books, corpus, qrows, k=k, shortlist=sl, dedup_ids=False
+    ).collect():
+        batched.setdefault(r["q_id"], {})[r["vec_id"]] = r["score"]
+    for q_id, qv in qrows:
+        solo = {
+            r["vec_id"]: r["score"]
+            for r in pq_topk_refined(
+                codes, books, corpus, q_id, qv, k=k, shortlist=sl,
+                dedup_ids=False,
+            ).collect()
+        }
+        got = batched.get(q_id, {})
+        if all(float(x) == 0.0 for x in qv):
+            assert got == {} and solo == {}  # zero-norm query drops
+            continue
+        if got == solo:
+            continue
+        # boundary-tie fallback: every disagreeing row must sit at
+        # the k-th score on both sides (see block comment)
+        kth = min(solo.values()) if solo else 0.0
+        for vid in set(got) ^ set(solo):
+            s = got.get(vid, solo.get(vid))
+            assert abs(s - kth) < 1e-9, (q_id, vid, s, kth)
+        for vid in set(got) & set(solo):
+            assert abs(got[vid] - solo[vid]) < 1e-9
