@@ -2325,6 +2325,44 @@ def ivf_pq_compact(
 _IVFPQ_BUILD_CACHE: dict[tuple, tuple[str, list, list]] = {}
 
 
+def ivf_pq_stats(spark: SparkSession, index_path: str) -> DataFrame:
+    """Operational introspection for a persisted IVF-ADC index: one
+    row per cell — (cell, n_rows, n_files) — with the sidecar's
+    lifecycle counters (appends, compactions) and model shape (m,
+    n_cells) as constant columns. This is the input to the two
+    maintenance decisions the lifecycle prescribes:
+
+    - WHEN to compact: `appends` > threshold, or n_files per cell ≫ 1
+      (each append lands one-plus files per touched cell; probe task
+      count schedules against files, see ivf_pq_compact);
+    - HOW DEEP to shortlist: recall tracks shortlist ÷ (nprobe ×
+      rows-per-cell), not shortlist ÷ corpus — measured in
+      BENCH_NOTES §Shortlist is the scale lever (a fixed 200 reads
+      1.0 at 10% of the probed rows and 0.44 at 2%). Size `shortlist`
+      from this frame's max n_rows × nprobe.
+
+    Cost: one column-pruned scan — row counts need no data columns
+    (the scan reads only the hive partition value) and file counts
+    ride input_file_name(), so the codes bytes are never read."""
+    meta = read_ivfpq_meta(index_path)
+    return (
+        spark.read.parquet(index_path)
+        # project the (non-deterministic) file name BEFORE the
+        # aggregate — Spark refuses it inside agg arguments
+        .select("cell", F.input_file_name().alias("_file"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("_file").alias("n_files"),
+        )
+        .withColumn("appends", F.lit(int(meta.get("appends", 0))))
+        .withColumn("compactions", F.lit(int(meta.get("compactions", 0))))
+        .withColumn("m", F.lit(int(meta.get("m", 0))))
+        .withColumn("n_cells", F.lit(int(meta.get("n_cells", 0))))
+        .orderBy("cell")
+    )
+
+
 def ivf_pq_build_cached(
     emb: DataFrame,
     cache_key: tuple,
