@@ -1137,6 +1137,66 @@ def test_ivf_pq_knn_join_broadcast_path_identical(spark, tmp_path, monkeypatch):
     assert rows() == closure_rows
 
 
+def test_ivf_pq_knn_join_filtered_retrieval(spark, tmp_path):
+    """Filtered ANN (r14): `eligible` pre-filters the pruned codes
+    scan, so shortlist depth is spent on eligible rows only. Pins:
+    (1) the identity — all cells probed + corpus-wide shortlist +
+    eligibility ≡ exact top-k over the FILTERED corpus; (2) at gate
+    shapes the filter binds (only eligible ids returned, full k
+    depth); (3) eligible=None stays the unfiltered operator."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.vectors import (
+        exact_knn_join,
+        ivf_centroids,
+        ivf_pq_index,
+        ivf_pq_knn_join,
+        pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 800))
+    even = corpus.filter(F.col("vec_id") % 2 == 0)
+    cents = ivf_centroids(corpus, k=8)
+    books = pq_train(corpus, m=8, k_codes=16, sample=256)
+    path = str(tmp_path / "idx.parquet")
+    ivf_pq_index(corpus, cents, books, path)
+    qrows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+    n = corpus.count()
+
+    # (1) identity over the filtered corpus
+    got = ivf_pq_knn_join(
+        spark, path, cents, books, corpus, qrows, k=10,
+        nprobe=len(cents), shortlist=n, eligible=even,
+    )
+    want = exact_knn_join(even, qrows, k=10)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # (2) gate-shaped probe: filter binds, full depth, eligible only
+    rows = ivf_pq_knn_join(
+        spark, path, cents, books, corpus, qrows, k=10,
+        nprobe=4, shortlist=50, eligible=even,
+    ).collect()
+    per_q: dict[int, list] = {}
+    for r in rows:
+        assert r["vec_id"] % 2 == 0, "ineligible id retrieved"
+        per_q.setdefault(r["q_id"], []).append(r["vec_id"])
+    assert all(len(v) == 10 for v in per_q.values())
+
+    # (3) None = unfiltered: odd ids reachable (the filter was real)
+    unfiltered = ivf_pq_knn_join(
+        spark, path, cents, books, corpus, qrows, k=10,
+        nprobe=4, shortlist=50,
+    ).collect()
+    assert any(r["vec_id"] % 2 == 1 for r in unfiltered)
+
+
 def test_ivf_pq_stats_tracks_lifecycle(spark, tmp_path):
     """ivf_pq_stats (r14): per-cell rows/files + sidecar counters,
     correct across the build → append → compact lifecycle, computed
