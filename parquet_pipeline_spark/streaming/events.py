@@ -830,6 +830,7 @@ def streaming_knn_probe(
     trigger_once: bool = True,
     max_queries_per_trigger: int = 1024,
     max_trigger_backlog: int = 100_000,
+    eligible: DataFrame | None = None,
 ):
     """Continuous retrieval — the QUERY-side twin of
     ``streaming_vector_index_append``: each micro-batch of query
@@ -905,6 +906,11 @@ def streaming_knn_probe(
                 shortlist=shortlist,
                 id_col=id_col,
                 vec_col=vec_col,
+                # filtered ANN passes straight through (r14): the
+                # eligibility semi-join rides each trigger's probe
+                # plan; per-query masking is untouched, so the
+                # stream≡batch equivalence (s03) holds filtered too
+                eligible=eligible,
             )
             res = part if res is None else res.unionByName(part)
         (

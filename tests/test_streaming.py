@@ -999,6 +999,39 @@ def test_streaming_knn_probe_matches_batch(spark, sf_dir, tmp_path):
     # two triggers -> two _batch_id partitions (the replay unit)
     assert out.select("_batch_id").distinct().count() == 2
 
+    # filtered ANN through the stream (r14): the eligibility set
+    # passes into every trigger's probe plan, so the streamed result
+    # equals the filtered batch probe and never leaks an ineligible id
+    from pyspark.sql import functions as F
+
+    even = corpus.filter(F.col("vec_id") % 2 == 0)
+    want_f = sorted(
+        tuple(r)
+        for r in ivf_pq_knn_join(
+            spark, idx, cents, books, corpus, qrows, k=5, nprobe=4,
+            eligible=even,
+        ).collect()
+    )
+    dest_f = str(tmp_path / "res_f")
+    stream_f = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    qf = streaming_knn_probe(
+        stream_f, idx, cents, books, corpus, dest_f, str(tmp_path / "ck_f"),
+        k=5, nprobe=4, eligible=even,
+    )
+    assert qf.awaitTermination(180)
+    got_f = sorted(
+        tuple(r)
+        for r in spark.read.parquet(dest_f)
+        .select("q_id", "vec_id", "score")
+        .collect()
+    )
+    assert got_f == want_f
+    assert all(vid % 2 == 0 for _q, vid, _s in got_f)
+
 
 def test_streaming_incremental_dedup_flags_idempotent_per_batch(spark, sf_dir, tmp_path):
     """The flags sink partitions by _batch_id with dynamic overwrite:
