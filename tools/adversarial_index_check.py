@@ -325,12 +325,36 @@ def check_replayed_append(spark, tmp, rng) -> list[str]:
     if tk(replay_path) != tk(clean_path):
         errs.append("replayed append changed single-query probe results")
 
+    # filtered ANN (r14): eligibility must compose with replay safety —
+    # the filtered probe of the replayed index equals the filtered
+    # probe of the clean index, and never leaks an ineligible id
+    parity = rng.choice([0, 1])
+    eligible = full.filter(F.col("vec_id") % 2 == parity)
+
+    def probe_filtered(path):
+        return sorted(
+            tuple(r)
+            for r in ivf_pq_knn_join(
+                spark, path, cents, books, full, qrows, k=k,
+                nprobe=nprobe, eligible=eligible,
+            ).collect()
+        )
+
+    f_clean = probe_filtered(clean_path)
+    f_replay = probe_filtered(replay_path)
+    if f_replay != f_clean:
+        errs.append("replayed append changed FILTERED probe results")
+    if any(vid % 2 != parity for _q, vid, _s in f_replay):
+        errs.append("filtered probe leaked an ineligible id")
+
     n_clean = spark.read.parquet(clean_path).count()
     ivf_pq_compact(spark, replay_path)
     if spark.read.parquet(replay_path).count() != n_clean:
         errs.append("compact did not reclaim replay-duplicated rows")
     if probe_rows(replay_path) != clean_rows:
         errs.append("compacted replay index changed probe results")
+    if probe_filtered(replay_path) != f_clean:
+        errs.append("compacted replay index changed FILTERED probe results")
     return errs
 
 
