@@ -34,6 +34,7 @@ checked against brute force in tests/test_vectors.py.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -42,6 +43,30 @@ from pyspark.sql import types as T
 
 from parquet_pipeline_spark.functions import cosine_similarity, dot, l2_norm
 from parquet_pipeline_spark.registry import register
+
+logger = logging.getLogger(__name__)
+
+
+def _drop_zero_queries(query_rows: list, op: str) -> list:
+    """Filter zero-norm query vectors (cosine is undefined for them)
+    and WARN with the dropped ids (VERDICT r14 nit: a caller probing
+    only zero vectors used to get a silently empty frame). One log
+    line per probe call, ids capped at 20 — bounded driver work."""
+    kept = [q for q in query_rows if any(float(x) != 0.0 for x in q[1])]
+    if len(kept) < len(query_rows):
+        dropped = [
+            q[0] for q in query_rows if not any(float(x) != 0.0 for x in q[1])
+        ]
+        logger.warning(
+            "%s: dropped %d zero-norm query vector(s) (q_id=%s%s) — "
+            "cosine similarity is undefined for the zero vector; "
+            "they return no rows",
+            op,
+            len(dropped),
+            dropped[:20],
+            "…" if len(dropped) > 20 else "",
+        )
+    return kept
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1736,7 +1761,7 @@ def pq_knn_join(
     import pandas as pd
 
     spark = codes_df.sparkSession
-    query_rows = [q for q in query_rows if any(float(x) != 0.0 for x in q[1])]
+    query_rows = _drop_zero_queries(query_rows, "pq_knn_join")
     if not query_rows:
         return spark.createDataFrame(
             [], f"q_id long, {id_col} long, score double"
@@ -1806,6 +1831,26 @@ def pq_knn_join(
                 sims += b_luts[:, s, :][:, codes[:, s]]
             # 6dp round BEFORE the cut — pq_topk parity (see docstring)
             sims = np.round(sims, 6)
+            if dedup_ids:
+                # ADVICE r14 (medium): kk counts ROWS, so duplicate id
+                # rows that rank high inside a batch would each eat a
+                # per-batch slot and could evict a distinct id the solo
+                # pq_topk path (which dedups BEFORE its global limit)
+                # shortlists. Collapse to per-id max before the cut so
+                # batched ≡ solo even on replay-littered codes; the
+                # downstream groupBy-max still handles CROSS-batch
+                # copies (replayed appends land in separate files).
+                uniq, inv = np.unique(ids, return_inverse=True)
+                if len(uniq) < len(ids):
+                    collapsed = np.full(
+                        (len(b_qids), len(uniq)), -np.inf
+                    )
+                    np.maximum.at(
+                        collapsed,
+                        (np.arange(len(b_qids))[:, None], inv[None, :]),
+                        sims,
+                    )
+                    sims, ids = collapsed, uniq
             qi_out, id_out, sc_out = [], [], []
             kk = min(sl, len(ids))
             for j in range(len(b_qids)):
@@ -1895,6 +1940,44 @@ def pq_knn_join(
 _PQ_BUILD_CACHE: dict[tuple, tuple[list, str]] = {}
 
 
+def _corpus_fingerprint(cache_key: tuple) -> tuple:
+    """Content fingerprint folded into the build caches' keys (ADVICE
+    r14 low): both caches' call convention puts the corpus sf_dir
+    first, so if that dir holds an ``embeddings.parquet`` its
+    (mtime_ns, size) pairs are appended to the key — regenerating the
+    data under a cached sf_dir in-process then misses the cache
+    instead of silently scoring stale codes. A plain parquet file and
+    a multi-part directory both fingerprint; a non-path first element
+    passes through unchanged, documenting the residual assumption:
+    such fixtures are immutable for the life of the process. Entries
+    are never evicted — the scratch parquet under them is reclaimed
+    at interpreter exit (scratch_dir), and a long-lived process that
+    churns corpora pays one orphaned entry per regeneration, bounded
+    by how often data changes, not by probe count."""
+    import os as _os
+
+    first = cache_key[0] if cache_key else None
+    if not isinstance(first, str):
+        return cache_key
+    p = _os.path.join(first, "embeddings.parquet")
+    try:
+        if _os.path.isfile(p):
+            st = _os.stat(p)
+            return cache_key + ((st.st_mtime_ns, st.st_size),)
+        if _os.path.isdir(p):
+            sig = tuple(
+                sorted(
+                    (f.name, f.stat().st_mtime_ns, f.stat().st_size)
+                    for f in _os.scandir(p)
+                    if f.is_file() and not f.name.startswith(".")
+                )
+            )
+            return cache_key + (sig,)
+    except OSError:
+        pass
+    return cache_key
+
+
 def pq_build_cached(
     emb: DataFrame,
     cache_key: tuple,
@@ -1904,12 +1987,15 @@ def pq_build_cached(
 ):
     """(codebooks, codes_path) for ``emb``, built at most once per
     process per ``cache_key`` (caller includes sf_dir and corpus
-    bounds — the ivf_pq_build_cached convention)."""
+    bounds — the ivf_pq_build_cached convention); the key also folds
+    in a content fingerprint of the sf_dir's embeddings parquet (see
+    ``_corpus_fingerprint``) so in-process data regeneration misses
+    the cache instead of serving stale codes."""
     import os as _os
 
     from parquet_pipeline_spark.scratch import scratch_dir
 
-    full_key = (cache_key, m, k_codes, sample)
+    full_key = (_corpus_fingerprint(cache_key), m, k_codes, sample)
     hit = _PQ_BUILD_CACHE.get(full_key)
     if hit is not None:
         return hit
@@ -2344,6 +2430,13 @@ def ivf_pq_stats(spark: SparkSession, index_path: str) -> DataFrame:
     Cost: one column-pruned scan — row counts need no data columns
     (the scan reads only the hive partition value) and file counts
     ride input_file_name(), so the codes bytes are never read."""
+    from parquet_pipeline_spark.sources.writers import _recover_and_clean
+
+    # Same entry recovery as ivf_pq_append/ivf_pq_compact (ADVICE
+    # r14): after a compaction killed mid-swap the index is parked at
+    # '._old' — the maintenance-DECISION tool must restore it like the
+    # maintenance ACTIONS do, not fail on the missing directory.
+    _recover_and_clean(index_path, "._compacting")
     meta = read_ivfpq_meta(index_path)
     return (
         spark.read.parquet(index_path)
@@ -2374,12 +2467,14 @@ def ivf_pq_build_cached(
     """(index_path, centroids, codebooks) for ``emb``, built at most
     once per process per ``cache_key`` (caller includes sf_dir and
     corpus bounds in the key — the same convention as the d11 band
-    index snapshot)."""
+    index snapshot). The key folds in a content fingerprint of the
+    sf_dir's embeddings parquet (``_corpus_fingerprint``, ADVICE r14)
+    so regenerated data invalidates the entry."""
     import os as _os
 
     from parquet_pipeline_spark.scratch import scratch_dir
 
-    full_key = (cache_key, k_cells, m, k_codes, sample)
+    full_key = (_corpus_fingerprint(cache_key), k_cells, m, k_codes, sample)
     hit = _IVFPQ_BUILD_CACHE.get(full_key)
     if hit is not None:
         return hit
@@ -2506,7 +2601,7 @@ def ivf_pq_knn_join(
     import numpy as np
     import pandas as pd
 
-    query_rows = [q for q in query_rows if any(float(x) != 0.0 for x in q[1])]
+    query_rows = _drop_zero_queries(query_rows, "ivf_pq_knn_join")
     if not query_rows:
         return spark.createDataFrame([], f"q_id long, {id_col} long, score double")
     q_ids = np.array([q[0] for q in query_rows], dtype=np.int64)
@@ -2557,6 +2652,10 @@ def ivf_pq_knn_join(
         ]
     )
     sl = shortlist
+    # Consult the sidecar ONCE, driver-side: the kernel's in-batch
+    # dedup below and the post-kernel groupBy-max are gated on the
+    # same duplicates-possible certificate.
+    may_dup = _index_may_hold_duplicates(index_path)
 
     def adc_partial(batches):
         st = get_state()
@@ -2590,9 +2689,25 @@ def ivf_pq_knn_join(
             for s in range(m):
                 sims += b_luts[:, s, :][:, codes[:, s]]
             qi_out, id_out, sc_out = [], [], []
-            kk = min(sl, len(ids))
+            # ADVICE r14 (medium), the pq_knn_join fix applied here:
+            # kk counts rows, so without an in-batch collapse each
+            # replayed copy of a high-ranking id eats its own per-batch
+            # slot and can evict a distinct id. Collapse happens per
+            # query AFTER the probe mask (max over copies — a copy in
+            # an unprobed cell stays -inf); cross-batch copies are
+            # still handled by the groupBy-max downstream.
+            has_dup = False
+            if may_dup:
+                uniq, inv = np.unique(ids, return_inverse=True)
+                has_dup = len(uniq) < len(ids)
+            kk = min(sl, len(uniq) if has_dup else len(ids))
             for j in range(len(b_qids)):
                 col = np.where(np.isin(cells, b_probes[j]), sims[j], -np.inf)
+                row_ids = ids
+                if has_dup:
+                    colu = np.full(len(uniq), -np.inf)
+                    np.maximum.at(colu, inv, col)
+                    col, row_ids = colu, uniq
                 if len(col) > kk:
                     # When query j has fewer than kk in-probe rows in
                     # this batch, the kk-th value is -inf and
@@ -2605,9 +2720,9 @@ def ivf_pq_knn_join(
                     cand = cand[np.isfinite(col[cand])]
                 else:
                     cand = np.nonzero(col > -np.inf)[0]
-                order = cand[np.lexsort((ids[cand], -col[cand]))][:kk]
+                order = cand[np.lexsort((row_ids[cand], -col[cand]))][:kk]
                 qi_out.append(np.full(len(order), b_qids[j], dtype=np.int64))
-                id_out.append(ids[order])
+                id_out.append(row_ids[order])
                 sc_out.append(col[order])
             yield pd.DataFrame(
                 {
@@ -2646,7 +2761,7 @@ def ivf_pq_knn_join(
     # divergent codes, an arbitrary-row keep would make the batched
     # shortlist nondeterministic while the single-query path stays
     # deterministic (ADVICE r13).
-    if _index_may_hold_duplicates(index_path):
+    if may_dup:
         short = short.groupBy("q_id", id_col).agg(
             F.max("score_pq").alias("score_pq")
         )

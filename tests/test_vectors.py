@@ -1473,3 +1473,239 @@ def test_ivf_pq_knn_join_small_probe_pool_stays_masked(spark, tmp_path):
             ).collect()
         }
         assert solo == by_q.get(q_id, set())
+
+
+def test_pq_knn_join_boundary_crowding_duplicates(spark):
+    """ADVICE r14 (medium): the batched ADC kernel's per-batch cut
+    counted ROWS, so duplicate copies of a high-ranking id could each
+    eat a shortlist slot and evict a distinct id the solo pq_topk path
+    (dedup before its global limit) would keep. Adversarial shape: the
+    ADC-top id duplicated 10× in ONE partition (one Arrow batch) with
+    shortlist == k — without the in-kernel collapse the whole per-batch
+    shortlist is copies of one id and the final result collapses to a
+    single row per query."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.vectors import (
+        pq_encode,
+        pq_knn_join,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 300))
+    books = pq_train(corpus, m=8, k_codes=16, sample=256)
+    codes = pq_encode(corpus, books)
+    qrows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 2).collect()
+    ]
+
+    # duplicate each query's ADC-top id 10× and squeeze into ONE batch
+    top_ids = {
+        int(pq_topk(codes, books, qv, k=1).first()["vec_id"])
+        for _q, qv in qrows
+    }
+    litter = codes.filter(F.col("vec_id").isin(list(top_ids)))
+    dup = codes
+    for _ in range(10):
+        dup = dup.unionByName(litter)
+    dup = dup.coalesce(1)
+
+    clean = sorted(
+        tuple(r)
+        for r in pq_knn_join(
+            codes, books, corpus, qrows, k=5, shortlist=5
+        ).collect()
+    )
+    littered = sorted(
+        tuple(r)
+        for r in pq_knn_join(
+            dup, books, corpus, qrows, k=5, shortlist=5
+        ).collect()
+    )
+    assert littered == clean
+    per_q: dict[int, list] = {}
+    for q, vid, _s in littered:
+        per_q.setdefault(q, []).append(vid)
+    for q, vids in per_q.items():
+        assert len(vids) == len(set(vids)) == 5, (q, vids)
+
+
+def test_ivf_pq_knn_join_boundary_crowding_duplicates(spark, tmp_path):
+    """The same ADVICE r14 in-kernel collapse on the IVF-ADC batched
+    probe: an index littered with 10 same-batch copies of the ADC-top
+    row (sidecar appends>0 so the dedup arm is live) must answer
+    byte-identically to the clean index even at shortlist == k."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators import vectors as V
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 400))
+    cents = V.ivf_centroids(corpus, k=4)
+    books = V.pq_train(corpus, m=8, k_codes=16, sample=256)
+    clean_path = str(tmp_path / "clean.parquet")
+    V.ivf_pq_index(corpus, cents, books, clean_path)
+    qrows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 2).collect()
+    ]
+
+    idx = spark.read.parquet(clean_path)  # (vec_id, codes) + cell
+    top_ids = {
+        int(V.pq_topk(idx, books, qv, k=1).first()["vec_id"])
+        for _q, qv in qrows
+    }
+    litter = idx.filter(F.col("vec_id").isin(list(top_ids)))
+    dup = idx
+    for _ in range(10):
+        dup = dup.unionByName(litter)
+    dup_path = str(tmp_path / "dup.parquet")
+    # coalesce(1): each cell lands in ONE file, so an id's copies share
+    # an Arrow batch — the exact crowding shape the kernel must survive
+    dup.coalesce(1).write.partitionBy("cell").parquet(dup_path)
+    with open(os.path.join(clean_path, V._IVFPQ_META_NAME)) as fh:
+        meta = json.load(fh)
+    meta["appends"] = 1  # duplicates-possible certificate
+    with open(os.path.join(dup_path, V._IVFPQ_META_NAME), "w") as fh:
+        json.dump(meta, fh)
+
+    def rows(path):
+        return sorted(
+            tuple(r)
+            for r in V.ivf_pq_knn_join(
+                spark, path, cents, books, corpus, qrows,
+                k=5, nprobe=4, shortlist=5,
+            ).collect()
+        )
+
+    clean_rows = rows(clean_path)
+    assert rows(dup_path) == clean_rows
+    per_q: dict[int, list] = {}
+    for q, vid, _s in clean_rows:
+        per_q.setdefault(q, []).append(vid)
+    assert all(len(v) == len(set(v)) == 5 for v in per_q.values())
+
+
+def test_batched_probe_warns_on_zero_norm_queries(spark, tmp_path, caplog):
+    """VERDICT r14 nit: zero-norm query vectors are dropped by
+    contract (cosine undefined), but silently — an all-zero batch
+    returned an empty frame with no trace. Both batched probes now
+    log ONE warning naming the dropped q_ids."""
+    import logging
+
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators import vectors as V
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 200))
+    books = V.pq_train(corpus, m=8, k_codes=16, sample=128)
+    codes = V.pq_encode(corpus, books)
+    dim = len(emb.first()["embedding"])
+    good = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qrows = [(0, good), (7, [0.0] * dim), (9, [0.0] * dim)]
+
+    with caplog.at_level(logging.WARNING, logger="parquet_pipeline_spark.operators.vectors"):
+        out = V.pq_knn_join(codes, books, corpus, qrows, k=3, shortlist=10).collect()
+    assert {r["q_id"] for r in out} == {0}
+    warn = [r for r in caplog.records if "zero-norm" in r.getMessage()]
+    assert len(warn) == 1
+    assert "pq_knn_join" in warn[0].getMessage()
+    assert "[7, 9]" in warn[0].getMessage()
+
+    caplog.clear()
+    cents = V.ivf_centroids(corpus, k=4)
+    path = str(tmp_path / "idx.parquet")
+    V.ivf_pq_index(corpus, cents, books, path)
+    with caplog.at_level(logging.WARNING, logger="parquet_pipeline_spark.operators.vectors"):
+        out = V.ivf_pq_knn_join(
+            spark, path, cents, books, corpus, [(7, [0.0] * dim)], k=3
+        ).collect()
+    assert out == []
+    warn = [r for r in caplog.records if "zero-norm" in r.getMessage()]
+    assert len(warn) == 1 and "ivf_pq_knn_join" in warn[0].getMessage()
+
+
+def test_ivf_pq_stats_recovers_from_crashed_swap(spark, tmp_path):
+    """ADVICE r14 (low): the maintenance-DECISION tool gets the same
+    entry recovery as the maintenance actions — after a compaction
+    crashed mid-swap (index parked at '._old'), ivf_pq_stats restores
+    the index and reports instead of failing on a missing sidecar."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators import vectors as V
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    snap = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 200))
+    cents = V.ivf_centroids(snap, k=4)
+    books = V.pq_train(snap, m=8, k_codes=16, sample=128)
+    path = str(tmp_path / "idx.parquet")
+    V.ivf_pq_index(snap, cents, books, path)
+    want = sorted(tuple(r) for r in V.ivf_pq_stats(spark, path).collect())
+
+    os.rename(path, path + "._old")  # the mid-swap crash state
+    got = sorted(tuple(r) for r in V.ivf_pq_stats(spark, path).collect())
+    assert got == want
+    assert os.path.exists(path) and not os.path.exists(path + "._old")
+
+
+def test_build_caches_invalidate_on_corpus_regeneration(spark, tmp_path):
+    """ADVICE r14 (low): the build caches key on (sf_dir, bounds,
+    params) — regenerating the data under a cached sf_dir used to
+    serve stale codes. The key now folds in the embeddings parquet's
+    (mtime_ns, size) fingerprint, so a rewrite misses the cache."""
+    import shutil
+
+    from parquet_pipeline_spark.operators.vectors import (
+        _IVFPQ_BUILD_CACHE,
+        _PQ_BUILD_CACHE,
+        ivf_pq_build_cached,
+        pq_build_cached,
+    )
+
+    sf_dir = str(tmp_path / "corpus")
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    import os
+
+    os.makedirs(sf_dir)
+    shutil.copy(src, os.path.join(sf_dir, "embeddings.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    pq_before, ivf_before = dict(_PQ_BUILD_CACHE), dict(_IVFPQ_BUILD_CACHE)
+    try:
+        key = (os.path.realpath(sf_dir), "fp-test", 0, 100)
+        b1, p1 = pq_build_cached(emb, key, m=8, k_codes=16, sample=64)
+        b2, p2 = pq_build_cached(emb, key, m=8, k_codes=16, sample=64)
+        assert p1 == p2 and b1 is b2  # same fingerprint: cache hit
+        ip1, ic1, _ = ivf_pq_build_cached(emb, key, k_cells=2, m=8, k_codes=16, sample=64)
+        ip2, ic2, _ = ivf_pq_build_cached(emb, key, k_cells=2, m=8, k_codes=16, sample=64)
+        assert ip2 == ip1 and ic2 is ic1  # same fingerprint: cache hit
+
+        # regenerate the corpus in place (mtime changes)
+        target = os.path.join(sf_dir, "embeddings.parquet")
+        os.utime(target, ns=(os.stat(target).st_atime_ns, os.stat(target).st_mtime_ns + 1_000_000))
+        b3, p3 = pq_build_cached(emb, key, m=8, k_codes=16, sample=64)
+        assert p3 != p1  # fresh build, not the stale artifact
+        ip3, _, _ = ivf_pq_build_cached(emb, key, k_cells=2, m=8, k_codes=16, sample=64)
+        assert ip3 != ip1
+    finally:
+        _PQ_BUILD_CACHE.clear()
+        _PQ_BUILD_CACHE.update(pq_before)
+        _IVFPQ_BUILD_CACHE.clear()
+        _IVFPQ_BUILD_CACHE.update(ivf_before)
