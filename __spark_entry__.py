@@ -131,6 +131,17 @@ _CHANGED_LOG = [
     ("a17_ivf_pq_batch_knn", 14),
     ("s03_streaming_knn_equivalence", 14),
     ("s04_streaming_index_append_equivalence", 14),
+    # r15: in-kernel per-batch id collapse before the ADC shortlist
+    # cut (ADVICE r14 medium). The new arm is CONDITIONAL on the
+    # duplicates certificate, so only the appended-index riders can
+    # behave differently and re-gate; the fresh-index riders
+    # (a13 dedup_ids=False, a15/a17/s03 appends==0, a14 no probe)
+    # take byte-identical paths — deliberately NOT re-listed, to
+    # keep the 50-row budget clearing every r11-stale row (VERDICT
+    # r14 item 3); all seven were locally oracle-verified at
+    # sf0.01/sf0.1/sf1 the session the change landed.
+    ("a16_ivf_pq_incremental", 15),
+    ("s04_streaming_index_append_equivalence", 15),
 ]
 
 _CHANGED_SINCE_LAST_GREEN: dict = {}

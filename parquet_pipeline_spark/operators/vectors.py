@@ -3137,6 +3137,111 @@ def _register_ivf_pq_batch():
 _register_ivf_pq_batch()
 
 
+def _register_ivf_pq_filtered():
+    @register(
+        "a18_ivf_pq_filtered_knn",
+        oracle="""
+        WITH q AS (
+          SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 5
+        ), corpus AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE vec_id >= 5 AND vec_id < 2000 AND label = 0
+        )
+        SELECT q.q_id, c.vec_id,
+               ROUND(list_cosine_similarity(c.v, q.qv), 6) AS score,
+               TRUE AS filtered_ok
+        FROM q, LATERAL (
+          SELECT vec_id, v FROM corpus
+          ORDER BY list_cosine_similarity(v, q.qv) DESC, vec_id
+          LIMIT 20) c
+        """,
+    )
+    def a18_ivf_pq_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Filtered ANN (r14's `eligible` pre-filter, gated r15) on
+        the official record — the tenant/collection-scoped retrieval
+        every production RAG runs, and the reference's own hot path
+        (chroma_retrieval_util.py:112-138 retrieves within ONE
+        collection = a filtered corpus; 145-242 scopes by candidate
+        collections). Here the scope is ``label = 0`` — one
+        "collection" ≈ 10% of the corpus slice (labels are uniform
+        0-9), the selective shape where a POST-filter would under-fill
+        k while the pre-filter spends its whole shortlist depth on
+        eligible rows.
+
+        Exact top-20 over the FILTERED corpus hash-checked
+        value-for-value (LATERAL over eligible ids — the a13/a15
+        oracle pattern), plus a per-query boolean asserting BOTH
+
+        - the filter BINDS: the probe through the shared full-corpus
+          index returns eligible ids only (an ineligible id leaking
+          into a scoped result is a correctness bug, not a recall
+          miss), and
+        - recall ≥ 40% of the exact filtered top-20 (measured
+          0.7-0.9 at sf0.01 and 0.85-0.95 at sf0.1 — the floor is
+          ~half the worst measurement, the a11/a15 sizing
+          convention; the 200-shortlist is near-exhaustive over the
+          ~10% eligible rows of the probed cells, so misses come
+          only from unprobed cells, and the filtered geometry
+          battery leg sweeps eligible-fraction × corpus family
+          beyond the gate).
+
+        Shares a15/a17's cached index (same corpus slice, same
+        params): the lifecycle claim is build ONCE on the full
+        corpus, serve every scope from the same bytes — never one
+        index per tenant."""
+        import os
+
+        emb = _emb(spark, sf_dir)
+        qrows = [
+            (r["vec_id"], r["embedding"])
+            for r in emb.filter(F.col("vec_id") < 5)
+            .select("vec_id", "embedding")
+            .collect()
+        ]
+        corpus = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 2000))
+        eligible = corpus.filter(F.col("label") == 0)
+        exact = exact_knn_join(eligible, qrows, k=20)
+        path, cents, books = ivf_pq_build_cached(
+            corpus,
+            cache_key=(os.path.realpath(sf_dir), "a15", 5, 2000),
+            k_cells=16,
+            m=8,
+            k_codes=256,
+            sample=2048,
+        )
+        got_ids: dict[int, set] = {}
+        for r in ivf_pq_knn_join(
+            spark, path, cents, books, corpus, qrows,
+            k=20, nprobe=12, eligible=eligible.select("vec_id"),
+        ).collect():  # bounded: nq × 20
+            got_ids.setdefault(r["q_id"], set()).add(r["vec_id"])
+        # bounded: ≈10% of the ≤1995-id corpus slice
+        elig_ids = {r["vec_id"] for r in eligible.select("vec_id").collect()}
+        exact_ids: dict[int, set] = {}
+        for r in exact.collect():  # bounded: nq × 20
+            exact_ids.setdefault(r["q_id"], set()).add(r["vec_id"])
+        ok_rows = []
+        for q_id, _qv in qrows:
+            if q_id not in exact_ids:
+                continue
+            want = exact_ids[q_id]
+            got = got_ids.get(q_id, set())
+            binds = got <= elig_ids
+            ok_rows.append(
+                (q_id, binds and len(got & want) >= 0.4 * len(want))
+            )
+        ok = spark.createDataFrame(ok_rows, "q_id long, filtered_ok boolean")
+        return exact.join(ok, "q_id").select(
+            "q_id", "vec_id", "score", "filtered_ok"
+        )
+
+    return a18_ivf_pq_filtered_knn
+
+
+_register_ivf_pq_filtered()
+
+
 def _register_streaming_knn():
     @register(
         "s03_streaming_knn_equivalence",
