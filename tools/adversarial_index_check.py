@@ -415,6 +415,9 @@ _FLOOR_ROWS = [
     ("a16_ivf_pq_incremental", "inc_ok"),
     ("a17_ivf_pq_batch_knn", "batch_ok"),
     ("s04_streaming_index_append_equivalence", "append_ok"),
+    # r15: the filtered-ANN gate row (label-scoped eligible set; the
+    # fixture's label = vec_id % 7, so "label = 0" ≈ 14% selectivity)
+    ("a18_ivf_pq_filtered_knn", "filtered_ok"),
 ]
 
 
@@ -482,6 +485,119 @@ def check_recall_floor_geometry(spark, tmp, rng) -> list[str]:
                             f"{tag} a04 curve: recall {rec:.2f} < {floor} "
                             f"at nprobe={nprobe} for q {q_id}"
                         )
+    return errs
+
+
+def check_filtered_recall_geometry(spark, tmp, rng) -> list[str]:
+    """Filtered-ANN selectivity battery (VERDICT r14 next-round 2):
+    sweep eligible fraction {1%, 10%, 50%} × the 3 corpus families
+    through the composed IVF-ADC probe (`ivf_pq_knn_join(eligible=…)`,
+    gate params: nprobe=12/16, shortlist=200) and measure recall vs
+    the exact top-10 over the FILTERED corpus. Prints the measurement
+    table BENCH_NOTES §Filtered ANN records.
+
+    What the sweep establishes (and the floors pin):
+
+    - Uniform scopes do NOT need a bigger shortlist: at any fraction,
+      eligible-rows-per-probed-cell only SHRINKS, so the 200-shortlist
+      is even deeper relative to the candidates than unfiltered —
+      recall is governed by nprobe cell coverage alone (floor: the
+      gate's 0.4 at nprobe=12, every family × fraction).
+    - The failure mode is CONCENTRATION, not selectivity: the
+      adversarial leg scopes to the rows of ONE IVF cell — if the
+      query's nprobe ranking misses that cell, recall is 0 no matter
+      the shortlist. Probing every cell restores the exact answer
+      (floor: 1.0 at nprobe=k_cells), so the operating rule is to
+      grow/steer NPROBE for concentrated tenants (per-cell tenant
+      mass is exactly what ivf_pq_stats-style introspection exposes),
+      never the shortlist."""
+    from parquet_pipeline_spark.operators.vectors import (
+        exact_knn_join,
+        ivf_assign,
+        ivf_pq_build_cached,
+        ivf_pq_knn_join,
+    )
+
+    errs: list[str] = []
+    for family in ("clustered", "lowrank", "neariid"):
+        seed = rng.randrange(10_000)
+        tag = f"{family}/seed={seed}"
+        sf_dir = os.path.join(tmp, f"{family}_{seed}")
+        _write_embeddings_fixture(sf_dir, family, seed)
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        corpus = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 2000))
+        qrows = [
+            (r["vec_id"], [float(x) for x in r["embedding"]])
+            for r in emb.filter(F.col("vec_id") < 5).collect()
+        ]
+        # one index per fixture, shared across every fraction (the
+        # gate's own cached build — same params as a15/a18)
+        path, cents, books = ivf_pq_build_cached(
+            corpus,
+            cache_key=(os.path.realpath(sf_dir), "a15", 5, 2000),
+            k_cells=16,
+            m=8,
+            k_codes=256,
+            sample=2048,
+        )
+
+        def min_recall(eligible, nprobe):
+            exact_ids: dict[int, set] = {}
+            for r in exact_knn_join(eligible, qrows, k=10).collect():
+                exact_ids.setdefault(r["q_id"], set()).add(r["vec_id"])
+            got: dict[int, set] = {}
+            for r in ivf_pq_knn_join(
+                spark, path, cents, books, corpus, qrows,
+                k=10, nprobe=nprobe, shortlist=200,
+                eligible=eligible.select("vec_id"),
+            ).collect():
+                got.setdefault(r["q_id"], set()).add(r["vec_id"])
+            recs = [
+                len(got.get(q, set()) & want) / len(want)
+                for q, want in exact_ids.items()
+            ]
+            return min(recs), sum(recs) / len(recs)
+
+        # uniform scopes: modulus of the id — selectivity without
+        # geometric concentration (ids are independent of geometry)
+        for mod, frac in ((100, "1%"), (10, "10%"), (2, "50%")):
+            lo, mean = min_recall(
+                corpus.filter(F.col("vec_id") % mod == 0), nprobe=12
+            )
+            print(
+                f"      [filtered {tag}] fraction={frac} nprobe=12 "
+                f"min_recall={lo:.2f} mean={mean:.2f}"
+            )
+            if lo < 0.4:
+                errs.append(
+                    f"{tag} fraction={frac}: min recall {lo:.2f} < 0.4 "
+                    f"at nprobe=12/16 shortlist=200"
+                )
+
+        # concentrated scope: one IVF cell's rows — the tenant whose
+        # vectors all hash together. nprobe=12 is REPORTED (can be
+        # anything down to 0 if the ranking misses the cell);
+        # nprobe=k_cells must restore the exact filtered answer.
+        assigned = ivf_assign(corpus, cents)
+        cell0 = assigned.groupBy("cell").count().orderBy(
+            F.col("count").desc()
+        ).first()["cell"]
+        tenant = corpus.join(
+            assigned.filter(F.col("cell") == cell0).select("vec_id"),
+            "vec_id",
+        )
+        lo12, mean12 = min_recall(tenant, nprobe=12)
+        lo16, _ = min_recall(tenant, nprobe=16)
+        print(
+            f"      [filtered {tag}] concentrated(one-cell) "
+            f"nprobe=12 min_recall={lo12:.2f} mean={mean12:.2f}; "
+            f"nprobe=16 min_recall={lo16:.2f}"
+        )
+        if lo16 < 1.0:
+            errs.append(
+                f"{tag} concentrated scope: probing every cell must "
+                f"recover the exact filtered answer, got {lo16:.2f}"
+            )
     return errs
 
 
@@ -624,6 +740,7 @@ def main() -> None:
         ("ivfpq_index", check_ivfpq_index),
         ("replayed_append", check_replayed_append),
         ("recall_floor_geometry", check_recall_floor_geometry),
+        ("filtered_recall_geometry", check_filtered_recall_geometry),
         ("ivf_dim_mismatch", check_ivf_dim_mismatch),
         ("checkpoint_staleness", check_checkpoint_staleness),
     ]
