@@ -1269,3 +1269,95 @@ def test_streaming_ivf_pq_append_auto_compaction(spark, sf_dir, tmp_path):
     b_df = spark.read.parquet(batch_idx).select(*s_df.columns)
     assert s_df.exceptAll(b_df).count() == 0
     assert b_df.exceptAll(s_df).count() == 0
+
+
+def test_streaming_ivf_pq_append_stats_driven_compaction(spark, sf_dir, tmp_path):
+    """compact_on_files_per_cell=K (r15): compaction fires on OBSERVED
+    fragmentation — the p95 per-cell file count from the ivf_pq_stats
+    scan — not on a blind append counter. Lifecycle: 4 single-file
+    triggers with threshold 2 and NO compact_every; the appends litter
+    the touched cells past 2 files, the policy fires mid-stream
+    (sidecar shows compactions > 0, appends reset), the final index is
+    row-for-row the batch-appended twin, and every cell directory ends
+    within the fragmentation bound."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from parquet_pipeline_spark.operators.vectors import (
+        ivf_centroids,
+        ivf_pq_append,
+        ivf_pq_index,
+        pq_train,
+        read_ivfpq_meta,
+    )
+    from parquet_pipeline_spark.streaming.events import streaming_ivf_pq_append
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    snap = emb.filter("vec_id >= 100 AND vec_id < 300")
+    new = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter("vec_id < 100").collect()
+        if r["embedding"] is not None
+    ]
+    cents = ivf_centroids(snap, k=4)
+    books = pq_train(snap, m=8, k_codes=16, sample=256)
+
+    stream_idx = str(tmp_path / "s_idx")
+    batch_idx = str(tmp_path / "b_idx")
+    ivf_pq_index(snap, cents, books, stream_idx)
+    ivf_pq_index(snap, cents, books, batch_idx)
+
+    q = len(new) // 4 or 1
+    chunks = [new[i * q : (i + 1) * q] for i in range(3)] + [new[3 * q :]]
+    src = tmp_path / "src"
+    src.mkdir()
+    now = _time.time()
+    for i, chunk in enumerate(c for c in chunks if c):
+        p = src / f"b{i}.jsonl"
+        p.write_text(
+            "\n".join(
+                _json.dumps({"vec_id": v, "embedding": e}) for v, e in chunk
+            )
+        )
+        _os.utime(p, (now + i, now + i))
+        ivf_pq_append(
+            spark,
+            batch_idx,
+            spark.createDataFrame(chunk, "vec_id long, embedding array<double>"),
+            cents,
+            books,
+        )
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    sq = streaming_ivf_pq_append(
+        stream, stream_idx, cents, books, str(tmp_path / "ck"),
+        compact_on_files_per_cell=2,
+    )
+    assert sq.awaitTermination(300)
+
+    meta = read_ivfpq_meta(stream_idx)
+    # the policy FIRED from observed fragmentation alone (no counter)
+    assert meta["compactions"] >= 1
+    # fragmentation bounded: p95 of per-cell file counts ≤ threshold+1
+    # (the last trigger may have appended after the final compaction)
+    per_dir = []
+    for root, _dirs, files in _os.walk(stream_idx):
+        n = sum(f.endswith(".parquet") for f in files)
+        if n:
+            per_dir.append(n)
+    per_dir.sort()
+    p95 = per_dir[min(len(per_dir) - 1, int(0.95 * len(per_dir)))]
+    assert p95 <= 3, per_dir
+
+    # maintenance moved bytes only: content equals the batch twin
+    s_df = spark.read.parquet(stream_idx)
+    b_df = spark.read.parquet(batch_idx).select(*s_df.columns)
+    assert s_df.exceptAll(b_df).count() == 0
+    assert b_df.exceptAll(s_df).count() == 0
