@@ -2456,6 +2456,35 @@ def ivf_pq_stats(spark: SparkSession, index_path: str) -> DataFrame:
     )
 
 
+def scope_cell_mass(
+    spark: SparkSession,
+    index_path: str,
+    eligible: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-cell row counts of a SCOPE (an eligible-id set) inside a
+    persisted IVF-ADC index: (cell, n_rows), heaviest first — the
+    input to the nprobe-steering rule the filtered geometry battery
+    derived (BENCH_NOTES §Filtered ANN): a concentrated tenant reads
+    recall 0 whenever the query's centroid ranking misses the cells
+    holding its mass, and the fix is steering the PROBE SET, never
+    the shortlist. Callers compute this once per scope (it changes
+    only on append), take the top cells, and pass them as
+    ``ivf_pq_knn_join(extra_cells=…)``.
+
+    Cost: one column-pruned scan (id + hive partition value only —
+    code bytes never read) semi-joined against the scope; Catalyst
+    broadcasts tenant-sized scopes. The result is n_cells-bounded."""
+    return (
+        spark.read.parquet(index_path)
+        .select(id_col, "cell")
+        .join(eligible.select(id_col).distinct(), id_col, "left_semi")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy(F.col("n_rows").desc(), "cell")
+    )
+
+
 def ivf_pq_build_cached(
     emb: DataFrame,
     cache_key: tuple,
@@ -2558,6 +2587,7 @@ def ivf_pq_knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     eligible: DataFrame | None = None,
+    extra_cells: list | None = None,
 ) -> DataFrame:
     """Batched retrieval through the persisted IVF-ADC index: the PQ
     twin of ``ivf_knn_join`` (a09) and the shape a query STREAM pays
@@ -2597,7 +2627,20 @@ def ivf_pq_knn_join(
     ``eligible=None`` the plan is byte-for-byte the unfiltered r13
     shape. Identity pinned in tests: all cells probed + corpus-wide
     shortlist + eligibility filter ≡ exact_knn_join over the
-    filtered corpus."""
+    filtered corpus.
+
+    ``extra_cells`` (r15, nprobe STEERING — the operating rule the
+    filtered geometry battery derived): cells unioned into EVERY
+    query's probe set on top of its nprobe centroid ranking. A
+    concentrated scope (a tenant whose vectors hash into few cells)
+    reads recall 0 whenever the query's own ranking misses those
+    cells — no shortlist rescues rows that are simply not in the
+    scanned partitions — so scoped callers pass the scope's top
+    mass cells from ``scope_cell_mass`` (computed ONCE per scope,
+    amortized across every probe batch; the histogram only changes
+    on append). Batch independence is preserved: the addition is
+    the same for every query, so a query's probe set still depends
+    only on its own vector and the call's parameters."""
     import numpy as np
     import pandas as pd
 
@@ -2609,8 +2652,10 @@ def ivf_pq_knn_join(
     qn = np.sqrt((qm * qm).sum(axis=1))
     qn[qn == 0.0] = 1.0
     qm = qm / qn[:, None]
+    steer = {int(c) for c in extra_cells} if extra_cells else set()
     probe_sets = [
-        set(_probe_cells(centroids, list(q[1]), nprobe)) for q in query_rows
+        set(_probe_cells(centroids, list(q[1]), nprobe)) | steer
+        for q in query_rows
     ]
     all_cells = sorted(set().union(*probe_sets))
     probe_arrs = [np.fromiter(s, dtype=np.int64) for s in probe_sets]

@@ -863,6 +863,7 @@ def streaming_knn_probe(
     max_queries_per_trigger: int = 1024,
     max_trigger_backlog: int = 100_000,
     eligible: DataFrame | None = None,
+    extra_cells: list | None = None,
 ):
     """Continuous retrieval — the QUERY-side twin of
     ``streaming_vector_index_append``: each micro-batch of query
@@ -941,8 +942,12 @@ def streaming_knn_probe(
                 # filtered ANN passes straight through (r14): the
                 # eligibility semi-join rides each trigger's probe
                 # plan; per-query masking is untouched, so the
-                # stream≡batch equivalence (s03) holds filtered too
+                # stream≡batch equivalence (s03) holds filtered too.
+                # nprobe steering (r15) passes through the same way —
+                # the extra cells are constant across queries AND
+                # triggers, so boundaries still cannot change results
                 eligible=eligible,
+                extra_cells=extra_cells,
             )
             res = part if res is None else res.unionByName(part)
         (

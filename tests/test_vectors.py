@@ -1709,3 +1709,70 @@ def test_build_caches_invalidate_on_corpus_regeneration(spark, tmp_path):
         _PQ_BUILD_CACHE.update(pq_before)
         _IVFPQ_BUILD_CACHE.clear()
         _IVFPQ_BUILD_CACHE.update(ivf_before)
+
+
+def test_ivf_pq_knn_join_scope_steering(spark, tmp_path):
+    """nprobe steering for concentrated scopes (r15, the operating
+    rule from BENCH_NOTES §Filtered ANN): a tenant whose vectors all
+    live in ONE cell is unreachable when the query's own centroid
+    ranking misses that cell — recall 0 by construction at nprobe=1
+    for queries nearest a different cell. scope_cell_mass names the
+    tenant's cells (one pruned scan, computed once per scope), and
+    passing the top cell as extra_cells makes the scoped probe EXACT
+    (shortlist ≥ tenant rows ⇒ every eligible row is ADC-scored and
+    exact-refined)."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators import vectors as V
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 400))
+    cents = V.ivf_centroids(corpus, k=4)
+    books = V.pq_train(corpus, m=8, k_codes=16, sample=256)
+    path = str(tmp_path / "idx.parquet")
+    V.ivf_pq_index(corpus, cents, books, path)
+
+    assigned = V.ivf_assign(corpus, cents)
+    cell0 = (
+        assigned.groupBy("cell").count().orderBy(F.col("count").desc()).first()["cell"]
+    )
+    tenant = corpus.join(
+        assigned.filter(F.col("cell") == cell0).select("vec_id"), "vec_id"
+    )
+
+    # queries whose OWN top-1 cell is not the tenant's cell
+    qrows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 10).collect()
+        if V._probe_cells(cents, list(r["embedding"]), 1)[0] != cell0
+    ][:3]
+    assert qrows, "fixture degenerate: every query nearest the tenant cell"
+
+    n_tenant = tenant.count()
+    kwargs = dict(
+        k=5, nprobe=1, shortlist=n_tenant + 50,
+        eligible=tenant.select("vec_id"),
+    )
+    # unsteered: the tenant cell is never probed -> nothing eligible
+    miss = V.ivf_pq_knn_join(
+        spark, path, cents, books, corpus, qrows, **kwargs
+    ).collect()
+    assert miss == []
+
+    mass = V.scope_cell_mass(spark, path, tenant).collect()
+    assert mass[0]["cell"] == cell0 and mass[0]["n_rows"] == n_tenant
+    assert len(mass) == 1  # the scope IS one cell
+
+    steered = sorted(
+        tuple(r)
+        for r in V.ivf_pq_knn_join(
+            spark, path, cents, books, corpus, qrows,
+            extra_cells=[cell0], **kwargs,
+        ).collect()
+    )
+    exact = sorted(
+        tuple(r) for r in V.exact_knn_join(tenant, qrows, k=5).collect()
+    )
+    assert steered == exact

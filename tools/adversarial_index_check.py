@@ -541,15 +541,16 @@ def check_filtered_recall_geometry(spark, tmp, rng) -> list[str]:
             sample=2048,
         )
 
-        def min_recall(eligible, nprobe):
+        def min_recall(eligible, nprobe, extra_cells=None, shortlist=200):
             exact_ids: dict[int, set] = {}
             for r in exact_knn_join(eligible, qrows, k=10).collect():
                 exact_ids.setdefault(r["q_id"], set()).add(r["vec_id"])
             got: dict[int, set] = {}
             for r in ivf_pq_knn_join(
                 spark, path, cents, books, corpus, qrows,
-                k=10, nprobe=nprobe, shortlist=200,
+                k=10, nprobe=nprobe, shortlist=shortlist,
                 eligible=eligible.select("vec_id"),
+                extra_cells=extra_cells,
             ).collect():
                 got.setdefault(r["q_id"], set()).add(r["vec_id"])
             recs = [
@@ -597,6 +598,28 @@ def check_filtered_recall_geometry(spark, tmp, rng) -> list[str]:
             errs.append(
                 f"{tag} concentrated scope: probing every cell must "
                 f"recover the exact filtered answer, got {lo16:.2f}"
+            )
+        # the operating rule, operationalized (r15): steer the probe
+        # set with the scope's mass cells (scope_cell_mass → the one
+        # cell here) and the scoped probe is EXACT at shortlist ≥
+        # tenant rows, regardless of the query's own cell ranking
+        from parquet_pipeline_spark.operators.vectors import scope_cell_mass
+
+        n_tenant = tenant.count()
+        mass = scope_cell_mass(spark, path, tenant).collect()
+        steer = [r["cell"] for r in mass[:1]]
+        lo_s, _ = min_recall(
+            tenant, nprobe=12, extra_cells=steer, shortlist=n_tenant + 50
+        )
+        print(
+            f"      [filtered {tag}] concentrated steered "
+            f"(extra_cells={steer}) min_recall={lo_s:.2f}"
+        )
+        if lo_s < 1.0:
+            errs.append(
+                f"{tag} steered concentrated scope: extra_cells from "
+                f"scope_cell_mass must make the scoped probe exact, "
+                f"got {lo_s:.2f}"
             )
     return errs
 
