@@ -529,7 +529,23 @@ def ivf_assign(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> Data
 def ivf_centroids(emb: DataFrame, k: int = 16, id_col: str = "vec_id") -> list[tuple[int, list[float]]]:
     """Deterministic centroid selection: k evenly-spaced vectors by
     id. (A k-means refinement would go here; even spacing is enough
-    to partition a corpus into prunable cells.)"""
+    to partition a corpus into prunable cells.)
+
+    The primary pick takes ids ≡ 0 (mod n//k) — cheap and exact on a
+    CONTIGUOUS id space, which every gate/battery corpus has. But a
+    real corpus's ids are replicated, strided, or snowflake-style
+    sparse, and there the modulus pick silently under-delivers (r15
+    find: the sf10 scaledata corpus yielded 12 centroids for k=64 —
+    cells 5× too coarse, and an adversarial id space could yield
+    ZERO). When the pick comes up SUBSTANTIALLY short — under ¾k —
+    fall back to even spacing by RANK: percentile_approx over the id
+    column returns k observed ids at evenly-spaced quantiles in ONE
+    aggregate — no full sort, deterministic for a given corpus. The
+    ¾ threshold matters: an offset-contiguous corpus (ids b..b+n,
+    b > 0 — every gate slice) legitimately delivers k−1 multiples,
+    which IS the documented even spacing, and must keep its
+    byte-identical historical centroids; only a genuinely sparse id
+    space (a small fraction of k) re-picks."""
     n = emb.count()
     step = max(n // k, 1)
     rows = (
@@ -539,6 +555,25 @@ def ivf_centroids(emb: DataFrame, k: int = 16, id_col: str = "vec_id") -> list[t
         .select(id_col, "embedding")
         .collect()
     )
+    if len(rows) < max(1, (3 * k) // 4) and n >= k:
+        qs = (
+            emb.filter(_nonzero_vec("embedding"))
+            .select(
+                F.percentile_approx(
+                    id_col,
+                    [float((i + 0.5) / k) for i in range(k)],
+                    max(10_000, 100 * k),
+                ).alias("qs")
+            )
+            .first()["qs"]
+        )
+        ids = sorted({int(x) for x in qs or []})
+        rows = (
+            emb.filter(F.col(id_col).isin(ids))
+            .filter(_nonzero_vec("embedding"))
+            .select(id_col, "embedding")
+            .collect()
+        )
     # sort by id before enumerating: collect() order is partition
     # order, so cid numbering would otherwise vary run-to-run
     rows.sort(key=lambda r: r[id_col])

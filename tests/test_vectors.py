@@ -1776,3 +1776,50 @@ def test_ivf_pq_knn_join_scope_steering(spark, tmp_path):
         tuple(r) for r in V.exact_knn_join(tenant, qrows, k=5).collect()
     )
     assert steered == exact
+
+
+def test_ivf_centroids_non_contiguous_id_space(spark):
+    """r15 scale find: the modulus centroid pick assumes CONTIGUOUS
+    ids — on a strided/replicated id space (the sf10 scaledata; any
+    snowflake-style id column) it silently under-delivered (12 of 64
+    at sf10), making cells 5× too coarse. The rank-based fallback
+    (percentile_approx over the id column, one aggregate) must
+    deliver the full k on such corpora, while (offset-)contiguous
+    corpora keep byte-identical centroids — they deliver ≥ ¾k from
+    the modulus pick (k−1 on every gate slice, since ids start above
+    0), below which the fallback cannot trigger."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.vectors import ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    # strided id space: no id is ≡ 0 (mod n//k) except by accident
+    strided = emb.select(
+        (F.col("vec_id") * 977 + 13).alias("vec_id"), "embedding"
+    )
+    k = 16
+    cents = ivf_centroids(strided, k=k)
+    assert len(cents) == k, f"under-delivered: {len(cents)} of {k}"
+    assert [c for c, _v in cents] == list(range(k))
+
+    # offset-contiguous corpus (the gate slice): exactly the
+    # historical modulus pick — k-1 centroids, fallback NOT triggered
+    corpus = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 2000))
+    n = corpus.count()
+    step = n // k
+    want_ids = sorted(
+        r["vec_id"]
+        for r in corpus.filter(
+            (F.col("vec_id") % step == 0) & (F.col("vec_id") < step * k)
+        ).select("vec_id").collect()
+    )
+    assert len(want_ids) >= (3 * k) // 4  # gate slices sit above the bar
+    got = ivf_centroids(corpus, k=k)
+    assert len(got) == len(want_ids)
+    by_id = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in corpus.filter(F.col("vec_id").isin(want_ids)).collect()
+    }
+    assert [v for _c, v in got] == [by_id[i] for i in want_ids]
