@@ -50,6 +50,10 @@ DEFAULT_NAMES = [
     "a15_ivf_pq_recall_floor",
     "a16_ivf_pq_incremental",
     "a17_ivf_pq_batch_knn",
+    # r15: the filtered-ANN gate row (shares a15's cached index, so
+    # reps>=2 medians price the FILTERED probe — the eligibility
+    # semi-join rides the same one-plan batch probe)
+    "a18_ivf_pq_filtered_knn",
     # r13 (VERDICT r12 item 8): the streaming rows — each runs a real
     # availableNow stream (checkpoint + sink under scratch), so these
     # medians price the per-trigger machinery, not just the operators
