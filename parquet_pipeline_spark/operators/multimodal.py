@@ -350,7 +350,18 @@ def _decode_any(payload: bytes, fake: bool) -> tuple[int, int, int, list[float]]
     if payload.startswith(b"P6"):
         return _decode_ppm(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        return _decode_png(payload)  # stdlib-real since r15
+        # stdlib-real since r15. The shapes the stdlib path refuses
+        # (16-bit, Adam7) fall through to Pillow when it is installed
+        # — a deployment with codecs must not LOSE decodes to the
+        # stdlib path's narrower support; with no Pillow the refusal
+        # propagates (corrupt payloads never reach the fake).
+        try:
+            return _decode_png(payload)
+        except ValueError:
+            decoded = _decode_pillow(payload)
+            if decoded is not None:
+                return decoded
+            raise
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
     decoded = _decode_pillow(payload) or _decode_soundfile(payload)
@@ -497,7 +508,15 @@ def _resize_any(raw: bytes, out_w: int, out_h: int, fake: bool) -> bytes:
     if raw[:8] == b"\x89PNG\r\n\x1a\n":
         import numpy as np
 
-        w, h, rgb = _png_rgb(raw)
+        try:
+            w, h, rgb = _png_rgb(raw)
+        except ValueError:
+            # same fall-through as _decode_any: Pillow (when
+            # installed) keeps 16-bit/interlaced PNGs resizable
+            out = _resize_pillow(raw, out_w, out_h)
+            if out is not None:
+                return out
+            raise
         rows = (np.arange(out_h) * h) // out_h
         cols = (np.arange(out_w) * w) // out_w
         out = rgb[rows][:, cols]

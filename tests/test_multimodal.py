@@ -502,3 +502,54 @@ def test_resize_png_real_distributed(spark):
     [row] = resize_media(media, 4, 4, fake=False).collect()
     assert bytes(row["payload"]) == _resize_any(ppm, 4, 4, fake=False)
     assert (row["width"], row["height"]) == (4, 4)
+
+
+def test_png_unsupported_shapes_fall_through_to_pillow(monkeypatch):
+    """A deployment WITH Pillow must not lose decodes to the stdlib
+    PNG path's narrower support: 16-bit depth falls through to the
+    codec seam; with no codec the stdlib refusal propagates (never
+    the fake)."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+    import pytest as _pytest
+
+    from parquet_pipeline_spark.operators import multimodal
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = _make_png(px)
+    ihdr = bytearray(good[16:33])
+    ihdr[8] = 16  # depth: stdlib refuses
+    crc = _z.crc32(b"IHDR" + bytes(ihdr[:13])) & 0xFFFFFFFF
+    deep = good[:16] + bytes(ihdr[:13]) + struct.pack(">I", crc) + good[33:]
+
+    class _PngPIL:
+        NEAREST = 0
+
+        @staticmethod
+        def open(buf):
+            raw = buf.read()
+            if not raw.startswith(b"\x89PNG"):
+                raise OSError("cannot identify image file")
+            return _FakeRGB(4, 4, frames=1)
+
+    monkeypatch.setattr(
+        multimodal,
+        "_codec",
+        lambda name: _PngPIL if name == "PIL.Image" else None,
+    )
+    w, h, nf, _feat = multimodal._decode_any(deep, fake=False)
+    assert (w, h, nf) == (4, 4, 1)
+    out = multimodal._resize_any(deep, 2, 2, fake=False)
+    assert out.startswith(b"P6\n2 2\n255\n")
+
+    # no codec: the stdlib refusal propagates, fake never sees a
+    # PNG-magic payload
+    monkeypatch.setattr(multimodal, "_codec", lambda name: None)
+    with _pytest.raises(ValueError, match="8-bit"):
+        multimodal._decode_any(deep, fake=False)
+    with _pytest.raises(ValueError, match="8-bit"):
+        multimodal._resize_any(deep, 2, 2, fake=False)
+    # a WELL-FORMED 8-bit PNG still decodes stdlib-real, codec-free
+    assert multimodal._decode_any(good, fake=False)[:2] == (4, 4)
