@@ -2168,6 +2168,264 @@ def _register_pq():
 _register_pq()
 
 
+# ---------------------------------------------------------------------------
+# Scalar quantization, int8 (r15) — the OTHER standard embedding
+# compression tier: PQ above is the 32× / recall-tradeoff end; SQ8 is
+# the 4× / near-exact end (dim-64 float32 = 256 B → 64 B, one byte
+# per dimension), the default first step production vector stores
+# take before PQ. Everything here is pure codegen — train is one
+# posexplode aggregate (map-side combined to d rows), encode is
+# zip_with/aggregate over per-dim literal arrays (ONE F.expr parse
+# per array, the a08 lesson), and the batched probe scores every
+# query in a single scan with zero Python: the approximate cosine
+# factors as (C_q + Σ_d code_d·w_qd) / |x̂|, where w_qd and C_q are
+# per-query literals and |x̂| (the reconstructed norm) is computed
+# once at ENCODE time and stored beside the codes.
+# ---------------------------------------------------------------------------
+def _arr_lit(vals) -> "F.Column":
+    """One JVM-side parse for a literal double array (per-element
+    F.lit costs ~0.6 s of driver time per plan — the a08 lesson)."""
+    return F.expr("array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")")
+
+
+def _unit_vec(vec_col: str) -> "F.Column":
+    """L2-normalize an array column in codegen (cosine retrieval
+    quantizes the DIRECTION; zero-norm rows yield NULL and drop)."""
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return F.when(
+        nrm > 0.0, F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm)
+    )
+
+
+def sq8_train(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+) -> list[tuple[float, float]]:
+    """Per-dimension (lo, span) bounds of the L2-NORMALIZED corpus —
+    the SQ8 'model'. One pass: posexplode the unit vectors and
+    min/max per dimension; partial aggregation combines map-side, so
+    the exchange carries d rows per partition regardless of corpus
+    size. Deterministic (exact min/max, no sample). A constant
+    dimension gets a floor span so encode never divides by zero."""
+    rows = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(F.posexplode(_unit_vec(vec_col)).alias("pos", "x"))
+        .filter(F.col("x").isNotNull())
+        .groupBy("pos")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .orderBy("pos")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("sq8_train: no nonzero vectors in the corpus")
+    return [
+        (float(r["lo"]), max(float(r["hi"]) - float(r["lo"]), 1e-12))
+        for r in rows
+    ]
+
+
+def sq8_encode(
+    emb: DataFrame,
+    bounds: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<smallint>, norm_r double): code_d =
+    round((x̂_d − lo_d)·255/span_d) clipped to [0, 255] over the
+    unit vector x̂, and norm_r = |reconstruction| so the probe can
+    renormalize without touching the original floats. Pure codegen;
+    NULL/zero-norm/dimension-mismatched rows encode to NULL codes
+    (never retrieved — the pq_encode dirty-row policy)."""
+    d = len(bounds)
+    lo = _arr_lit([b[0] for b in bounds])
+    inv = _arr_lit([255.0 / b[1] for b in bounds])
+    step = _arr_lit([b[1] / 255.0 for b in bounds])
+    unit = _unit_vec(vec_col)
+    codes = F.when(
+        F.size(F.col(vec_col)) == d,
+        F.zip_with(
+            F.zip_with(unit, lo, lambda x, l: x - l),
+            inv,
+            lambda t, i: F.least(
+                F.greatest(F.round(t * i, 0), F.lit(0.0)), F.lit(255.0)
+            ).cast("smallint"),
+        ),
+    )
+    recon = F.zip_with(
+        F.zip_with(F.col("codes"), step, lambda c, s: c.cast("double") * s),
+        lo,
+        lambda q, l: q + l,
+    )
+    norm_r = F.sqrt(
+        F.aggregate(recon, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        emb.select(F.col(id_col), codes.alias("codes"))
+        .withColumn("norm_r", norm_r)
+    )
+
+
+def sq8_knn_join(
+    codes_df: DataFrame,
+    bounds: list,
+    emb: DataFrame,
+    query_rows: list,
+    k: int = 10,
+    shortlist: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched SQ8 retrieval, ONE plan, ZERO Python in the scan: for
+    each query the approximate cosine over the int8 codes factors as
+
+        score_q(row) = (C_q + Σ_d code_d · w_qd) / norm_r
+
+    with w_qd = q̂_d·span_d/255 and C_q = Σ_d lo_d·q̂_d both
+    per-query LITERALS — so the whole batch is one codegen'd select
+    (explode of an nq-struct array), one per-query shortlist window,
+    and one exact refine over the shortlist union (broadcast
+    semi-join + exact_knn_join — the pq_topk_refined shape). Returns
+    (q_id, id, score), per-query top-k by exact cosine.
+
+    Scale note: the plan carries O(nq·d) literal doubles — the right
+    trade for interactive batch sizes (the gate's 5–100); a
+    1000-query stream should chunk (streaming_knn_probe's
+    max_queries_per_trigger does) rather than grow one plan.
+
+    Dirty-code contract: NULL, truncated, or overlong code rows
+    score NULL (zip_with pads with NULL, the sum propagates it) and
+    are dropped, never retrieved, never abort — pq_topk's F.get
+    policy by construction."""
+    import numpy as np
+
+    spark = codes_df.sparkSession
+    query_rows = _drop_zero_queries(query_rows, "sq8_knn_join")
+    if not query_rows:
+        return spark.createDataFrame(
+            [], f"q_id long, {id_col} long, score double"
+        )
+    d = len(bounds)
+    lo = np.array([b[0] for b in bounds])
+    span = np.array([b[1] for b in bounds])
+    structs = []
+    for q_id, qv in query_rows:
+        q = np.asarray(list(qv), dtype=np.float64)
+        q = q / np.sqrt((q * q).sum())
+        w = q * span / 255.0
+        c0 = float((lo * q).sum())
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                _arr_lit(w),
+                lambda c, ww: c.cast("double") * ww,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        score = F.when(
+            (F.size("codes") == d) & (F.col("norm_r") > 0.0),
+            (F.lit(c0) + dot) / F.col("norm_r"),
+        )
+        structs.append(
+            F.struct(
+                F.lit(int(q_id)).cast("long").alias("q_id"),
+                score.alias("score_sq"),
+            )
+        )
+    scored = (
+        codes_df.select(id_col, F.explode(F.array(*structs)).alias("s"))
+        .select(id_col, F.col("s.q_id").alias("q_id"), F.col("s.score_sq").alias("score_sq"))
+        .filter(F.col("score_sq").isNotNull())
+    )
+    w_short = W.partitionBy("q_id").orderBy(F.col("score_sq").desc(), id_col)
+    short = (
+        scored.withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= shortlist)
+        .select("q_id", id_col)
+    )
+    # exact refine over the shortlist UNION (nq×shortlist-bounded):
+    # a superset of every query's own shortlist, so per-query recall
+    # can only improve; deterministic either way
+    sub = emb.join(
+        F.broadcast(short.select(id_col).distinct()), id_col, "left_semi"
+    )
+    return exact_knn_join(
+        sub, query_rows, k=k, id_col=id_col, vec_col=vec_col
+    )
+
+
+def _register_sq8():
+    @register(
+        "a19_sq8_recall_floor",
+        oracle="""
+        WITH q AS (
+          SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 5
+        ), corpus AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE vec_id >= 5 AND vec_id < 2000
+        )
+        SELECT q.q_id, c.vec_id,
+               ROUND(list_cosine_similarity(c.v, q.qv), 6) AS score,
+               TRUE AS sq8_ok
+        FROM q, LATERAL (
+          SELECT vec_id, v FROM corpus
+          ORDER BY list_cosine_similarity(v, q.qv) DESC, vec_id
+          LIMIT 20) c
+        """,
+    )
+    def a19_sq8_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Int8 scalar quantization on the official record (the a13
+        pattern, at the 4× tier): exact top-20 hash-checked
+        value-for-value, plus a per-query boolean that SQ8 codes with
+        a 200-shortlist exact refine recover ≥ 80% of the exact
+        top-20 (measured 1.0 at sf0.01/sf0.1 — per-dim error ≤
+        span/510 barely reorders a 64-dim cosine, so the shortlist
+        virtually always contains the true top-20; floor set below
+        the PQ row's because this tier exists to be near-exact).
+        The whole probe batch runs in ONE pure-codegen plan — no
+        Arrow kernel, no Python in the scan (see sq8_knn_join)."""
+        emb = _emb(spark, sf_dir)
+        qrows = [
+            (r["vec_id"], r["embedding"])
+            for r in emb.filter(F.col("vec_id") < 5)
+            .select("vec_id", "embedding")
+            .collect()
+        ]
+        corpus = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 2000))
+        exact = exact_knn_join(corpus, qrows, k=20)
+        bounds = sq8_train(corpus)
+        codes = sq8_encode(corpus, bounds)
+        exact_ids: dict[int, set] = {}
+        for r in exact.collect():  # bounded: 5 × 20
+            exact_ids.setdefault(r["q_id"], set()).add(r["vec_id"])
+        got_ids: dict[int, set] = {}
+        for r in sq8_knn_join(
+            codes, bounds, corpus, qrows, k=20, shortlist=200
+        ).collect():  # bounded: 5 × 20
+            got_ids.setdefault(r["q_id"], set()).add(r["vec_id"])
+        ok_rows = []
+        for q_id, _qv in qrows:
+            if q_id not in exact_ids:
+                continue
+            want = exact_ids[q_id]
+            got = got_ids.get(q_id, set())
+            ok_rows.append((q_id, len(got & want) >= 0.8 * len(want)))
+        ok = spark.createDataFrame(ok_rows, "q_id long, sq8_ok boolean")
+        return exact.join(ok, "q_id").select("q_id", "vec_id", "score", "sq8_ok")
+
+    return a19_sq8_recall_floor
+
+
+_register_sq8()
+
+
 IVFPQ_META_VERSION = 1
 # Spark's parquet reader skips files whose names start with "_"
 # (the _SUCCESS convention), so the metadata can live INSIDE the

@@ -1823,3 +1823,129 @@ def test_ivf_centroids_non_contiguous_id_space(spark):
         for r in corpus.filter(F.col("vec_id").isin(want_ids)).collect()
     }
     assert [v for _c, v in got] == [by_id[i] for i in want_ids]
+
+
+def test_sq8_reconstruction_error_bounded(spark):
+    """SQ8 (r15): every dimension of the reconstruction is within one
+    quantization step (span/255) of the unit vector — round-to-nearest
+    actually gives half that; the bound here is deliberately loose so
+    it pins the CONTRACT, not the rounding mode."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.vectors import sq8_encode, sq8_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 300))
+    bounds = sq8_train(corpus)
+    codes = {
+        r["vec_id"]: (list(r["codes"]), r["norm_r"])
+        for r in sq8_encode(corpus, bounds).collect()
+    }
+    lo = np.array([b[0] for b in bounds])
+    span = np.array([b[1] for b in bounds])
+    for r in corpus.collect():
+        x = np.array(list(r["embedding"]), dtype=np.float64)
+        x = x / np.sqrt((x * x).sum())
+        c, norm_r = codes[r["vec_id"]]
+        assert all(0 <= v <= 255 for v in c)  # one byte per dim
+        recon = lo + np.array(c, dtype=np.float64) * span / 255.0
+        assert np.abs(recon - x).max() <= span.max() / 255.0 + 1e-9
+        assert abs(np.sqrt((recon * recon).sum()) - norm_r) < 1e-9
+
+
+def test_sq8_knn_join_matches_solo_and_drops_dirty(spark):
+    """Batched SQ8 probe: (1) per-query results equal the solo run
+    (batch independence — scores are per-query literal expressions,
+    so co-batching trivially cannot interact; pinned anyway); (2)
+    dirty code rows — NULL, truncated, overlong, null norm — are
+    dropped, never retrieved, never abort, and clean results are
+    byte-identical."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.vectors import (
+        sq8_encode,
+        sq8_knn_join,
+        sq8_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 400))
+    qrows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+    bounds = sq8_train(corpus)
+    codes = sq8_encode(corpus, bounds)
+
+    batched = sorted(
+        tuple(r)
+        for r in sq8_knn_join(codes, bounds, corpus, qrows, k=10).collect()
+    )
+    for q_id, qv in qrows:
+        solo = sorted(
+            tuple(r)
+            for r in sq8_knn_join(
+                codes, bounds, corpus, [(q_id, qv)], k=10
+            ).collect()
+        )
+        assert solo == [t for t in batched if t[0] == q_id]
+
+    dirty_rows = [
+        (900001, None, 1.0),
+        (900002, [1] * 10, 1.0),           # truncated
+        (900003, [1] * 100, 1.0),          # overlong
+        (900004, [1] * 64, None),          # no norm
+        (900005, [1] * 64, 0.0),           # zero norm
+    ]
+    dirty = codes.unionByName(
+        spark.createDataFrame(
+            dirty_rows, "vec_id long, codes array<smallint>, norm_r double"
+        )
+    )
+    got = sorted(
+        tuple(r)
+        for r in sq8_knn_join(dirty, bounds, corpus, qrows, k=10).collect()
+    )
+    assert got == batched
+    assert not any(t[1] >= 900001 for t in got)
+
+
+def test_sq8_recall_is_near_exact(spark):
+    """The tier's reason to exist: int8 + 200-shortlist exact refine
+    reads recall 1.0 on the gate corpus (the a19 floor is 0.8; the
+    measurement is exact)."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.vectors import (
+        exact_knn_join,
+        sq8_encode,
+        sq8_knn_join,
+        sq8_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 2000))
+    qrows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    ]
+    bounds = sq8_train(corpus)
+    codes = sq8_encode(corpus, bounds)
+    want = sorted(
+        tuple(r) for r in exact_knn_join(corpus, qrows, k=20).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in sq8_knn_join(
+            codes, bounds, corpus, qrows, k=20, shortlist=200
+        ).collect()
+    )
+    assert got == want  # identical top-20, not merely overlapping

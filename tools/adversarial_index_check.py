@@ -418,6 +418,9 @@ _FLOOR_ROWS = [
     # r15: the filtered-ANN gate row (label-scoped eligible set; the
     # fixture's label = vec_id % 7, so "label = 0" ≈ 14% selectivity)
     ("a18_ivf_pq_filtered_knn", "filtered_ok"),
+    # r15: int8 scalar quantization — the near-exact 4× tier; its 0.8
+    # floor must hold across corpus geometry like every other floor
+    ("a19_sq8_recall_floor", "sq8_ok"),
 ]
 
 

@@ -54,6 +54,8 @@ DEFAULT_NAMES = [
     # reps>=2 medians price the FILTERED probe — the eligibility
     # semi-join rides the same one-plan batch probe)
     "a18_ivf_pq_filtered_knn",
+    # r15: int8 scalar quantization — the pure-codegen batched probe
+    "a19_sq8_recall_floor",
     # r13 (VERDICT r12 item 8): the streaming rows — each runs a real
     # availableNow stream (checkpoint + sink under scratch), so these
     # medians price the per-trigger machinery, not just the operators
