@@ -1069,3 +1069,70 @@ def t24_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("last_doc"),
         F.round(F.sum("toks") / 256.0, 6).alias("fill_ratio"),
     )
+
+
+def bm25_rank(
+    docs: DataFrame,
+    query_terms: list,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 keyword retrieval over a text column (r15 — the keyword
+    half of hybrid retrieval; the reference's RAG only does vector
+    search, so this is north-star surface like the rest of the
+    a-family). Returns (id, score_bm25, 6dp) for every document
+    matching ≥ 1 query term; compose with ``F.desc`` + limit for
+    top-k, or feed a ranking into ``rrf_fuse``.
+
+    Classic Robertson/Sparck-Jones BM25:
+
+        score(d) = Σ_t ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+                     · tf_td·(k1+1) / (tf_td + k1·(1 − b + b·dl_d/avgdl))
+
+    Plan shape (all codegen): one pass tokenizes (split on
+    whitespace, lowercased), the explode is FILTERED to the query's
+    terms before any aggregation — so the (doc, term) aggregate
+    carries only |q|-term rows with map-side combine — df comes from
+    a |q|-row broadcast, and dl joins back on the id. The two corpus
+    scalars (N, avgdl) are one tiny aggregate collected driver-side
+    (bounded state, the centroid convention). No UDF anywhere; at
+    100 TB this is two passes over the text bytes and a
+    query-term-bounded shuffle."""
+    terms = sorted({t.lower() for t in query_terms if t})
+    if not terms:
+        raise ValueError("bm25_rank: empty query")
+    toks = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.split(F.lower(F.col(text_col)), r"\s+").alias("_toks"),
+        )
+    )
+    dl = toks.select(id_col, F.size("_toks").alias("_dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("_dl").alias("avgdl")
+    ).first()
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
+    if not n_docs or avgdl <= 0.0:
+        raise ValueError("bm25_rank: empty corpus")
+    tf = (
+        toks.select(id_col, F.explode("_toks").alias("_term"))
+        .filter(F.col("_term").isin(terms))
+        .groupBy(id_col, "_term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dfreq = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    denom = F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / avgdl)
+    return (
+        tf.join(F.broadcast(dfreq), "_term")
+        .join(dl, id_col)
+        .withColumn("_contrib", idf * F.col("_tf") * (k1 + 1.0) / denom)
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_contrib"), 6).alias("score_bm25"))
+    )

@@ -2426,6 +2426,56 @@ def _register_sq8():
 _register_sq8()
 
 
+def rrf_fuse(
+    rankings: list,
+    id_col: str = "doc_id",
+    k_rrf: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of retrieval rankings (r15 — hybrid
+    retrieval's merge step; the scale-out replacement for the
+    reference's per-collection score merge, chroma_retrieval_util.py:
+    284-297, generalized across MODALITIES: fuse a BM25 keyword
+    ranking with a vector-cosine ranking, or any number of rankings
+    of the same id space). Each input is (id, score) — any second
+    column name; ranks are derived per input by score desc, id asc,
+    and the fused score is Σ_r 1/(k_rrf + rank_r(id)) with absent
+    ids contributing 0 from that ranking (the standard RRF form —
+    rank-based, so incomparable score SCALES fuse cleanly, which is
+    the whole point of using it for keyword×vector).
+
+    Contract: inputs are TOP-K BOUNDED frames (a retrieval output,
+    k·rankings rows total) — the per-input global row_number is a
+    single-partition window, correct and cheap at retrieval
+    cardinality, wrong for corpus-sized frames (rank those with a
+    partitioned window upstream instead). Returns (id, score_rrf,
+    6dp), every id that appeared anywhere, ordered desc, id asc."""
+    if not rankings:
+        raise ValueError("rrf_fuse: no rankings")
+    fused = None
+    for i, r in enumerate(rankings):
+        score_col = [c for c in r.columns if c != id_col]
+        if len(score_col) != 1:
+            raise ValueError(
+                f"rrf_fuse: ranking {i} must be exactly ({id_col}, score), "
+                f"got {r.columns}"
+            )
+        w = W.orderBy(F.col(score_col[0]).desc(), F.col(id_col))
+        rr = r.select(
+            id_col, F.row_number().over(w).alias(f"_rank_{i}")
+        )
+        fused = rr if fused is None else fused.join(rr, id_col, "full_outer")
+    score = None
+    for i in range(len(rankings)):
+        c = F.coalesce(
+            1.0 / (F.lit(float(k_rrf)) + F.col(f"_rank_{i}")), F.lit(0.0)
+        )
+        score = c if score is None else score + c
+    return (
+        fused.select(id_col, F.round(score, 6).alias("score_rrf"))
+        .orderBy(F.col("score_rrf").desc(), id_col)
+    )
+
+
 IVFPQ_META_VERSION = 1
 # Spark's parquet reader skips files whose names start with "_"
 # (the _SUCCESS convention), so the metadata can live INSIDE the

@@ -1,3 +1,5 @@
+import pytest
+
 from pyspark.sql import functions as F
 
 from parquet_pipeline_spark.operators.text import (
@@ -165,3 +167,113 @@ def test_t24_fill_never_exceeds_budget_except_oversized(spark, sf_dir):
     assert rows
     for r in rows:
         assert r["seq_tokens"] <= 256 or r["n_docs"] == 1
+
+
+def test_bm25_rank_matches_duckdb_replica(spark, sf_dir):
+    """BM25 (r15): the whole scoring pipeline — tokenize, tf, df,
+    idf, length normalization — value-matches an independent DuckDB
+    replica of the same formula at 6dp on the documents table.
+    (Gate-row registration deferred to r16 for the staleness budget,
+    the a18 precedent; this test IS the oracle meanwhile.)"""
+    import duckdb
+
+    from parquet_pipeline_spark.operators.text import bm25_rank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = ["spark", "table", "merge"]
+    got = {
+        r["doc_id"]: r["score_bm25"]
+        for r in bm25_rank(docs, terms).collect()
+    }
+
+    con = duckdb.connect()
+    want_rows = con.execute(
+        f"""
+        WITH docs AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS toks
+          FROM read_parquet('{sf_dir}/documents.parquet')
+          WHERE text IS NOT NULL
+        ), dl AS (
+          SELECT doc_id, len(toks) AS dl FROM docs
+        ), stats AS (
+          SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl
+        ), tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+          WHERE term IN ('spark', 'table', 'merge')
+          GROUP BY doc_id, term
+        ), dfreq AS (
+          SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        )
+        SELECT tf.doc_id,
+               ROUND(SUM(
+                 ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+               ), 6) AS score
+        FROM tf, dfreq, dl, stats
+        WHERE tf.term = dfreq.term AND tf.doc_id = dl.doc_id
+        GROUP BY tf.doc_id
+        """
+    ).fetchall()
+    want = {int(d): s for d, s in want_rows}
+    assert got == pytest.approx(want, abs=2e-6)
+    assert len(got) > 0
+
+    with pytest.raises(ValueError, match="empty query"):
+        bm25_rank(docs, [])
+
+
+def test_hybrid_rrf_fusion(spark, sf_dir):
+    """RRF (r15): fuse the BM25 keyword ranking with the vector
+    cosine ranking over the shared doc/vec id space — hand-replayed
+    rank math, full-outer id coverage, deterministic tie-break."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.text import bm25_rank
+    from parquet_pipeline_spark.operators.vectors import rrf_fuse, topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+
+    kw = (
+        bm25_rank(docs, ["spark", "window", "sort"])
+        .orderBy(F.col("score_bm25").desc(), "doc_id").limit(10)
+    )
+    vec = (
+        topk(emb.filter(F.col("vec_id") != 0), qv, k=10)
+        .select(F.col("vec_id").alias("doc_id"), "score")
+    )
+    fused = rrf_fuse([kw, vec]).collect()
+
+    kw_rank = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(
+            kw.orderBy(F.col("score_bm25").desc(), "doc_id").collect()
+        )
+    }
+    vec_rank = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(
+            vec.orderBy(F.col("score").desc(), "doc_id").collect()
+        )
+    }
+    want = {
+        d: round(
+            (1.0 / (60 + kw_rank[d]) if d in kw_rank else 0.0)
+            + (1.0 / (60 + vec_rank[d]) if d in vec_rank else 0.0),
+            6,
+        )
+        for d in set(kw_rank) | set(vec_rank)
+    }
+    got = {r["doc_id"]: r["score_rrf"] for r in fused}
+    assert got == want
+    # output ordering: fused score desc, id asc
+    pairs = [(r["score_rrf"], r["doc_id"]) for r in fused]
+    assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+    # an id present in BOTH rankings outscores one present in one
+    both = set(kw_rank) & set(vec_rank)
+    only = (set(kw_rank) | set(vec_rank)) - both
+    if both and only:
+        assert max(got[d] for d in both) > min(got[d] for d in only)
