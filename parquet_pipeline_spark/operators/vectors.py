@@ -2360,6 +2360,32 @@ def sq8_knn_join(
     )
 
 
+# Build-once-probe-many (the pq_build_cached convention): bounds +
+# encoded codes are deterministic in the corpus, so repeat gate/bench
+# timings measure the PROBE; the corpus fingerprint in the key makes
+# in-process data regeneration a cache miss (ADVICE r14).
+_SQ8_BUILD_CACHE: dict[tuple, tuple[list, str]] = {}
+
+
+def sq8_build_cached(emb: DataFrame, cache_key: tuple):
+    """(bounds, codes_path) for ``emb``, built at most once per
+    process per ``cache_key`` (caller includes sf_dir and corpus
+    bounds — the pq_build_cached convention, fingerprint included)."""
+    import os as _os
+
+    from parquet_pipeline_spark.scratch import scratch_dir
+
+    full_key = (_corpus_fingerprint(cache_key), "sq8")
+    hit = _SQ8_BUILD_CACHE.get(full_key)
+    if hit is not None:
+        return hit
+    bounds = sq8_train(emb)
+    path = _os.path.join(scratch_dir("sq8_codes_"), "codes.parquet")
+    sq8_encode(emb, bounds).write.parquet(path)
+    _SQ8_BUILD_CACHE[full_key] = (bounds, path)
+    return bounds, path
+
+
 def _register_sq8():
     @register(
         "a19_sq8_recall_floor",
@@ -2390,7 +2416,12 @@ def _register_sq8():
         virtually always contains the true top-20; floor set below
         the PQ row's because this tier exists to be near-exact).
         The whole probe batch runs in ONE pure-codegen plan — no
-        Arrow kernel, no Python in the scan (see sq8_knn_join)."""
+        Arrow kernel, no Python in the scan (see sq8_knn_join). The
+        bounds + codes build at most once per process
+        (sq8_build_cached): repeat timings measure the probe over
+        the persisted 64 B/row codes."""
+        import os
+
         emb = _emb(spark, sf_dir)
         qrows = [
             (r["vec_id"], r["embedding"])
@@ -2400,8 +2431,10 @@ def _register_sq8():
         ]
         corpus = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 2000))
         exact = exact_knn_join(corpus, qrows, k=20)
-        bounds = sq8_train(corpus)
-        codes = sq8_encode(corpus, bounds)
+        bounds, codes_path = sq8_build_cached(
+            corpus, cache_key=(os.path.realpath(sf_dir), "sq8", 5, 2000)
+        )
+        codes = spark.read.parquet(codes_path)
         exact_ids: dict[int, set] = {}
         for r in exact.collect():  # bounded: 5 × 20
             exact_ids.setdefault(r["q_id"], set()).add(r["vec_id"])
