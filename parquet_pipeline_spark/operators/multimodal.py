@@ -156,9 +156,17 @@ def _png_rgb(payload: bytes):
         i += 12 + length
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
+    if len(ihdr) != 13:
+        # struct.error would leak a non-ValueError past the dirty-cell
+        # contract (and past the Pillow fall-through) — normalize
+        raise ValueError(f"PNG IHDR length {len(ihdr)}, want 13")
     w, h, depth, ctype, comp, fmethod, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
+    if w == 0 or h == 0:
+        # structurally valid but pixel-less: means/stds would emit
+        # NaN features — silent garbage; fail the row loudly instead
+        raise ValueError(f"PNG with zero dimension ({w}×{h})")
     if depth != 8:
         raise ValueError(f"only 8-bit PNG supported, got depth={depth}")
     if interlace:
@@ -168,7 +176,14 @@ def _png_rgb(payload: bytes):
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if nch is None:
         raise ValueError(f"unknown PNG color type {ctype}")
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        # a dropped IDAT chunk leaves every remaining CRC valid but
+        # the stream truncated; zlib.error is not a ValueError, so
+        # without this the dirty-cell contract (and the Pillow
+        # fall-through) is bypassed
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     stride = w * nch
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")
@@ -180,26 +195,40 @@ def _png_rgb(payload: bytes):
         cur = np.frombuffer(
             raw, np.uint8, stride, r * (stride + 1) + 1
         ).astype(np.int32)
+        # Sub/Average/Paeth are sequential along the row, but never
+        # per BYTE: Sub is a per-lane running sum (one cumsum per
+        # byte lane), Average/Paeth recur per PIXEL over bpp-wide
+        # numpy slices — a 4K RGB row is ~3840 slice ops, not ~11.5k
+        # interpreted iterations (code review r15: per-byte loops
+        # made large-image decode a hot-path CPU sink).
         if f == 0:
             pass
-        elif f == 1:  # Sub: left-neighbor, sequential within the row
-            for k in range(bpp, stride):
-                cur[k] = (cur[k] + cur[k - bpp]) & 255
+        elif f == 1:  # Sub: out[k] = raw[k] + out[k-bpp] ⇒ lane cumsum
+            for lane in range(bpp):
+                cur[lane::bpp] = (
+                    np.cumsum(cur[lane::bpp], dtype=np.int64) & 255
+                )
         elif f == 2:  # Up: vectorized over the previous row
             cur = (cur + prev) & 255
-        elif f == 3:  # Average
-            for k in range(stride):
-                left = cur[k - bpp] if k >= bpp else 0
-                cur[k] = (cur[k] + (left + prev[k]) // 2) & 255
-        elif f == 4:  # Paeth
-            for k in range(stride):
-                a = int(cur[k - bpp]) if k >= bpp else 0
-                b = int(prev[k])
-                c = int(prev[k - bpp]) if k >= bpp else 0
+        elif f == 3:  # Average: per-pixel over bpp-wide slices
+            cur[:bpp] = (cur[:bpp] + prev[:bpp] // 2) & 255
+            for px in range(bpp, stride, bpp):
+                cur[px : px + bpp] = (
+                    cur[px : px + bpp]
+                    + (cur[px - bpp : px] + prev[px : px + bpp]) // 2
+                ) & 255
+        elif f == 4:  # Paeth: per-pixel over bpp-wide slices
+            cur[:bpp] = (cur[:bpp] + prev[:bpp]) & 255  # a=c=0 ⇒ pred=b
+            for px in range(bpp, stride, bpp):
+                a = cur[px - bpp : px]
+                b = prev[px : px + bpp]
+                c = prev[px - bpp : px]
                 p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[k] = (cur[k] + pred) & 255
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                )
+                cur[px : px + bpp] = (cur[px : px + bpp] + pred) & 255
         else:
             raise ValueError(f"unknown PNG filter {f} on row {r}")
         out[r] = cur.astype(np.uint8)
@@ -445,6 +474,20 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
+def _nn_resize_to_p6(px, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor sample an (h, w, 3) uint8 array and encode as
+    P6 — THE canonical resample + output for every stdlib resize path
+    (PPM and PNG share it, code review r15: the sampling rule and the
+    canonical header must not be able to diverge between formats)."""
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    out = px[rows][:, cols]
+    return f"P6\n{out_w} {out_h}\n255\n".encode() + out.tobytes()
+
+
 def _resize_ppm(payload: bytes, out_w: int, out_h: int) -> bytes:
     """Real nearest-neighbor resize for P6 PPM: decode, index-sample
     rows/cols, re-encode. Same stdlib+numpy-only policy as
@@ -467,12 +510,7 @@ def _resize_ppm(payload: bytes, out_w: int, out_h: int) -> bytes:
             tokens += 1
     i += 1
     px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
-    px = px.reshape(h, w, 3)
-    rows = (np.arange(out_h) * h) // out_h
-    cols = (np.arange(out_w) * w) // out_w
-    out = px[rows][:, cols]
-    header = f"P6\n{out_w} {out_h}\n255\n".encode()
-    return header + out.tobytes()
+    return _nn_resize_to_p6(px.reshape(h, w, 3), out_w, out_h)
 
 
 def _resize_pillow(raw: bytes, out_w: int, out_h: int):
@@ -506,10 +544,8 @@ def _resize_any(raw: bytes, out_w: int, out_h: int, fake: bool) -> bytes:
     if raw.startswith(b"P6"):
         return _resize_ppm(raw, out_w, out_h)
     if raw[:8] == b"\x89PNG\r\n\x1a\n":
-        import numpy as np
-
         try:
-            w, h, rgb = _png_rgb(raw)
+            _w, _h, rgb = _png_rgb(raw)
         except ValueError:
             # same fall-through as _decode_any: Pillow (when
             # installed) keeps 16-bit/interlaced PNGs resizable
@@ -517,10 +553,7 @@ def _resize_any(raw: bytes, out_w: int, out_h: int, fake: bool) -> bytes:
             if out is not None:
                 return out
             raise
-        rows = (np.arange(out_h) * h) // out_h
-        cols = (np.arange(out_w) * w) // out_w
-        out = rgb[rows][:, cols]
-        return f"P6\n{out_w} {out_h}\n255\n".encode() + out.tobytes()
+        return _nn_resize_to_p6(rgb, out_w, out_h)
     out = _resize_pillow(raw, out_w, out_h)
     if out is not None:
         return out

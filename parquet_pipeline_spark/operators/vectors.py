@@ -574,6 +574,15 @@ def ivf_centroids(emb: DataFrame, k: int = 16, id_col: str = "vec_id") -> list[t
             .select(id_col, "embedding")
             .collect()
         )
+        # a replicated-id corpus (e.g. un-compacted replayed appends —
+        # exactly the sparse/duplicated id spaces this fallback exists
+        # for) returns every copy of a picked id: keep ONE row per id
+        # or the caller gets >k centroids with pairwise-identical
+        # vectors seeding permanently empty cells
+        by_id: dict = {}
+        for r in rows:
+            by_id.setdefault(r[id_col], r)
+        rows = list(by_id.values())
     # sort by id before enumerating: collect() order is partition
     # order, so cid numbering would otherwise vary run-to-run
     rows.sort(key=lambda r: r[id_col])
@@ -2812,6 +2821,11 @@ def ivf_pq_stats(spark: SparkSession, index_path: str) -> DataFrame:
     # r14): after a compaction killed mid-swap the index is parked at
     # '._old' — the maintenance-DECISION tool must restore it like the
     # maintenance ACTIONS do, not fail on the missing directory.
+    # Caveat inherited from those actions: recovery rmtree's staging
+    # litter, so it is correct ONLY under the single-maintainer model
+    # the lifecycle assumes — running stats concurrently with a LIVE
+    # compaction could delete its in-progress tmp dir (code review
+    # r15; same hazard as two concurrent compacts, not new to stats).
     _recover_and_clean(index_path, "._compacting")
     meta = read_ivfpq_meta(index_path)
     return (
@@ -2850,7 +2864,15 @@ def scope_cell_mass(
 
     Cost: one column-pruned scan (id + hive partition value only —
     code bytes never read) semi-joined against the scope; Catalyst
-    broadcasts tenant-sized scopes. The result is n_cells-bounded."""
+    broadcasts tenant-sized scopes. The result is n_cells-bounded.
+
+    Entry recovery matches ivf_pq_stats (and carries its caveat):
+    a crashed compaction's parked index is restored before reading —
+    correct under the SINGLE-MAINTAINER model every lifecycle swap
+    here assumes; do not run concurrently with a live compaction."""
+    from parquet_pipeline_spark.sources.writers import _recover_and_clean
+
+    _recover_and_clean(index_path, "._compacting")
     return (
         spark.read.parquet(index_path)
         .select(id_col, "cell")

@@ -833,7 +833,13 @@ def streaming_ivf_pq_append(
                 .collect()
             )
             if counts:
-                p95 = counts[min(len(counts) - 1, int(0.95 * len(counts)))]
+                # index int(0.95·(n−1)): the LOWER 95th-rank position,
+                # so for any n ≥ 2 at least the single largest count is
+                # excluded — nearest-rank p95 degenerates to the MAX
+                # for n ≤ 20 cells (int(ceil(.95n))−1 = n−1), which
+                # would let one straggler cell force the full rewrite
+                # this policy exists to avoid (code review r15)
+                p95 = counts[int(0.95 * (len(counts) - 1))]
                 need = p95 > compact_on_files_per_cell
         if need:
             ivf_pq_compact(spark, index_path)

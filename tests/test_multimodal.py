@@ -553,3 +553,67 @@ def test_png_unsupported_shapes_fall_through_to_pillow(monkeypatch):
         multimodal._resize_any(deep, 2, 2, fake=False)
     # a WELL-FORMED 8-bit PNG still decodes stdlib-real, codec-free
     assert multimodal._decode_any(good, fake=False)[:2] == (4, 4)
+
+
+def test_png_malformed_payloads_raise_value_error_only():
+    """Code review r15: every malformed-PNG failure must surface as
+    ValueError — zlib.error (dropped IDAT chunk, valid CRCs) and
+    struct.error (short IHDR) would bypass both the dirty-cell
+    contract and the Pillow fall-through. Zero-dimension images also
+    refuse instead of emitting NaN features."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+    import pytest as _pytest
+
+    from parquet_pipeline_spark.operators.multimodal import _png_rgb
+
+    px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    good = _make_png(px, filters=(0,))
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", _z.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    # (1) truncated DEFLATE stream, every chunk CRC valid: split the
+    # compressed bytes into two IDAT chunks and drop the second
+    raw = b""
+    for r in range(4):
+        raw += b"\x00" + px[r].tobytes()
+    comp = _z.compress(raw)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    dropped = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", comp[: len(comp) // 2])
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="IDAT"):
+        _png_rgb(dropped)
+
+    # (2) IHDR of the wrong length, valid CRC
+    shorthdr = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr[:10])
+        + chunk(b"IDAT", comp)
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="IHDR length"):
+        _png_rgb(shorthdr)
+
+    # (3) zero-width image, structurally consistent (h filter bytes)
+    zihdr = struct.pack(">IIBBBBB", 0, 4, 8, 2, 0, 0, 0)
+    zcomp = _z.compress(b"\x00" * 4)
+    zero = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", zihdr)
+        + chunk(b"IDAT", zcomp)
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="zero dimension"):
+        _png_rgb(zero)

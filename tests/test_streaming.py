@@ -1353,7 +1353,7 @@ def test_streaming_ivf_pq_append_stats_driven_compaction(spark, sf_dir, tmp_path
         if n:
             per_dir.append(n)
     per_dir.sort()
-    p95 = per_dir[min(len(per_dir) - 1, int(0.95 * len(per_dir)))]
+    p95 = per_dir[int(0.95 * (len(per_dir) - 1))]
     assert p95 <= 3, per_dir
 
     # maintenance moved bytes only: content equals the batch twin

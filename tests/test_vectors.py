@@ -1949,3 +1949,29 @@ def test_sq8_recall_is_near_exact(spark):
         ).collect()
     )
     assert got == want  # identical top-20, not merely overlapping
+
+
+def test_ivf_centroids_replicated_ids_dedup(spark):
+    """Code review r15: the rank fallback on a REPLICATED id corpus
+    (every row appended twice — the un-compacted replay state) must
+    still deliver exactly one centroid per picked id, not one per
+    copy (duplicate centroid vectors would seed permanently empty
+    cells and break the caller's k_cells contract)."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.vectors import ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    strided = emb.select(
+        (F.col("vec_id") * 977 + 13).alias("vec_id"), "embedding"
+    )
+    replicated = strided.unionByName(strided)  # every id twice
+    k = 16
+    cents = ivf_centroids(replicated, k=k)
+    assert len(cents) == k
+    assert [c for c, _v in cents] == list(range(k))
+    # vectors are pairwise distinct (no duplicate centroid seeds)
+    seen = {tuple(v) for _c, v in cents}
+    assert len(seen) == k

@@ -590,8 +590,12 @@ def check_filtered_recall_geometry(spark, tmp, rng) -> list[str]:
             assigned.filter(F.col("cell") == cell0).select("vec_id"),
             "vec_id",
         )
+        n_tenant = tenant.count()
         lo12, mean12 = min_recall(tenant, nprobe=12)
-        lo16, _ = min_recall(tenant, nprobe=16)
+        # exactness needs shortlist ≥ tenant rows: the heaviest cell
+        # can exceed 200 on skewed geometries, and a 200-cut would
+        # fail this leg spuriously (code review r15)
+        lo16, _ = min_recall(tenant, nprobe=16, shortlist=n_tenant + 50)
         print(
             f"      [filtered {tag}] concentrated(one-cell) "
             f"nprobe=12 min_recall={lo12:.2f} mean={mean12:.2f}; "
@@ -608,7 +612,6 @@ def check_filtered_recall_geometry(spark, tmp, rng) -> list[str]:
         # tenant rows, regardless of the query's own cell ranking
         from parquet_pipeline_spark.operators.vectors import scope_cell_mass
 
-        n_tenant = tenant.count()
         mass = scope_cell_mass(spark, path, tenant).collect()
         steer = [r["cell"] for r in mass[:1]]
         lo_s, _ = min_recall(
