@@ -2289,28 +2289,39 @@ def sq8_knn_join(
     shortlist: int = 200,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codegen: bool = False,
 ) -> DataFrame:
-    """Batched SQ8 retrieval, ONE plan, ZERO Python in the scan: for
-    each query the approximate cosine over the int8 codes factors as
+    """Batched SQ8 retrieval, ONE plan: for each query the
+    approximate cosine over the int8 codes factors as
 
         score_q(row) = (C_q + Σ_d code_d · w_qd) / norm_r
 
-    with w_qd = q̂_d·span_d/255 and C_q = Σ_d lo_d·q̂_d both
-    per-query LITERALS — so the whole batch is one codegen'd select
-    (explode of an nq-struct array), one per-query shortlist window,
-    and one exact refine over the shortlist union (broadcast
-    semi-join + exact_knn_join — the pq_topk_refined shape). Returns
-    (q_id, id, score), per-query top-k by exact cosine.
+    with w_qd = q̂_d·span_d/255 and C_q = Σ_d lo_d·q̂_d per-query
+    constants — so the whole batch is one scoring pass over the
+    codes, one per-query shortlist window, and one exact refine over
+    the shortlist union (broadcast semi-join + exact_knn_join — the
+    pq_topk_refined shape). Returns (q_id, id, score), per-query
+    top-k by exact cosine.
 
-    Scale note: the plan carries O(nq·d) literal doubles — the right
-    trade for interactive batch sizes (the gate's 5–100); a
-    1000-query stream should chunk (streaming_knn_probe's
-    max_queries_per_trigger does) rather than grow one plan.
+    Two scoring backends, identical results (pinned in tests):
 
-    Dirty-code contract: NULL, truncated, or overlong code rows
-    score NULL (zip_with pads with NULL, the sum propagates it) and
-    are dropped, never retrieved, never abort — pq_topk's F.get
-    policy by construction."""
+    - DEFAULT (Arrow kernel): the whole batch's scores are ONE BLAS
+      matmul per Arrow batch — (nq, d) weights @ (d, rows) codes —
+      with a per-batch partial top-shortlist cut before the exchange
+      (the pq_knn_join shape). Measured at 200k rows × 20 queries:
+      ~2 s vs 26 s for the codegen form.
+    - ``codegen=True``: zip_with/aggregate expressions with literal
+      weight arrays — NO Python anywhere in the plan. Elegant but a
+      trap at scale (r15 ladder measurement): Spark evaluates
+      higher-order-function lambdas INTERPRETIVELY per array element
+      (the r10 HOF finding), so the scan costs O(nq·n·d) interpreted
+      ops — slower than exact brute force at 200k×20. Use for
+      single queries / small corpora, or where a no-Python plan is
+      worth more than throughput.
+
+    Dirty-code contract (both backends): NULL, truncated, or
+    overlong code rows and null/zero norms score NULL / are skipped —
+    dropped, never retrieved, never abort."""
     import numpy as np
 
     spark = codes_df.sparkSession
@@ -2322,36 +2333,117 @@ def sq8_knn_join(
     d = len(bounds)
     lo = np.array([b[0] for b in bounds])
     span = np.array([b[1] for b in bounds])
-    structs = []
-    for q_id, qv in query_rows:
-        q = np.asarray(list(qv), dtype=np.float64)
-        q = q / np.sqrt((q * q).sum())
-        w = q * span / 255.0
-        c0 = float((lo * q).sum())
-        dot = F.aggregate(
-            F.zip_with(
-                F.col("codes"),
-                _arr_lit(w),
-                lambda c, ww: c.cast("double") * ww,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        score = F.when(
-            (F.size("codes") == d) & (F.col("norm_r") > 0.0),
-            (F.lit(c0) + dot) / F.col("norm_r"),
-        )
-        structs.append(
-            F.struct(
-                F.lit(int(q_id)).cast("long").alias("q_id"),
-                score.alias("score_sq"),
+    q_ids = np.array([q[0] for q in query_rows], dtype=np.int64)
+    qm = np.array([list(q[1]) for q in query_rows], dtype=np.float64)
+    qm = qm / np.sqrt((qm * qm).sum(axis=1))[:, None]
+
+    if codegen:
+        structs = []
+        for j, (q_id, _qv) in enumerate(query_rows):
+            q = qm[j]
+            w = q * span / 255.0
+            c0 = float((lo * q).sum())
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    _arr_lit(w),
+                    lambda c, ww: c.cast("double") * ww,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
             )
+            score = F.when(
+                (F.size("codes") == d) & (F.col("norm_r") > 0.0),
+                (F.lit(c0) + dot) / F.col("norm_r"),
+            )
+            structs.append(
+                F.struct(
+                    F.lit(int(q_id)).cast("long").alias("q_id"),
+                    score.alias("score_sq"),
+                )
+            )
+        scored = (
+            codes_df.select(id_col, F.explode(F.array(*structs)).alias("s"))
+            .select(
+                id_col,
+                F.col("s.q_id").alias("q_id"),
+                F.col("s.score_sq").alias("score_sq"),
+            )
+            .filter(F.col("score_sq").isNotNull())
         )
-    scored = (
-        codes_df.select(id_col, F.explode(F.array(*structs)).alias("s"))
-        .select(id_col, F.col("s.q_id").alias("q_id"), F.col("s.score_sq").alias("score_sq"))
-        .filter(F.col("score_sq").isNotNull())
-    )
+    else:
+        import pandas as pd
+
+        wmat = qm * (span / 255.0)[None, :]  # (nq, d)
+        c0s = qm @ lo  # (nq,)
+        state = {"q_ids": q_ids, "wmat": wmat, "c0s": c0s}
+        state_bytes = wmat.nbytes + c0s.nbytes
+        if state_bytes > _BROADCAST_STATE_BYTES:
+            bc = spark.sparkContext.broadcast(state)
+            get_state = lambda: bc.value  # noqa: E731
+        else:
+            get_state = lambda: state  # noqa: E731
+        sl = shortlist
+        sq_schema = T.StructType(
+            [
+                T.StructField("q_id", T.LongType()),
+                T.StructField(id_col, T.LongType()),
+                T.StructField("score_sq", T.DoubleType()),
+            ]
+        )
+
+        def sq_partial(batches):
+            st = get_state()
+            b_qids, b_w, b_c0 = st["q_ids"], st["wmat"], st["c0s"]
+            for pdf in batches:
+                raw = pdf["codes"].tolist()
+                if not len(raw):
+                    continue
+                ids = pdf[id_col].to_numpy()
+                norms = pdf["norm_r"].fillna(0.0).to_numpy(dtype=np.float64)
+                codes = np.array(
+                    [
+                        c
+                        if c is not None
+                        and len(c) == d
+                        and all(x is not None for x in c)
+                        else [-1] * d
+                        for c in raw
+                    ],
+                    dtype=np.float64,
+                )
+                valid = (codes[:, 0] >= 0) & (norms > 0.0)
+                ids, codes, norms = ids[valid], codes[valid], norms[valid]
+                if not len(ids):
+                    continue
+                # ONE matmul for the whole (batch × query) grid
+                sims = (b_w @ codes.T + b_c0[:, None]) / norms[None, :]
+                qi_out, id_out, sc_out = [], [], []
+                kk = min(sl, len(ids))
+                for j in range(len(b_qids)):
+                    col = sims[j]
+                    if len(col) > kk:
+                        thresh = np.partition(col, -kk)[-kk]
+                        cand = np.nonzero(col >= thresh)[0]
+                    else:
+                        cand = np.arange(len(col))
+                    order = cand[np.lexsort((ids[cand], -col[cand]))][:kk]
+                    qi_out.append(
+                        np.full(len(order), b_qids[j], dtype=np.int64)
+                    )
+                    id_out.append(ids[order])
+                    sc_out.append(col[order])
+                yield pd.DataFrame(
+                    {
+                        "q_id": np.concatenate(qi_out) if qi_out else [],
+                        id_col: np.concatenate(id_out) if id_out else [],
+                        "score_sq": np.concatenate(sc_out) if sc_out else [],
+                    }
+                )
+
+        scored = codes_df.select(id_col, "codes", "norm_r").mapInPandas(
+            sq_partial, sq_schema
+        )
     w_short = W.partitionBy("q_id").orderBy(F.col("score_sq").desc(), id_col)
     short = (
         scored.withColumn("rn", F.row_number().over(w_short))

@@ -1975,3 +1975,49 @@ def test_ivf_centroids_replicated_ids_dedup(spark):
     # vectors are pairwise distinct (no duplicate centroid seeds)
     seen = {tuple(v) for _c, v in cents}
     assert len(seen) == k
+
+
+def test_sq8_kernel_and_codegen_backends_identical(spark):
+    """r15 ladder finding: the all-JVM codegen scoring is an HOF trap
+    at scale (interpreted lambda per array element), so the default
+    backend is an Arrow kernel (one matmul per batch). Both backends
+    must return byte-identical results — on clean codes AND on a
+    dirty-littered table."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.vectors import (
+        sq8_encode,
+        sq8_knn_join,
+        sq8_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 400))
+    qrows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+    bounds = sq8_train(corpus)
+    codes = sq8_encode(corpus, bounds)
+    dirty = codes.unionByName(
+        spark.createDataFrame(
+            [(900001, None, 1.0), (900002, [1] * 10, 1.0), (900003, [1] * 64, 0.0)],
+            "vec_id long, codes array<smallint>, norm_r double",
+        )
+    )
+    for table in (codes, dirty):
+        kernel = sorted(
+            tuple(r)
+            for r in sq8_knn_join(
+                table, bounds, corpus, qrows, k=10, shortlist=50
+            ).collect()
+        )
+        cg = sorted(
+            tuple(r)
+            for r in sq8_knn_join(
+                table, bounds, corpus, qrows, k=10, shortlist=50, codegen=True
+            ).collect()
+        )
+        assert kernel == cg and len(kernel) == 30
