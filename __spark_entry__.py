@@ -142,6 +142,12 @@ _CHANGED_LOG = [
     # sf0.01/sf0.1/sf1 the session the change landed.
     ("a16_ivf_pq_incremental", 15),
     ("s04_streaming_index_append_equivalence", 15),
+    # r16: sq8_train dimension-consistency filter (ADVICE r15 — modal
+    # d derived first, size==d filter before posexplode; byte-identical
+    # model on the clean gate corpus) and scope_cell_mass read-path
+    # recovery switched to restore-only — re-gate the riders.
+    ("a19_sq8_recall_floor", 16),
+    ("a18_ivf_pq_filtered_knn", 16),
 ]
 
 _CHANGED_SINCE_LAST_GREEN: dict = {}

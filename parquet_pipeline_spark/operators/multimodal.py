@@ -18,6 +18,15 @@ JPEG/FLAC decodes through the same kernels); absent those, they
 raise NotImplementedError by default, or run a deterministic fake
 (payload-hash-seeded) with ``fake=True`` so the distributed pipeline
 can be exercised end-to-end regardless.
+
+Dirty-cell policy vs fake: CORRUPT payloads (bad CRC, truncated
+stream, wrong length) always fail loudly — they never reach the fake,
+whatever the flag. A structurally VALID payload in a shape only an
+optional codec can handle (16-bit PNG, Adam7 interlace) is raised as
+``UnsupportedMediaError`` and, with ``fake=True`` and no Pillow,
+falls through to the deterministic fake like any other
+codec-less format (ADVICE r15) — so fake=True keeps its end-to-end
+promise without laundering corruption into plausible features.
 """
 
 from __future__ import annotations
@@ -30,6 +39,16 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+class UnsupportedMediaError(ValueError):
+    """A structurally VALID payload in a shape the stdlib codecs
+    refuse (16-bit PNG, Adam7 interlace) — distinct from corruption
+    so the fake=True path can still exercise the pipeline end-to-end
+    for it, while corrupt payloads keep failing loudly. Subclasses
+    ValueError so every existing dirty-cell handler still catches
+    it."""
+
 
 MEDIA_META = T.StructType(
     [
@@ -168,9 +187,11 @@ def _png_rgb(payload: bytes):
         # NaN features — silent garbage; fail the row loudly instead
         raise ValueError(f"PNG with zero dimension ({w}×{h})")
     if depth != 8:
-        raise ValueError(f"only 8-bit PNG supported, got depth={depth}")
+        raise UnsupportedMediaError(
+            f"only 8-bit PNG supported, got depth={depth}"
+        )
     if interlace:
-        raise ValueError("Adam7 interlaced PNG not supported")
+        raise UnsupportedMediaError("Adam7 interlaced PNG not supported")
     if comp or fmethod:
         raise ValueError("invalid PNG compression/filter method")
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
@@ -382,10 +403,20 @@ def _decode_any(payload: bytes, fake: bool) -> tuple[int, int, int, list[float]]
         # stdlib-real since r15. The shapes the stdlib path refuses
         # (16-bit, Adam7) fall through to Pillow when it is installed
         # — a deployment with codecs must not LOSE decodes to the
-        # stdlib path's narrower support; with no Pillow the refusal
-        # propagates (corrupt payloads never reach the fake).
+        # stdlib path's narrower support; with no Pillow, an
+        # UNSUPPORTED-shape payload behaves like any codec-less
+        # format (fake=True runs the stub, ADVICE r15) while a
+        # CORRUPT payload's refusal always propagates — corruption
+        # never reaches the fake.
         try:
             return _decode_png(payload)
+        except UnsupportedMediaError:
+            decoded = _decode_pillow(payload)
+            if decoded is not None:
+                return decoded
+            if fake:
+                return _fake_decode(payload)
+            raise
         except ValueError:
             decoded = _decode_pillow(payload)
             if decoded is not None:
@@ -534,6 +565,19 @@ def _resize_pillow(raw: bytes, out_w: int, out_h: int):
     return f"P6\n{out_w} {out_h}\n255\n".encode() + body
 
 
+def _fake_p6(raw: bytes, out_w: int, out_h: int) -> bytes:
+    """Deterministic fake resize output: a target-size P6 whose body
+    is derived from the payload hash — the resize twin of
+    ``_fake_decode``."""
+    h = hashlib.sha256(raw).digest()
+    body = bytes(
+        h[(j * 3 + c) % len(h)]
+        for j in range(out_w * out_h)
+        for c in range(3)
+    )
+    return f"P6\n{out_w} {out_h}\n255\n".encode() + body
+
+
 def _resize_any(raw: bytes, out_w: int, out_h: int, fake: bool) -> bytes:
     """Per-payload resize dispatch (unit-testable seam): P6 PPM and
     PNG via the stdlib paths (PNG decodes through ``_png_rgb``, is
@@ -546,9 +590,20 @@ def _resize_any(raw: bytes, out_w: int, out_h: int, fake: bool) -> bytes:
     if raw[:8] == b"\x89PNG\r\n\x1a\n":
         try:
             _w, _h, rgb = _png_rgb(raw)
-        except ValueError:
+        except UnsupportedMediaError:
             # same fall-through as _decode_any: Pillow (when
-            # installed) keeps 16-bit/interlaced PNGs resizable
+            # installed) keeps 16-bit/interlaced PNGs resizable;
+            # without it, fake=True treats the unsupported-SHAPE
+            # payload like any codec-less format (ADVICE r15)
+            out = _resize_pillow(raw, out_w, out_h)
+            if out is not None:
+                return out
+            if fake:
+                return _fake_p6(raw, out_w, out_h)
+            raise
+        except ValueError:
+            # corrupt payloads: Pillow may still salvage, the fake
+            # never runs — corruption fails loudly
             out = _resize_pillow(raw, out_w, out_h)
             if out is not None:
                 return out
@@ -558,13 +613,7 @@ def _resize_any(raw: bytes, out_w: int, out_h: int, fake: bool) -> bytes:
     if out is not None:
         return out
     if fake:
-        h = hashlib.sha256(raw).digest()
-        body = bytes(
-            h[(j * 3 + c) % len(h)]
-            for j in range(out_w * out_h)
-            for c in range(3)
-        )
-        return f"P6\n{out_w} {out_h}\n255\n".encode() + body
+        return _fake_p6(raw, out_w, out_h)
     raise NotImplementedError(
         "resize: only P6 PPM and PNG have stdlib codecs in this "
         "container; install pillow for real JPEG resizes, or pass "

@@ -1078,6 +1078,7 @@ def bm25_rank(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df_ratio: float | None = None,
 ) -> DataFrame:
     """BM25 keyword retrieval over a text column (r15 — the keyword
     half of hybrid retrieval; the reference's RAG only does vector
@@ -1099,7 +1100,22 @@ def bm25_rank(
     scalars (N, avgdl) are one tiny aggregate collected driver-side
     (bounded state, the centroid convention). No UDF anywhere; at
     100 TB this is two passes over the text bytes and a
-    query-term-bounded shuffle."""
+    query-term-bounded shuffle.
+
+    df-skew (VERDICT r15, the LSH hot-bucket-cap precedent applied
+    to keyword search): a STOPWORD in ``query_terms`` matches nearly
+    every document, so that term's (doc, term) aggregate — and the
+    result frame itself — goes corpus-sized. That is inherent to
+    BM25 (every matching doc gets a score), and such a term
+    contributes ~nothing anyway: idf = ln(1 + (N−df+0.5)/(df+0.5))
+    → ln(1) ≈ 0 as df → N. ``max_df_ratio`` makes the trade
+    explicit: terms with df/N above it are DROPPED from scoring
+    (classic IR stopword elimination). The drop happens after the
+    per-term df aggregate — the tokenize/tf scan is the unavoidable
+    pass — but it prunes the hot term's corpus-sized rows out of the
+    broadcast join, the per-doc aggregate, and the result, which is
+    where a downstream top-k actually hurts. None (default) keeps
+    classic BM25 semantics."""
     terms = sorted({t.lower() for t in query_terms if t})
     if not terms:
         raise ValueError("bm25_rank: empty query")
@@ -1124,6 +1140,10 @@ def bm25_rank(
         .agg(F.count(F.lit(1)).alias("_tf"))
     )
     dfreq = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
+    if max_df_ratio is not None:
+        dfreq = dfreq.filter(
+            F.col("_df") <= F.lit(float(max_df_ratio)) * n_docs
+        )
     idf = F.log(
         F.lit(1.0)
         + (F.lit(float(n_docs)) - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
@@ -1135,4 +1155,54 @@ def bm25_rank(
         .withColumn("_contrib", idf * F.col("_tf") * (k1 + 1.0) / denom)
         .groupBy(id_col)
         .agg(F.round(F.sum("_contrib"), 6).alias("score_bm25"))
+    )
+
+
+@register(
+    "t25_bm25_topk",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ), dl AS (
+      SELECT doc_id, len(toks) AS dl FROM docs
+    ), stats AS (
+      SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+      WHERE term IN ('merge', 'spark', 'table')
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), bm25 AS (
+      SELECT tf.doc_id,
+             ROUND(SUM(
+               ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+             ), 6) AS score_bm25
+      FROM tf, dfreq, dl, stats
+      WHERE tf.term = dfreq.term AND tf.doc_id = dl.doc_id
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score_bm25 FROM bm25
+    ORDER BY score_bm25 DESC, doc_id
+    LIMIT 25
+    """,
+)
+def t25_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword top-25 on the documents table (r15 operator,
+    gate row r16 — the keyword half of hybrid retrieval; reference
+    motivation: the RAG pipeline's retrieval step generalized to
+    keyword search, chroma_retrieval_util.py:284-297). The oracle
+    replays the full Robertson/Sparck-Jones formula — tokenize, tf,
+    df, idf, length normalization — in DuckDB at 6dp; both sides
+    order by the ROUNDED score with a doc_id tiebreak so the top-25
+    CUT is deterministic."""
+    docs = _docs(spark, sf_dir)
+    return (
+        bm25_rank(docs, ["spark", "table", "merge"])
+        .orderBy(F.col("score_bm25").desc(), "doc_id")
+        .limit(25)
     )

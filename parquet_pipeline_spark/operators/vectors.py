@@ -538,14 +538,20 @@ def ivf_centroids(emb: DataFrame, k: int = 16, id_col: str = "vec_id") -> list[t
     find: the sf10 scaledata corpus yielded 12 centroids for k=64 —
     cells 5× too coarse, and an adversarial id space could yield
     ZERO). When the pick comes up SUBSTANTIALLY short — under ¾k —
-    fall back to even spacing by RANK: percentile_approx over the id
-    column returns k observed ids at evenly-spaced quantiles in ONE
-    aggregate — no full sort, deterministic for a given corpus. The
-    ¾ threshold matters: an offset-contiguous corpus (ids b..b+n,
-    b > 0 — every gate slice) legitimately delivers k−1 multiples,
-    which IS the documented even spacing, and must keep its
-    byte-identical historical centroids; only a genuinely sparse id
-    space (a small fraction of k) re-picks."""
+    fall back to even spacing by EXACT rank: distinct the id column,
+    row_number it, and keep every (n_ids//k)-th rank. Exact ranks
+    need a global order, so this sorts the DISTINCT ID SET on one
+    task — ids only, never vectors, and only on the degenerate id
+    spaces that trigger the fallback (ADVICE r15: the previous
+    percentile_approx pick merged G-K summaries in partition order,
+    so repeated builds could select different centroid ids, at odds
+    with the retrain==same-index convention the build cache and
+    incremental appends lean on). The ¾ threshold matters: an
+    offset-contiguous corpus (ids b..b+n, b > 0 — every gate slice)
+    legitimately delivers k−1 multiples, which IS the documented even
+    spacing, and must keep its byte-identical historical centroids;
+    only a genuinely sparse id space (a small fraction of k)
+    re-picks."""
     n = emb.count()
     step = max(n // k, 1)
     rows = (
@@ -556,21 +562,24 @@ def ivf_centroids(emb: DataFrame, k: int = 16, id_col: str = "vec_id") -> list[t
         .collect()
     )
     if len(rows) < max(1, (3 * k) // 4) and n >= k:
-        qs = (
-            emb.filter(_nonzero_vec("embedding"))
-            .select(
-                F.percentile_approx(
-                    id_col,
-                    [float((i + 0.5) / k) for i in range(k)],
-                    max(10_000, 100 * k),
-                ).alias("qs")
+        from pyspark.sql.window import Window
+
+        seedable = emb.filter(_nonzero_vec("embedding"))
+        distinct_ids = seedable.select(id_col).distinct()
+        n_ids = distinct_ids.count()
+        stride = max(n_ids // k, 1)
+        picked = (
+            distinct_ids.withColumn(
+                "_rank", F.row_number().over(Window.orderBy(id_col)) - 1
             )
-            .first()["qs"]
+            .filter(
+                (F.col("_rank") % stride == 0)
+                & (F.col("_rank") < stride * k)
+            )
+            .select(id_col)
         )
-        ids = sorted({int(x) for x in qs or []})
         rows = (
-            emb.filter(F.col(id_col).isin(ids))
-            .filter(_nonzero_vec("embedding"))
+            seedable.join(picked, id_col, "left_semi")
             .select(id_col, "embedding")
             .collect()
         )
@@ -2215,15 +2224,37 @@ def _unit_vec(vec_col: str) -> "F.Column":
 def sq8_train(
     emb: DataFrame,
     vec_col: str = "embedding",
+    d: int | None = None,
 ) -> list[tuple[float, float]]:
     """Per-dimension (lo, span) bounds of the L2-NORMALIZED corpus —
-    the SQ8 'model'. One pass: posexplode the unit vectors and
-    min/max per dimension; partial aggregation combines map-side, so
-    the exchange carries d rows per partition regardless of corpus
-    size. Deterministic (exact min/max, no sample). A constant
-    dimension gets a floor span so encode never divides by zero."""
+    the SQ8 'model'. Posexplode the unit vectors and min/max per
+    dimension; partial aggregation combines map-side, so the exchange
+    carries d rows per partition regardless of corpus size.
+    Deterministic (exact min/max, no sample). A constant dimension
+    gets a floor span so encode never divides by zero.
+
+    Dimension consistency (ADVICE r15): a single overlong dirty row
+    would otherwise widen len(bounds) past the corpus dimension, and
+    sq8_encode's size==d guard would then encode EVERY clean row to
+    NULL codes — probes silently empty, no error. So training FILTERS
+    to one dimension before exploding: pass ``d`` explicitly (the
+    zero-extra-cost path for a known corpus), or the modal row
+    dimension is derived first (one extra size-only aggregate —
+    cheap, but at a 100 TB corpus prefer the explicit ``d``)."""
+    nonnull = emb.filter(F.col(vec_col).isNotNull())
+    if d is None:
+        modal = (
+            nonnull.groupBy(F.size(F.col(vec_col)).alias("d"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            # ties to the LARGER dimension (arbitrary but stable)
+            .orderBy(F.col("n").desc(), F.col("d").desc())
+            .first()
+        )
+        if modal is None or int(modal["d"]) <= 0:
+            raise ValueError("sq8_train: no nonzero vectors in the corpus")
+        d = int(modal["d"])
     rows = (
-        emb.filter(F.col(vec_col).isNotNull())
+        nonnull.filter(F.size(F.col(vec_col)) == d)
         .select(F.posexplode(_unit_vec(vec_col)).alias("pos", "x"))
         .filter(F.col("x").isNotNull())
         .groupBy("pos")
@@ -2233,6 +2264,13 @@ def sq8_train(
     )
     if not rows:
         raise ValueError("sq8_train: no nonzero vectors in the corpus")
+    if len(rows) != d:
+        # a position with no finite values (all-NULL elements at some
+        # index) cannot be bounded — the model would misalign codes
+        raise ValueError(
+            f"sq8_train: only {len(rows)} of {d} dimensions had "
+            "trainable values; clean the corpus or pass an explicit d"
+        )
     return [
         (float(r["lo"]), max(float(r["hi"]) - float(r["lo"]), 1e-12))
         for r in rows
@@ -2610,6 +2648,84 @@ def rrf_fuse(
     )
 
 
+@register(
+    "v09_hybrid_rrf",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ), dl AS (
+      SELECT doc_id, len(toks) AS dl FROM docs
+    ), stats AS (
+      SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+      WHERE term IN ('sort', 'spark', 'window')
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), bm25 AS (
+      SELECT tf.doc_id,
+             ROUND(SUM(
+               ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+             ), 6) AS s
+      FROM tf, dfreq, dl, stats
+      WHERE tf.term = dfreq.term AND tf.doc_id = dl.doc_id
+      GROUP BY tf.doc_id
+    ), kw AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r
+      FROM bm25 ORDER BY s DESC, doc_id LIMIT 10
+    ), q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), vec AS (
+      SELECT e.vec_id AS doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv)
+                        DESC, e.vec_id
+             ) AS r
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+        AND list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0
+      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
+               e.vec_id
+      LIMIT 10
+    )
+    SELECT COALESCE(kw.doc_id, vec.doc_id) AS doc_id,
+           ROUND(COALESCE(1.0 / (60 + kw.r), 0)
+                 + COALESCE(1.0 / (60 + vec.r), 0), 6) AS score_rrf
+    FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id
+    ORDER BY score_rrf DESC, doc_id
+    """,
+)
+def v09_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval end-to-end (r15 operators, gate row r16):
+    BM25 keyword top-10 × exact-cosine vector top-10 over the shared
+    doc/vec id space, fused with reciprocal ranks at k_rrf=60 — the
+    scale-out generalization of the reference's per-collection score
+    merge (chroma_retrieval_util.py:284-297). The oracle replays the
+    whole thing in SQL: the BM25 CTE, both row_number rankings with
+    the identical (score desc, id) tiebreak, and the full-outer RRF
+    sum — every fused score and the membership of BOTH top-10 cuts
+    are value-hash-checked."""
+    from parquet_pipeline_spark.operators.text import _docs, bm25_rank
+
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    qv = _query_vector(spark, sf_dir, vec_id=0)
+    kw = (
+        bm25_rank(docs, ["spark", "window", "sort"])
+        .orderBy(F.col("score_bm25").desc(), "doc_id")
+        .limit(10)
+    )
+    vec = topk(emb.filter(F.col("vec_id") != 0), qv, k=10).select(
+        F.col("vec_id").alias("doc_id"), "score"
+    )
+    return rrf_fuse([kw, vec])
+
+
 IVFPQ_META_VERSION = 1
 # Spark's parquet reader skips files whose names start with "_"
 # (the _SUCCESS convention), so the metadata can live INSIDE the
@@ -2907,18 +3023,16 @@ def ivf_pq_stats(spark: SparkSession, index_path: str) -> DataFrame:
     Cost: one column-pruned scan — row counts need no data columns
     (the scan reads only the hive partition value) and file counts
     ride input_file_name(), so the codes bytes are never read."""
-    from parquet_pipeline_spark.sources.writers import _recover_and_clean
+    from parquet_pipeline_spark.sources.writers import _restore_parked
 
-    # Same entry recovery as ivf_pq_append/ivf_pq_compact (ADVICE
-    # r14): after a compaction killed mid-swap the index is parked at
-    # '._old' — the maintenance-DECISION tool must restore it like the
-    # maintenance ACTIONS do, not fail on the missing directory.
-    # Caveat inherited from those actions: recovery rmtree's staging
-    # litter, so it is correct ONLY under the single-maintainer model
-    # the lifecycle assumes — running stats concurrently with a LIVE
-    # compaction could delete its in-progress tmp dir (code review
-    # r15; same hazard as two concurrent compacts, not new to stats).
-    _recover_and_clean(index_path, "._compacting")
+    # Entry recovery, READ-ONLY variant (ADVICE r15): after a
+    # compaction killed mid-swap the index is parked at '._old' — the
+    # maintenance-DECISION tool restores it so it can answer, but it
+    # must never DELETE staging litter the way the maintenance
+    # ACTIONS (append/compact, _recover_and_clean) do: a monitoring
+    # loop polling stats concurrently with a live compaction would
+    # otherwise rmtree the compactor's in-progress tmp dir.
+    _restore_parked(index_path)
     meta = read_ivfpq_meta(index_path)
     return (
         spark.read.parquet(index_path)
@@ -2958,13 +3072,13 @@ def scope_cell_mass(
     code bytes never read) semi-joined against the scope; Catalyst
     broadcasts tenant-sized scopes. The result is n_cells-bounded.
 
-    Entry recovery matches ivf_pq_stats (and carries its caveat):
-    a crashed compaction's parked index is restored before reading —
-    correct under the SINGLE-MAINTAINER model every lifecycle swap
-    here assumes; do not run concurrently with a live compaction."""
-    from parquet_pipeline_spark.sources.writers import _recover_and_clean
+    Entry recovery matches ivf_pq_stats: a crashed compaction's
+    parked index is restored before reading, via the READ-ONLY
+    ``_restore_parked`` (never rmtree — safe to poll concurrently
+    with a live compaction, ADVICE r15)."""
+    from parquet_pipeline_spark.sources.writers import _restore_parked
 
-    _recover_and_clean(index_path, "._compacting")
+    _restore_parked(index_path)
     return (
         spark.read.parquet(index_path)
         .select(id_col, "cell")
@@ -3891,6 +4005,116 @@ def _register_streaming_knn():
 
 
 _register_streaming_knn()
+
+
+def _register_streaming_sq8():
+    @register(
+        "s05_streaming_sq8_equivalence",
+        oracle="""
+        WITH q AS (
+          SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 5
+        ), corpus AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE vec_id >= 5 AND vec_id < 2000
+        )
+        SELECT q.q_id, c.vec_id,
+               ROUND(list_cosine_similarity(c.v, q.qv), 6) AS score,
+               TRUE AS stream_ok
+        FROM q, LATERAL (
+          SELECT vec_id, v FROM corpus
+          ORDER BY list_cosine_similarity(v, q.qv) DESC, vec_id
+          LIMIT 20) c
+        """,
+    )
+    def s05_streaming_sq8_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming retrieval ≡ batch retrieval on the SQ8 int8 tier
+        (r16, VERDICT r15 item 2 — the s03 contract applied to the
+        4× tier): the query set streams through ``streaming_knn_probe
+        (tier='sq8')`` in TWO file micro-batches, and the union of
+        the triggers' outputs must equal one batch ``sq8_knn_join``
+        of all queries — result-for-result, score-for-score. The SQ8
+        probe is per-query masked (matmul-row scoring, per-q_id
+        shortlist window), so micro-batch boundaries cannot change
+        results; this row pins that through the real streaming
+        machinery. Returned rows are the exact top-20 (hash-checked
+        against the oracle's replay) + the per-query ``stream_ok``
+        boolean; shares a19's cached codes artifact."""
+        import json as _json
+        import os as _os
+        import time as _time
+
+        from parquet_pipeline_spark.scratch import scratch_dir
+        from parquet_pipeline_spark.streaming.events import streaming_knn_probe
+
+        emb = _emb(spark, sf_dir)
+        qrows = [
+            (r["vec_id"], r["embedding"])
+            for r in emb.filter(F.col("vec_id") < 5)
+            .select("vec_id", "embedding")
+            .collect()
+        ]
+        corpus = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 2000))
+        bounds, codes_path = sq8_build_cached(
+            corpus, cache_key=(_os.path.realpath(sf_dir), "sq8", 5, 2000)
+        )
+        codes = spark.read.parquet(codes_path)
+        want: dict[int, set] = {}
+        for r in sq8_knn_join(
+            codes, bounds, corpus, qrows, k=20, shortlist=200
+        ).collect():  # bounded: nq × 20
+            want.setdefault(r["q_id"], set()).add((r["vec_id"], r["score"]))
+
+        tmp = scratch_dir("s05_stream_sq8_")
+        src = _os.path.join(tmp, "src")
+        _os.makedirs(src)
+        half = len(qrows) // 2 or 1
+        now = _time.time()
+        for i, chunk in enumerate((qrows[:half], qrows[half:])):
+            if not chunk:
+                continue
+            p = _os.path.join(src, f"b{i}.jsonl")
+            with open(p, "w") as fh:
+                fh.write(
+                    "\n".join(
+                        _json.dumps(
+                            {"vec_id": q, "embedding": [float(x) for x in v]}
+                        )
+                        for q, v in chunk
+                    )
+                )
+            # strictly increasing mtimes: FileStreamSource batch order
+            _os.utime(p, (now + i, now + i))
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        dest = _os.path.join(tmp, "res")
+        q = streaming_knn_probe(
+            stream, codes_path, None, None, corpus, dest,
+            _os.path.join(tmp, "ckpt"), k=20, shortlist=200,
+            tier="sq8", sq8_bounds=bounds,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("s05 streaming probe did not finish in 300s")
+        got: dict[int, set] = {}
+        for r in spark.read.parquet(dest).collect():  # bounded: nq × 20
+            got.setdefault(r["q_id"], set()).add((r["vec_id"], r["score"]))
+
+        exact = exact_knn_join(corpus, qrows, k=20)
+        ok_rows = [
+            (q_id, got.get(q_id, set()) == want.get(q_id, set()))
+            for q_id, _qv in qrows
+        ]
+        ok = spark.createDataFrame(ok_rows, "q_id long, stream_ok boolean")
+        return exact.join(ok, "q_id").select("q_id", "vec_id", "score", "stream_ok")
+
+    return s05_streaming_sq8_equivalence
+
+
+_register_streaming_sq8()
 
 
 def _register_streaming_append():

@@ -97,6 +97,26 @@ def write_sorted(
     write_parquet(arranged, path, partition_by=partition_cols, **kwargs)
 
 
+def _restore_parked(path: str) -> None:
+    """READ-path crash recovery: if a rewrite-and-swap died between
+    its two renames the table is parked at '._old' holding the only
+    copy — restore it. Unlike ``_recover_and_clean`` this never
+    deletes anything, so an introspection call (stats, scope mass)
+    polled concurrently with a LIVE compaction cannot rmtree the
+    compactor's in-progress tmp dir (ADVICE r15). The residual race —
+    restoring '._old' inside the microseconds between a live swap's
+    two renames, making its second rename fail — crashes that
+    maintenance pass loudly instead of silently destroying its work,
+    which is the acceptable failure mode; full clean-up stays in the
+    maintenance ACTIONS (append/compact) via _recover_and_clean."""
+    import os as _os
+
+    base = path.rstrip("/")
+    backup = base + "._old"
+    if not _os.path.exists(base) and _os.path.exists(backup):
+        _os.rename(backup, base)
+
+
 def _recover_and_clean(path: str, tmp_suffix: str) -> None:
     """Make a rewrite-and-swap restartable. If a previous run crashed
     between the two renames (table moved to '._old' but the new data

@@ -870,6 +870,8 @@ def streaming_knn_probe(
     max_trigger_backlog: int = 100_000,
     eligible: DataFrame | None = None,
     extra_cells: list | None = None,
+    tier: str = "ivf_pq",
+    sq8_bounds: list | None = None,
 ):
     """Continuous retrieval — the QUERY-side twin of
     ``streaming_vector_index_append``: each micro-batch of query
@@ -903,8 +905,40 @@ def streaming_knn_probe(
     result: the probe is per-query masked (a query's answer never
     depends on its co-batch — the s03 equivalence row pins exactly
     this), so the union of chunk outputs equals the one-batch probe,
-    while the driver-side LUT stays ≤ chunk × m × k_codes doubles."""
-    from parquet_pipeline_spark.operators.vectors import ivf_pq_knn_join
+    while the driver-side LUT stays ≤ chunk × m × k_codes doubles.
+
+    Quantization tiers (VERDICT r15 item 2): ``tier='ivf_pq'``
+    (default) probes the persisted IVF-ADC index exactly as above.
+    ``tier='sq8'`` serves the 4× int8 tier instead: ``index_path``
+    is the persisted SQ8 codes parquet (sq8_encode /
+    sq8_build_cached), ``sq8_bounds`` is its (lo, span) model, and
+    each trigger chunk runs as ONE ``sq8_knn_join`` plan (Arrow
+    matmul scoring + exact refine). sq8_knn_join is per-query masked
+    the same way — scores are matmul ROWS, the shortlist window is
+    per-q_id — so micro-batch boundaries still cannot change any
+    result (pinned stream≡batch by the s05 gate row). The SQ8 tier
+    has no cells, so ``nprobe`` is ignored and the IVF-only
+    ``eligible``/``extra_cells`` knobs refuse loudly rather than
+    silently serving unfiltered results."""
+    from parquet_pipeline_spark.operators.vectors import (
+        ivf_pq_knn_join,
+        sq8_knn_join,
+    )
+
+    if tier not in ("ivf_pq", "sq8"):
+        raise ValueError(f"streaming_knn_probe: unknown tier {tier!r}")
+    if tier == "sq8":
+        if sq8_bounds is None:
+            raise ValueError(
+                "streaming_knn_probe: tier='sq8' needs sq8_bounds "
+                "(the (lo, span) model from sq8_train)"
+            )
+        if eligible is not None or extra_cells is not None:
+            raise ValueError(
+                "streaming_knn_probe: eligible/extra_cells are IVF-cell "
+                "knobs — the SQ8 tier has no cells; filter upstream or "
+                "use tier='ivf_pq'"
+            )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         # persist the projected batch: micro-batch sources re-evaluate
@@ -933,28 +967,41 @@ def streaming_knn_probe(
         qrows = [(r[id_col], r[vec_col]) for r in rows]
         res = None
         for i in range(0, len(qrows), max_queries_per_trigger):
-            part = ivf_pq_knn_join(
-                batch_df.sparkSession,
-                index_path,
-                centroids,
-                codebooks,
-                emb,
-                qrows[i : i + max_queries_per_trigger],
-                k=k,
-                nprobe=nprobe,
-                shortlist=shortlist,
-                id_col=id_col,
-                vec_col=vec_col,
-                # filtered ANN passes straight through (r14): the
-                # eligibility semi-join rides each trigger's probe
-                # plan; per-query masking is untouched, so the
-                # stream≡batch equivalence (s03) holds filtered too.
-                # nprobe steering (r15) passes through the same way —
-                # the extra cells are constant across queries AND
-                # triggers, so boundaries still cannot change results
-                eligible=eligible,
-                extra_cells=extra_cells,
-            )
+            chunk = qrows[i : i + max_queries_per_trigger]
+            if tier == "sq8":
+                part = sq8_knn_join(
+                    batch_df.sparkSession.read.parquet(index_path),
+                    sq8_bounds,
+                    emb,
+                    chunk,
+                    k=k,
+                    shortlist=shortlist,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                )
+            else:
+                part = ivf_pq_knn_join(
+                    batch_df.sparkSession,
+                    index_path,
+                    centroids,
+                    codebooks,
+                    emb,
+                    chunk,
+                    k=k,
+                    nprobe=nprobe,
+                    shortlist=shortlist,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                    # filtered ANN passes straight through (r14): the
+                    # eligibility semi-join rides each trigger's probe
+                    # plan; per-query masking is untouched, so the
+                    # stream≡batch equivalence (s03) holds filtered too.
+                    # nprobe steering (r15) passes through the same way —
+                    # the extra cells are constant across queries AND
+                    # triggers, so boundaries still cannot change results
+                    eligible=eligible,
+                    extra_cells=extra_cells,
+                )
             res = part if res is None else res.unionByName(part)
         (
             res.withColumn("_batch_id", F.lit(batch_id))

@@ -544,8 +544,9 @@ def test_png_unsupported_shapes_fall_through_to_pillow(monkeypatch):
     out = multimodal._resize_any(deep, 2, 2, fake=False)
     assert out.startswith(b"P6\n2 2\n255\n")
 
-    # no codec: the stdlib refusal propagates, fake never sees a
-    # PNG-magic payload
+    # no codec + fake=False: the stdlib refusal propagates (with
+    # fake=True an unsupported-SHAPE payload reaches the stub instead
+    # — pinned in test_png_unsupported_shape_runs_fake_when_asked)
     monkeypatch.setattr(multimodal, "_codec", lambda name: None)
     with _pytest.raises(ValueError, match="8-bit"):
         multimodal._decode_any(deep, fake=False)
@@ -617,3 +618,50 @@ def test_png_malformed_payloads_raise_value_error_only():
     )
     with _pytest.raises(ValueError, match="zero dimension"):
         _png_rgb(zero)
+
+
+def test_png_unsupported_shape_runs_fake_when_asked(monkeypatch):
+    """ADVICE r15: a structurally VALID payload in a shape only an
+    optional codec handles (16-bit PNG, Adam7) is UNSUPPORTED, not
+    corrupt — with fake=True and no Pillow it falls through to the
+    deterministic stub like any codec-less format, keeping the
+    module's fake=True end-to-end promise. CORRUPT PNGs (flipped
+    IDAT byte) still never reach the fake, whatever the flag."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+    import pytest as _pytest
+
+    from parquet_pipeline_spark.operators import multimodal
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = _make_png(px)
+
+    def patched_ihdr(offset, value):
+        ihdr = bytearray(good[16:33])
+        ihdr[offset] = value
+        crc = _z.crc32(b"IHDR" + bytes(ihdr[:13])) & 0xFFFFFFFF
+        return good[:16] + bytes(ihdr[:13]) + struct.pack(">I", crc) + good[33:]
+
+    deep = patched_ihdr(8, 16)  # 16-bit depth
+    lace = patched_ihdr(12, 1)  # Adam7 interlace
+    corrupt = bytearray(good)
+    corrupt[8 + 25 + 12] ^= 0xFF  # flip a byte inside IDAT
+    corrupt = bytes(corrupt)
+
+    monkeypatch.setattr(multimodal, "_codec", lambda name: None)
+    for payload in (deep, lace):
+        assert multimodal._decode_any(payload, fake=True) == (
+            multimodal._fake_decode(payload)
+        )
+        out1 = multimodal._resize_any(payload, 3, 2, fake=True)
+        out2 = multimodal._resize_any(payload, 3, 2, fake=True)
+        assert out1 == out2 and out1.startswith(b"P6\n3 2\n255\n")
+        # fake=False keeps the honest refusal
+        with _pytest.raises(ValueError):
+            multimodal._decode_any(payload, fake=False)
+    with _pytest.raises(ValueError):
+        multimodal._decode_any(corrupt, fake=True)
+    with _pytest.raises(ValueError):
+        multimodal._resize_any(corrupt, 3, 2, fake=True)

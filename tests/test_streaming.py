@@ -1361,3 +1361,99 @@ def test_streaming_ivf_pq_append_stats_driven_compaction(spark, sf_dir, tmp_path
     b_df = spark.read.parquet(batch_idx).select(*s_df.columns)
     assert s_df.exceptAll(b_df).count() == 0
     assert b_df.exceptAll(s_df).count() == 0
+
+
+def test_streaming_sq8_probe_matches_batch(spark, sf_dir, tmp_path):
+    """VERDICT r15 item 2: the SQ8 int8 tier served through
+    streaming_knn_probe(tier='sq8') — query vectors streamed in two
+    micro-batches against the persisted codes produce exactly the
+    rows one batched sq8_knn_join of all queries produces, written
+    partitioned by _batch_id for exactly-once replay. The IVF-only
+    knobs refuse loudly on this tier."""
+    import json as _json
+    import os
+    import time as _time
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.vectors import (
+        sq8_encode,
+        sq8_knn_join,
+        sq8_train,
+    )
+    from parquet_pipeline_spark.streaming.events import streaming_knn_probe
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter("vec_id >= 4")
+    bounds = sq8_train(corpus)
+    codes_path = str(tmp_path / "codes")
+    sq8_encode(corpus, bounds).write.parquet(codes_path)
+
+    qrows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter("vec_id < 4").collect()
+    ]
+    want = sorted(
+        tuple(r)
+        for r in sq8_knn_join(
+            spark.read.parquet(codes_path), bounds, corpus, qrows,
+            k=5, shortlist=50,
+        ).collect()
+    )
+
+    src = tmp_path / "q_stream"
+    src.mkdir()
+    now = _time.time()
+    for i, chunk in enumerate((qrows[:2], qrows[2:])):
+        p = src / f"b{i}.jsonl"
+        p.write_text(
+            "\n".join(
+                _json.dumps({"vec_id": q, "embedding": v}) for q, v in chunk
+            )
+        )
+        os.utime(p, (now + i, now + i))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    dest = str(tmp_path / "res")
+    q = streaming_knn_probe(
+        stream, codes_path, None, None, corpus, dest, str(tmp_path / "ck"),
+        k=5, shortlist=50, tier="sq8", sq8_bounds=bounds,
+    )
+    assert q.awaitTermination(180)
+
+    out = spark.read.parquet(dest)
+    got = sorted(
+        tuple(r) for r in out.select("q_id", "vec_id", "score").collect()
+    )
+    assert got == want
+    # two triggers -> two _batch_id partitions (the replay unit)
+    assert out.select("_batch_id").distinct().count() == 2
+
+    # honest refusals: missing model, IVF-only knobs, unknown tier
+    stream2 = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .json(str(src))
+    )
+    with _pytest.raises(ValueError, match="sq8_bounds"):
+        streaming_knn_probe(
+            stream2, codes_path, None, None, corpus,
+            str(tmp_path / "r2"), str(tmp_path / "ck2"), tier="sq8",
+        )
+    with _pytest.raises(ValueError, match="IVF-cell"):
+        streaming_knn_probe(
+            stream2, codes_path, None, None, corpus,
+            str(tmp_path / "r3"), str(tmp_path / "ck3"), tier="sq8",
+            sq8_bounds=bounds, eligible=corpus.filter(F.col("vec_id") % 2 == 0),
+        )
+    with _pytest.raises(ValueError, match="unknown tier"):
+        streaming_knn_probe(
+            stream2, codes_path, None, None, corpus,
+            str(tmp_path / "r4"), str(tmp_path / "ck4"), tier="pq",
+        )

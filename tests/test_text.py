@@ -173,8 +173,8 @@ def test_bm25_rank_matches_duckdb_replica(spark, sf_dir):
     """BM25 (r15): the whole scoring pipeline — tokenize, tf, df,
     idf, length normalization — value-matches an independent DuckDB
     replica of the same formula at 6dp on the documents table.
-    (Gate-row registration deferred to r16 for the staleness budget,
-    the a18 precedent; this test IS the oracle meanwhile.)"""
+    (Registered as gate row t25_bm25_topk in r16; this replica stays
+    as the in-tree twin with different query terms.)"""
     import duckdb
 
     from parquet_pipeline_spark.operators.text import bm25_rank
@@ -277,3 +277,36 @@ def test_hybrid_rrf_fusion(spark, sf_dir):
     only = (set(kw_rank) | set(vec_rank)) - both
     if both and only:
         assert max(got[d] for d in both) > min(got[d] for d in only)
+
+
+def test_bm25_hot_term_cap(spark):
+    """VERDICT r15 item 6 (the LSH hot-bucket-cap precedent applied
+    to keyword search): with max_df_ratio set, a stopword-grade term
+    — one matching more than that fraction of the corpus — is
+    dropped from scoring, so it can't blow the result frame (and the
+    per-doc aggregate behind it) up to corpus size. Docs matching
+    ONLY the hot term disappear; surviving docs score as if the
+    query never contained it (classic stopword elimination). A
+    constructed corpus, because the synthetic fixture's vocabulary
+    is dense (every word sits at ~0.8 df ratio — nothing selective
+    to contrast against)."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.text import bm25_rank
+
+    # 'the' in every doc; 'quartz' in exactly 2 of 40
+    rows = [
+        (i, "the quick row " + ("quartz gem " if i < 2 else "plain ") * 3)
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = bm25_rank(docs, ["the", "quartz"])
+    assert uncapped.count() == 40  # hot term -> corpus-sized result
+    capped = bm25_rank(docs, ["the", "quartz"], max_df_ratio=0.5)
+    quartz_only = bm25_rank(docs, ["quartz"])
+    got = sorted(tuple(r) for r in capped.collect())
+    want = sorted(tuple(r) for r in quartz_only.collect())
+    assert got == want and len(got) == 2  # hot term fully eliminated
+    # default None keeps classic BM25: every matching doc scored
+    assert bm25_rank(docs, ["the"]).count() == 40

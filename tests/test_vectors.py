@@ -2021,3 +2021,114 @@ def test_sq8_kernel_and_codegen_backends_identical(spark):
             ).collect()
         )
         assert kernel == cg and len(kernel) == 30
+
+
+def test_sq8_train_survives_dirty_dimension_rows(spark):
+    """ADVICE r16 (was r15 medium): one overlong/truncated dirty row
+    in the TRAINING corpus must not widen the model past the corpus
+    dimension — the old posexplode-over-everything derived
+    len(bounds)=100 from a single 100-dim row, sq8_encode's size==d
+    guard then NULLed every clean row's codes, and probes silently
+    returned empty. Training now filters to the modal row dimension
+    (or an explicit d) first."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.vectors import (
+        sq8_encode,
+        sq8_knn_join,
+        sq8_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    clean = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 200))
+    dirty = clean.unionByName(
+        spark.createDataFrame(
+            [
+                (900001, [0.5] * 100),  # overlong
+                (900002, [0.5] * 10),   # truncated
+                (900003, None),         # null
+            ],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    d = len(clean.first()["embedding"])
+    bounds = sq8_train(dirty)
+    assert len(bounds) == d == len(sq8_train(clean))
+    # explicit-d path: identical model, no modal aggregate needed
+    assert sq8_train(dirty, d=d) == bounds
+
+    qrows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+    codes = sq8_encode(dirty, bounds)
+    got = sq8_knn_join(codes, bounds, clean, qrows, k=5).collect()
+    assert len(got) == 15  # probes return results, not silently empty
+    assert not any(r["vec_id"] >= 900001 for r in got)
+
+
+def test_ivf_pq_read_paths_never_delete_staging(spark, tmp_path):
+    """ADVICE r16 (was r15 medium): the read-path recovery in
+    ivf_pq_stats/scope_cell_mass is RESTORE-ONLY — a monitoring poll
+    concurrent with a live compaction must not rmtree the compactor's
+    in-progress '._compacting' tmp dir (the maintenance ACTIONS keep
+    full clean-up). The crashed-swap restore itself still works."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators import vectors as V
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    snap = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 200))
+    cents = V.ivf_centroids(snap, k=4)
+    books = V.pq_train(snap, m=8, k_codes=16, sample=128)
+    path = str(tmp_path / "idx.parquet")
+    V.ivf_pq_index(snap, cents, books, path)
+
+    # simulate a LIVE compaction's staging dir next to a healthy index
+    staging = path + "._compacting"
+    shutil.copytree(path, staging)
+    stats = V.ivf_pq_stats(spark, path)
+    assert stats.count() > 0
+    assert os.path.exists(staging), "stats poll deleted live staging"
+    scope = snap.select("vec_id").limit(50)
+    mass = V.scope_cell_mass(spark, path, scope)
+    assert mass.count() > 0
+    assert os.path.exists(staging), "scope poll deleted live staging"
+    shutil.rmtree(staging)
+
+    # crashed mid-swap (index parked, no staging): restore still works
+    os.rename(path, path + "._old")
+    assert V.ivf_pq_stats(spark, path).count() > 0
+    assert os.path.exists(path) and not os.path.exists(path + "._old")
+
+
+def test_ivf_centroids_rank_fallback_deterministic(spark):
+    """ADVICE r16 (was r15 low): the sparse-id fallback must pick the
+    SAME centroid ids on repeated builds of the same corpus (the
+    retrain==same-index convention) — exact-rank selection replaced
+    percentile_approx, whose G-K summary merge is partition-order
+    dependent. Also pins exactly-k delivery on a strided id space."""
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.operators.vectors import ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    # snowflake-ish sparse ids: modulus pick under-delivers -> fallback
+    sparse = emb.select(
+        (F.col("vec_id") * 977 + 13).alias("vec_id"), "embedding"
+    )
+    k = 16
+    first = ivf_centroids(sparse, k=k)
+    assert len(first) == k
+    for _ in range(2):
+        again = ivf_centroids(sparse.repartition(7), k=k)
+        assert again == first
