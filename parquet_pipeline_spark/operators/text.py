@@ -1092,15 +1092,22 @@ def bm25_rank(
         score(d) = Σ_t ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
                      · tf_td·(k1+1) / (tf_td + k1·(1 − b + b·dl_d/avgdl))
 
-    Plan shape (all codegen): one pass tokenizes (split on
-    whitespace, lowercased), the explode is FILTERED to the query's
-    terms before any aggregation — so the (doc, term) aggregate
-    carries only |q|-term rows with map-side combine — df comes from
-    a |q|-row broadcast, and dl joins back on the id. The two corpus
-    scalars (N, avgdl) are one tiny aggregate collected driver-side
-    (bounded state, the centroid convention). No UDF anywhere; at
-    100 TB this is two passes over the text bytes and a
-    query-term-bounded shuffle.
+    Plan shape (all codegen, audited in PLANS.md §t25): the explode
+    is FILTERED to the query's terms before any aggregation, and the
+    per-doc length RIDES the (doc, term) aggregate as a min() — so
+    one tokenize pass yields tf AND dl together, with map-side
+    combine on a query-term-bounded shuffle. That aggregate (rows =
+    matching doc×term pairs, 3 narrow columns) is persisted
+    MEMORY_AND_DISK — the banded_minhash convention — so the df
+    aggregate and the final score join read the cache instead of
+    re-tokenizing the corpus (unpersisted, this exact plan scanned
+    the text THREE times: Catalyst does not reuse un-materialized
+    subtrees across DataFrame branches). df becomes a |q|-row
+    broadcast. The two corpus scalars (N, avgdl) are one tiny
+    aggregate collected driver-side (bounded state, the centroid
+    convention). No UDF anywhere; at 100 TB this is exactly TWO
+    passes over the text bytes — the scalars pass and the tf+dl
+    pass — plus cache-sized work after.
 
     df-skew (VERDICT r15, the LSH hot-bucket-cap precedent applied
     to keyword search): a STOPWORD in ``query_terms`` matches nearly
@@ -1116,6 +1123,8 @@ def bm25_rank(
     broadcast join, the per-doc aggregate, and the result, which is
     where a downstream top-k actually hurts. None (default) keeps
     classic BM25 semantics."""
+    from pyspark import StorageLevel
+
     terms = sorted({t.lower() for t in query_terms if t})
     if not terms:
         raise ValueError("bm25_rank: empty query")
@@ -1126,18 +1135,27 @@ def bm25_rank(
             F.split(F.lower(F.col(text_col)), r"\s+").alias("_toks"),
         )
     )
-    dl = toks.select(id_col, F.size("_toks").alias("_dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("_dl").alias("avgdl")
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(F.size("_toks")).alias("avgdl")
     ).first()
     n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
     if not n_docs or avgdl <= 0.0:
         raise ValueError("bm25_rank: empty corpus")
     tf = (
-        toks.select(id_col, F.explode("_toks").alias("_term"))
+        toks.select(
+            id_col,
+            F.size("_toks").alias("_dl"),
+            F.explode("_toks").alias("_term"),
+        )
         .filter(F.col("_term").isin(terms))
         .groupBy(id_col, "_term")
-        .agg(F.count(F.lit(1)).alias("_tf"))
+        .agg(
+            F.count(F.lit(1)).alias("_tf"),
+            # _dl is constant per doc; min() carries it through the
+            # aggregate so no separate dl scan/join is needed
+            F.min("_dl").alias("_dl"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dfreq = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
     if max_df_ratio is not None:
@@ -1151,7 +1169,6 @@ def bm25_rank(
     denom = F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / avgdl)
     return (
         tf.join(F.broadcast(dfreq), "_term")
-        .join(dl, id_col)
         .withColumn("_contrib", idf * F.col("_tf") * (k1 + 1.0) / denom)
         .groupBy(id_col)
         .agg(F.round(F.sum("_contrib"), 6).alias("score_bm25"))

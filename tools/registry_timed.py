@@ -63,6 +63,12 @@ DEFAULT_NAMES = [
     "s02_streaming_batch_equivalence",
     "s03_streaming_knn_equivalence",
     "s04_streaming_index_append_equivalence",
+    # r16: hybrid retrieval (BM25 keyword + RRF fusion) and the SQ8
+    # streaming tier — t25's median prices the two-pass text plan
+    # (PLANS.md §t25); v09 composes it with the vector top-k + fuse
+    "t25_bm25_topk",
+    "v09_hybrid_rrf",
+    "s05_streaming_sq8_equivalence",
 ]
 
 
