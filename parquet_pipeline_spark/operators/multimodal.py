@@ -22,7 +22,8 @@ can be exercised end-to-end regardless.
 Dirty-cell policy vs fake: CORRUPT payloads (bad CRC, truncated
 stream, wrong length) always fail loudly — they never reach the fake,
 whatever the flag. A structurally VALID payload in a shape only an
-optional codec can handle (16-bit PNG, Adam7 interlace) is raised as
+optional codec can handle (since r16 that means only sub-byte-depth
+PNGs — 16-bit and Adam7 decode stdlib-real now) is raised as
 ``UnsupportedMediaError`` and, with ``fake=True`` and no Pillow,
 falls through to the deterministic fake like any other
 codec-less format (ADVICE r15) — so fake=True keeps its end-to-end
@@ -43,7 +44,7 @@ from pyspark.sql import types as T
 
 class UnsupportedMediaError(ValueError):
     """A structurally VALID payload in a shape the stdlib codecs
-    refuse (16-bit PNG, Adam7 interlace) — distinct from corruption
+    refuse (sub-byte-depth PNG: 1/2/4-bit) — distinct from corruption
     so the fake=True path can still exercise the pipeline end-to-end
     for it, while corrupt payloads keep failing loudly. Subclasses
     ValueError so every existing dirty-cell handler still catches
@@ -129,6 +130,77 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, int, list[float]]:
     return width, height, 1, feature
 
 
+# the Adam7 lattice: per-pass (x0, y0, dx, dy) from the PNG spec —
+# together the 7 passes tile every pixel of the 8×8 unit exactly once
+_ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, off: int, w: int, h: int, bpp: int):
+    """Undo the five per-scanline PNG filters over ``h`` rows of
+    ``w``-pixel scanlines starting at byte ``off`` (each row is one
+    filter byte + w·bpp data bytes); returns an (h, w·bpp) uint8
+    array. ``bpp`` is the FILTER bytes-per-pixel (channels × bytes
+    per sample), which is what Sub/Average/Paeth recur over.
+
+    Sub/Average/Paeth are sequential along the row, but never per
+    BYTE: Sub is a per-lane running sum (one cumsum per byte lane),
+    Average/Paeth recur per PIXEL over bpp-wide numpy slices — a 4K
+    RGB row is ~3840 slice ops, not ~11.5k interpreted iterations
+    (code review r15: per-byte loops made large-image decode a
+    hot-path CPU sink)."""
+    import numpy as np
+
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        f = raw[off + r * (stride + 1)]
+        cur = np.frombuffer(
+            raw, np.uint8, stride, off + r * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == 0:
+            pass
+        elif f == 1:  # Sub: out[k] = raw[k] + out[k-bpp] ⇒ lane cumsum
+            for lane in range(bpp):
+                cur[lane::bpp] = (
+                    np.cumsum(cur[lane::bpp], dtype=np.int64) & 255
+                )
+        elif f == 2:  # Up: vectorized over the previous row
+            cur = (cur + prev) & 255
+        elif f == 3:  # Average: per-pixel over bpp-wide slices
+            cur[:bpp] = (cur[:bpp] + prev[:bpp] // 2) & 255
+            for px in range(bpp, stride, bpp):
+                cur[px : px + bpp] = (
+                    cur[px : px + bpp]
+                    + (cur[px - bpp : px] + prev[px : px + bpp]) // 2
+                ) & 255
+        elif f == 4:  # Paeth: per-pixel over bpp-wide slices
+            cur[:bpp] = (cur[:bpp] + prev[:bpp]) & 255  # a=c=0 ⇒ pred=b
+            for px in range(bpp, stride, bpp):
+                a = cur[px - bpp : px]
+                b = prev[px : px + bpp]
+                c = prev[px - bpp : px]
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                )
+                cur[px : px + bpp] = (cur[px : px + bpp] + pred) & 255
+        else:
+            raise ValueError(f"unknown PNG filter {f} on row {r}")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
 def _png_rgb(payload: bytes):
     """Real PNG decode to an (h, w, 3) uint8 RGB array — pure stdlib
     ``zlib`` + ``struct`` + numpy, no codec library (r15, VERDICT r14
@@ -136,12 +208,14 @@ def _png_rgb(payload: bytes):
     with public knowledge — inflate the IDAT stream, undo the five
     per-scanline filters, map the color type to RGB).
 
-    Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 3
-    (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced — the shapes
-    the vast majority of real PNGs use. 16-bit and Adam7 raise loudly
-    (the _decode_ppm maxval policy: never silently mis-read samples).
-    Chunk CRCs are VERIFIED — a corrupt payload fails the row like
-    any other dirty cell, it never decodes to plausible garbage."""
+    Supported: 8- and 16-bit depths (16-bit samples big-endian,
+    rescaled round(v·255/65535)), color types 0 (gray), 2 (RGB), 3
+    (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced AND Adam7
+    interlaced (r16) — everything but sub-byte depths (1/2/4-bit),
+    which raise UnsupportedMediaError (the _decode_ppm maxval
+    policy: never silently mis-read samples). Chunk CRCs are
+    VERIFIED — a corrupt payload fails the row like any other dirty
+    cell, it never decodes to plausible garbage."""
     import struct
     import zlib
 
@@ -186,17 +260,22 @@ def _png_rgb(payload: bytes):
         # structurally valid but pixel-less: means/stds would emit
         # NaN features — silent garbage; fail the row loudly instead
         raise ValueError(f"PNG with zero dimension ({w}×{h})")
-    if depth != 8:
+    if depth not in (8, 16):
+        # sub-byte depths (1/2/4-bit) need bit unpacking the stdlib
+        # path doesn't implement — valid PNG, unsupported shape
         raise UnsupportedMediaError(
-            f"only 8-bit PNG supported, got depth={depth}"
+            f"only 8/16-bit PNG supported, got depth={depth}"
         )
-    if interlace:
-        raise UnsupportedMediaError("Adam7 interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     if comp or fmethod:
         raise ValueError("invalid PNG compression/filter method")
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if nch is None:
         raise ValueError(f"unknown PNG color type {ctype}")
+    if ctype == 3 and depth == 16:
+        # the spec restricts palette indices to 1/2/4/8 bits
+        raise ValueError("palette PNG cannot be 16-bit")
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
@@ -205,56 +284,42 @@ def _png_rgb(payload: bytes):
         # without this the dirty-cell contract (and the Pillow
         # fall-through) is bypassed
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
-    stride = w * nch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG pixel data length mismatch")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    bpp = nch  # bytes per pixel at 8-bit depth
-    for r in range(h):
-        f = raw[r * (stride + 1)]
-        cur = np.frombuffer(
-            raw, np.uint8, stride, r * (stride + 1) + 1
-        ).astype(np.int32)
-        # Sub/Average/Paeth are sequential along the row, but never
-        # per BYTE: Sub is a per-lane running sum (one cumsum per
-        # byte lane), Average/Paeth recur per PIXEL over bpp-wide
-        # numpy slices — a 4K RGB row is ~3840 slice ops, not ~11.5k
-        # interpreted iterations (code review r15: per-byte loops
-        # made large-image decode a hot-path CPU sink).
-        if f == 0:
-            pass
-        elif f == 1:  # Sub: out[k] = raw[k] + out[k-bpp] ⇒ lane cumsum
-            for lane in range(bpp):
-                cur[lane::bpp] = (
-                    np.cumsum(cur[lane::bpp], dtype=np.int64) & 255
-                )
-        elif f == 2:  # Up: vectorized over the previous row
-            cur = (cur + prev) & 255
-        elif f == 3:  # Average: per-pixel over bpp-wide slices
-            cur[:bpp] = (cur[:bpp] + prev[:bpp] // 2) & 255
-            for px in range(bpp, stride, bpp):
-                cur[px : px + bpp] = (
-                    cur[px : px + bpp]
-                    + (cur[px - bpp : px] + prev[px : px + bpp]) // 2
-                ) & 255
-        elif f == 4:  # Paeth: per-pixel over bpp-wide slices
-            cur[:bpp] = (cur[:bpp] + prev[:bpp]) & 255  # a=c=0 ⇒ pred=b
-            for px in range(bpp, stride, bpp):
-                a = cur[px - bpp : px]
-                b = prev[px : px + bpp]
-                c = prev[px - bpp : px]
-                p = a + b - c
-                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-                pred = np.where(
-                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
-                )
-                cur[px : px + bpp] = (cur[px : px + bpp] + pred) & 255
-        else:
-            raise ValueError(f"unknown PNG filter {f} on row {r}")
-        out[r] = cur.astype(np.uint8)
-        prev = cur
-    px = out.reshape(h, w, nch)
+    bpp = nch * (depth // 8)  # filter bytes-per-pixel
+    if interlace == 0:
+        stride = w * bpp
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG pixel data length mismatch")
+        out = _png_unfilter(raw, 0, w, h, bpp)
+    else:
+        # Adam7 (r16, closing the last honest refusal a stdlib can
+        # close): the IDAT stream is 7 independently-filtered
+        # sub-images at the spec's (x0, y0, dx, dy) lattice; each
+        # pass unfilters at its own width, then scatters into the
+        # full frame with strided fancy indexing.
+        out = np.zeros((h, w * bpp), dtype=np.uint8)
+        full = out.reshape(h, w, bpp)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            need = ph * (pw * bpp + 1)
+            if off + need > len(raw):
+                raise ValueError("PNG pixel data length mismatch")
+            sub = _png_unfilter(raw, off, pw, ph, bpp)
+            off += need
+            full[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+        if off != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+    sampled = out.reshape(h, w, nch, depth // 8)
+    if depth == 16:
+        # big-endian 16-bit samples → 8-bit by round(v·255/65535)
+        # (= v/257, exact scale), matching the 8-bit feature contract
+        v16 = (sampled[..., 0].astype(np.uint16) << 8) | sampled[..., 1]
+        px = np.rint(v16.astype(np.float64) / 257.0).astype(np.uint8)
+    else:
+        px = sampled[..., 0]
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
@@ -400,14 +465,14 @@ def _decode_any(payload: bytes, fake: bool) -> tuple[int, int, int, list[float]]
     if payload.startswith(b"P6"):
         return _decode_ppm(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        # stdlib-real since r15. The shapes the stdlib path refuses
-        # (16-bit, Adam7) fall through to Pillow when it is installed
-        # — a deployment with codecs must not LOSE decodes to the
-        # stdlib path's narrower support; with no Pillow, an
-        # UNSUPPORTED-shape payload behaves like any codec-less
-        # format (fake=True runs the stub, ADVICE r15) while a
-        # CORRUPT payload's refusal always propagates — corruption
-        # never reaches the fake.
+        # stdlib-real since r15 (8-bit), r16 (16-bit + Adam7). The
+        # shapes the stdlib path still refuses (sub-byte depths)
+        # fall through to Pillow when it is installed — a deployment
+        # with codecs must not LOSE decodes to the stdlib path's
+        # narrower support; with no Pillow, an UNSUPPORTED-shape
+        # payload behaves like any codec-less format (fake=True runs
+        # the stub, ADVICE r15) while a CORRUPT payload's refusal
+        # always propagates — corruption never reaches the fake.
         try:
             return _decode_png(payload)
         except UnsupportedMediaError:

@@ -437,8 +437,9 @@ def test_png_color_types_map_to_rgb():
 
 def test_png_corrupt_and_unsupported_raise():
     """The dirty-cell policy applied to PNG: corrupt or unsupported
-    payloads FAIL loudly — a flipped CRC, a truncated stream, 16-bit
-    depth, and Adam7 interlace each raise instead of decoding to
+    payloads FAIL loudly — a flipped CRC, a truncated stream,
+    sub-byte depth (4-bit), and an interlace flag whose pixel data
+    doesn't match the Adam7 layout each raise instead of decoding to
     plausible garbage (and never fall through to the fake)."""
     import struct
 
@@ -461,21 +462,24 @@ def test_png_corrupt_and_unsupported_raise():
     with _pytest.raises(ValueError, match="truncated|missing"):
         _png_rgb(good[:40])
 
-    # 16-bit depth: patch IHDR (depth byte at offset 8+8+8) + its CRC
+    # 4-bit depth: patch IHDR (depth byte at offset 8+8+8) + its CRC
+    # (16-bit decodes for real since r16 — sub-byte stays unsupported)
     import zlib as _z
 
     ihdr = bytearray(good[16:33])  # 13-byte IHDR data + 4-byte CRC
-    ihdr[8] = 16
+    ihdr[8] = 4
     crc = _z.crc32(b"IHDR" + bytes(ihdr[:13])) & 0xFFFFFFFF
     deep = good[:16] + bytes(ihdr[:13]) + struct.pack(">I", crc) + good[33:]
-    with _pytest.raises(ValueError, match="8-bit"):
+    with _pytest.raises(ValueError, match="8/16-bit"):
         _png_rgb(deep)
 
+    # interlace FLAG flipped on a sequentially-laid-out body: the
+    # Adam7 pass lengths no longer add up — corrupt, not unsupported
     ihdr = bytearray(good[16:33])
     ihdr[12] = 1  # interlace
     crc = _z.crc32(b"IHDR" + bytes(ihdr[:13])) & 0xFFFFFFFF
     lace = good[:16] + bytes(ihdr[:13]) + struct.pack(">I", crc) + good[33:]
-    with _pytest.raises(ValueError, match="interlace"):
+    with _pytest.raises(ValueError, match="mismatch"):
         _png_rgb(lace)
 
 
@@ -506,9 +510,10 @@ def test_resize_png_real_distributed(spark):
 
 def test_png_unsupported_shapes_fall_through_to_pillow(monkeypatch):
     """A deployment WITH Pillow must not lose decodes to the stdlib
-    PNG path's narrower support: 16-bit depth falls through to the
-    codec seam; with no codec the stdlib refusal propagates (never
-    the fake)."""
+    PNG path's narrower support: sub-byte depth (4-bit — the one
+    shape left unsupported after r16's 16-bit/Adam7 decoders) falls
+    through to the codec seam; with no codec the stdlib refusal
+    propagates on fake=False (never the fake)."""
     import struct
     import zlib as _z
 
@@ -520,7 +525,7 @@ def test_png_unsupported_shapes_fall_through_to_pillow(monkeypatch):
     px = np.zeros((4, 4, 3), dtype=np.uint8)
     good = _make_png(px)
     ihdr = bytearray(good[16:33])
-    ihdr[8] = 16  # depth: stdlib refuses
+    ihdr[8] = 4  # sub-byte depth: stdlib refuses
     crc = _z.crc32(b"IHDR" + bytes(ihdr[:13])) & 0xFFFFFFFF
     deep = good[:16] + bytes(ihdr[:13]) + struct.pack(">I", crc) + good[33:]
 
@@ -548,9 +553,9 @@ def test_png_unsupported_shapes_fall_through_to_pillow(monkeypatch):
     # fake=True an unsupported-SHAPE payload reaches the stub instead
     # — pinned in test_png_unsupported_shape_runs_fake_when_asked)
     monkeypatch.setattr(multimodal, "_codec", lambda name: None)
-    with _pytest.raises(ValueError, match="8-bit"):
+    with _pytest.raises(ValueError, match="8/16-bit"):
         multimodal._decode_any(deep, fake=False)
-    with _pytest.raises(ValueError, match="8-bit"):
+    with _pytest.raises(ValueError, match="8/16-bit"):
         multimodal._resize_any(deep, 2, 2, fake=False)
     # a WELL-FORMED 8-bit PNG still decodes stdlib-real, codec-free
     assert multimodal._decode_any(good, fake=False)[:2] == (4, 4)
@@ -622,11 +627,12 @@ def test_png_malformed_payloads_raise_value_error_only():
 
 def test_png_unsupported_shape_runs_fake_when_asked(monkeypatch):
     """ADVICE r15: a structurally VALID payload in a shape only an
-    optional codec handles (16-bit PNG, Adam7) is UNSUPPORTED, not
-    corrupt — with fake=True and no Pillow it falls through to the
-    deterministic stub like any codec-less format, keeping the
-    module's fake=True end-to-end promise. CORRUPT PNGs (flipped
-    IDAT byte) still never reach the fake, whatever the flag."""
+    optional codec handles (sub-byte-depth PNG since r16) is
+    UNSUPPORTED, not corrupt — with fake=True and no Pillow it falls
+    through to the deterministic stub like any codec-less format,
+    keeping the module's fake=True end-to-end promise. CORRUPT PNGs
+    (flipped IDAT byte) still never reach the fake, whatever the
+    flag."""
     import struct
     import zlib as _z
 
@@ -644,24 +650,159 @@ def test_png_unsupported_shape_runs_fake_when_asked(monkeypatch):
         crc = _z.crc32(b"IHDR" + bytes(ihdr[:13])) & 0xFFFFFFFF
         return good[:16] + bytes(ihdr[:13]) + struct.pack(">I", crc) + good[33:]
 
-    deep = patched_ihdr(8, 16)  # 16-bit depth
-    lace = patched_ihdr(12, 1)  # Adam7 interlace
+    shallow = patched_ihdr(8, 4)  # 4-bit depth: valid, unsupported
     corrupt = bytearray(good)
     corrupt[8 + 25 + 12] ^= 0xFF  # flip a byte inside IDAT
     corrupt = bytes(corrupt)
 
     monkeypatch.setattr(multimodal, "_codec", lambda name: None)
-    for payload in (deep, lace):
-        assert multimodal._decode_any(payload, fake=True) == (
-            multimodal._fake_decode(payload)
-        )
-        out1 = multimodal._resize_any(payload, 3, 2, fake=True)
-        out2 = multimodal._resize_any(payload, 3, 2, fake=True)
-        assert out1 == out2 and out1.startswith(b"P6\n3 2\n255\n")
-        # fake=False keeps the honest refusal
-        with _pytest.raises(ValueError):
-            multimodal._decode_any(payload, fake=False)
+    assert multimodal._decode_any(shallow, fake=True) == (
+        multimodal._fake_decode(shallow)
+    )
+    out1 = multimodal._resize_any(shallow, 3, 2, fake=True)
+    out2 = multimodal._resize_any(shallow, 3, 2, fake=True)
+    assert out1 == out2 and out1.startswith(b"P6\n3 2\n255\n")
+    # fake=False keeps the honest refusal
+    with _pytest.raises(ValueError):
+        multimodal._decode_any(shallow, fake=False)
     with _pytest.raises(ValueError):
         multimodal._decode_any(corrupt, fake=True)
     with _pytest.raises(ValueError):
         multimodal._resize_any(corrupt, 3, 2, fake=True)
+
+
+def _png_adv(px, depth=8, interlace=0, color_type=2, filters=(0, 1, 2, 3, 4)):
+    """Extended test encoder (twin of _make_png): 8- OR 16-bit
+    samples, optional Adam7 interlacing. 16-bit samples are the
+    8-bit values ×257 big-endian (so the decoder's round(v/257)
+    must recover them exactly); Adam7 writes the 7 spec passes, each
+    filtered independently at its own width."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = px.shape
+    bpp = c * (depth // 8)
+
+    def row_bytes(sub):
+        # (ph, pw, c) uint8 -> list of (pw*bpp,) uint8 byte rows
+        if depth == 8:
+            return [sub[r].reshape(-1) for r in range(sub.shape[0])]
+        v16 = sub.astype(np.uint16) * 257
+        be = np.stack(
+            [(v16 >> 8).astype(np.uint8), (v16 & 255).astype(np.uint8)],
+            axis=-1,
+        )
+        return [be[r].reshape(-1) for r in range(sub.shape[0])]
+
+    def filt_stream(sub):
+        rows = row_bytes(sub)
+        out = b""
+        prev = np.zeros(rows[0].size, np.int32)
+        for r, rb in enumerate(rows):
+            row = rb.astype(np.int32)
+            f = filters[r % len(filters)]
+            left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+            if f == 0:
+                filt = row
+            elif f == 1:
+                filt = (row - left) % 256
+            elif f == 2:
+                filt = (row - prev) % 256
+            elif f == 3:
+                filt = (row - (left + prev) // 2) % 256
+            else:  # Paeth
+                p = left + prev - ul
+                pa, pb, pc = (
+                    np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+                )
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc),
+                    left,
+                    np.where(pb <= pc, prev, ul),
+                )
+                filt = (row - pred) % 256
+            out += bytes([f]) + filt.astype(np.uint8).tobytes()
+            prev = row
+        return out
+
+    if interlace == 0:
+        raw = filt_stream(px)
+    else:
+        # the Adam7 lattice from the PNG spec (inlined — independent
+        # of the decoder's table)
+        passes = (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        )
+        raw = b""
+        for x0, y0, dx, dy in passes:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raw += filt_stream(sub)
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_16bit_decodes_real():
+    """16-bit PNG decodes stdlib-real (r16, closing the r15 honest
+    refusal): big-endian 16-bit samples, all five filters at the
+    doubled bytes-per-pixel, rescaled round(v·255/65535) — byte-exact
+    against the 8-bit twin of the same pixels."""
+    import numpy as np
+
+    from parquet_pipeline_spark.operators.multimodal import _decode_png
+
+    rs = np.random.RandomState(7)
+    px = rs.randint(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    assert _decode_png(_png_adv(px, depth=16)) == _decode_png(
+        _png_adv(px, depth=8)
+    )
+    # grayscale 16-bit too (bpp=2)
+    g = rs.randint(0, 256, size=(5, 6, 1), dtype=np.uint8)
+    assert _decode_png(_png_adv(g, depth=16, color_type=0)) == _decode_png(
+        _png_adv(g, depth=8, color_type=0)
+    )
+
+
+def test_png_adam7_decodes_real():
+    """Adam7-interlaced PNG decodes stdlib-real (r16): 7
+    independently-filtered passes scattered back on the spec lattice
+    — byte-exact against the sequential twin, at dimensions that
+    exercise empty and partial passes (including < 8 px sides), and
+    composed with 16-bit depth."""
+    import numpy as np
+
+    from parquet_pipeline_spark.operators.multimodal import _decode_png
+
+    rs = np.random.RandomState(11)
+    for shape in ((10, 13, 3), (4, 4, 3), (3, 2, 3), (1, 1, 3), (16, 8, 3)):
+        px = rs.randint(0, 256, size=shape, dtype=np.uint8)
+        assert _decode_png(_png_adv(px, interlace=1)) == _decode_png(
+            _png_adv(px, interlace=0)
+        ), f"adam7 mismatch at {shape}"
+    # interlace × 16-bit, and an RGBA frame (bpp=8)
+    px = rs.randint(0, 256, size=(7, 9, 3), dtype=np.uint8)
+    assert _decode_png(_png_adv(px, depth=16, interlace=1)) == _decode_png(
+        _png_adv(px, depth=8, interlace=0)
+    )
+    rgba = rs.randint(0, 256, size=(6, 5, 4), dtype=np.uint8)
+    assert _decode_png(
+        _png_adv(rgba, depth=16, interlace=1, color_type=6)
+    ) == _decode_png(_png_adv(rgba, depth=8, interlace=0, color_type=6))
