@@ -10,20 +10,21 @@ The Spark-side plumbing (schema, partitioning, Arrow batch shape,
 UDF signatures) is real and tested. Decode kernels: formats with a
 stdlib-only parse are decoded FOR REAL — PPM (P6) images via header
 parse + numpy pixel stats, PNG via stdlib zlib inflate + scanline
-unfilter (r15), WAV audio via the ``wave`` module + numpy RMS
-bands. Other formats use OPTIONAL codecs detected at runtime —
-Pillow for images, soundfile for audio (neither is in this
-container, but a deployment with them installed gets real
-JPEG/FLAC decodes through the same kernels); absent those, they
-raise NotImplementedError by default, or run a deterministic fake
-(payload-hash-seeded) with ``fake=True`` so the distributed pipeline
-can be exercised end-to-end regardless.
+unfilter (r15; 16-bit + Adam7 r16), baseline JPEG via stdlib marker
+parse + huffman entropy decode + numpy IDCT (r16), WAV audio via
+the ``wave`` module + numpy RMS bands. Other formats use OPTIONAL
+codecs detected at runtime — Pillow for images, soundfile for audio
+(neither is in this container, but a deployment with them installed
+gets real progressive-JPEG/GIF/FLAC decodes through the same
+kernels); absent those, they raise NotImplementedError by default,
+or run a deterministic fake (payload-hash-seeded) with ``fake=True``
+so the distributed pipeline can be exercised end-to-end regardless.
 
 Dirty-cell policy vs fake: CORRUPT payloads (bad CRC, truncated
 stream, wrong length) always fail loudly — they never reach the fake,
 whatever the flag. A structurally VALID payload in a shape only an
-optional codec can handle (since r16 that means only sub-byte-depth
-PNGs — 16-bit and Adam7 decode stdlib-real now) is raised as
+optional codec can handle (after r16 that means sub-byte-depth PNGs
+and progressive/arithmetic/12-bit JPEGs) is raised as
 ``UnsupportedMediaError`` and, with ``fake=True`` and no Pillow,
 falls through to the deterministic fake like any other
 codec-less format (ADVICE r15) — so fake=True keeps its end-to-end
@@ -44,11 +45,11 @@ from pyspark.sql import types as T
 
 class UnsupportedMediaError(ValueError):
     """A structurally VALID payload in a shape the stdlib codecs
-    refuse (sub-byte-depth PNG: 1/2/4-bit) — distinct from corruption
-    so the fake=True path can still exercise the pipeline end-to-end
-    for it, while corrupt payloads keep failing loudly. Subclasses
-    ValueError so every existing dirty-cell handler still catches
-    it."""
+    refuse (sub-byte-depth PNG; progressive/arithmetic/12-bit JPEG)
+    — distinct from corruption so the fake=True path can still
+    exercise the pipeline end-to-end for it, while corrupt payloads
+    keep failing loudly. Subclasses ValueError so every existing
+    dirty-cell handler still catches it."""
 
 
 MEDIA_META = T.StructType(
@@ -381,6 +382,338 @@ def _decode_wav(payload: bytes) -> tuple[int, int, int, list[float]]:
     return channels, rate // 1000, n, feature
 
 
+# zigzag scan order: _JPEG_ZIGZAG[k] = natural-order index of the
+# k-th zigzag coefficient (shared by the test encoder twin)
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+def _jpeg_idct_matrix():
+    """The 8-point DCT-II basis matrix M (M[u, x] = c_u/2 ·
+    cos((2x+1)uπ/16)); spatial = Mᵀ·coef·M."""
+    import math
+
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return m
+
+
+class _JpegBits:
+    """MSB-first bit reader over one entropy-coded interval (byte
+    unstuffing already applied). Running off the end raises
+    ValueError — a truncated scan is corruption, not EOF."""
+
+    def __init__(self, buf: bytes):
+        import numpy as np
+
+        self.bits = np.unpackbits(np.frombuffer(buf, np.uint8))
+        self.pos = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.bits):
+            raise ValueError("truncated JPEG entropy stream")
+        b = int(self.bits[self.pos])
+        self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_code(self, table: dict) -> int:
+        code, length = 0, 0
+        while length < 17:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            hit = table.get((length, code))
+            if hit is not None:
+                return hit
+        raise ValueError("invalid JPEG huffman code")
+
+
+def _jpeg_huffman(counts, vals) -> dict:
+    """Canonical JPEG huffman table (T.81 Annex C): {(length, code):
+    value}. ``counts[i]`` codes of length i+1, values in order."""
+    table: dict = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            if k >= len(vals):
+                raise ValueError("JPEG huffman counts/values mismatch")
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 EXTEND: an s-bit magnitude with a 0 leading bit encodes a
+    negative coefficient."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _jpeg_rgb(payload: bytes):
+    """Real baseline JPEG decode to (h, w, 3) uint8 RGB — pure stdlib
+    ``struct`` + numpy, no codec library (r16, closing the last
+    honest-NotImplementedError: the ITU T.81 spec is public — marker
+    parse, canonical huffman entropy decode with byte unstuffing and
+    restart intervals, dequant + dezigzag, 8×8 IDCT as two matrix
+    products, chroma upsample, YCbCr→RGB).
+
+    Supported: baseline/extended-sequential huffman DCT (SOF0/SOF1),
+    8-bit precision, 1 or 3 components, any h/v sampling factors
+    ≤ 4 (4:4:4, 4:2:2, 4:2:0, ...), restart intervals. Progressive
+    (SOF2), hierarchical, arithmetic coding, and 12-bit raise
+    UnsupportedMediaError (valid JPEG, shape only an optional codec
+    handles — the sub-byte-PNG policy); malformed structure raises
+    ValueError like every other dirty cell."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qt: dict = {}
+    huff: dict = {}
+    comps: list | None = None
+    w = h = None
+    ri = 0
+    scan = None
+    i = 2
+    while i + 1 < len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        m = payload[i + 1]
+        i += 2
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            continue
+        if m == 0xD9:  # EOI
+            break
+        if i + 2 > len(payload):
+            raise ValueError("truncated JPEG segment")
+        (ln,) = struct.unpack(">H", payload[i : i + 2])
+        seg = payload[i + 2 : i + ln]
+        if ln < 2 or len(seg) != ln - 2:
+            raise ValueError("truncated JPEG segment")
+        if m == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                j += 1
+                if pq:
+                    raise UnsupportedMediaError(
+                        "16-bit JPEG quantization tables not supported"
+                    )
+                if j + 64 > len(seg):
+                    raise ValueError("truncated JPEG DQT")
+                qt[tq] = np.frombuffer(seg[j : j + 64], np.uint8).astype(
+                    np.int32
+                )
+                j += 64
+        elif m == 0xC4:  # DHT
+            j = 0
+            while j + 17 <= len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                counts = list(seg[j + 1 : j + 17])
+                total = sum(counts)
+                vals = list(seg[j + 17 : j + 17 + total])
+                if len(vals) != total:
+                    raise ValueError("truncated JPEG DHT")
+                huff[(tc, th)] = _jpeg_huffman(counts, vals)
+                j += 17 + total
+        elif m in (0xC0, 0xC1):  # SOF0/SOF1: sequential huffman DCT
+            if seg[0] != 8:
+                raise UnsupportedMediaError(
+                    f"only 8-bit JPEG supported, got precision={seg[0]}"
+                )
+            h, w = struct.unpack(">HH", seg[1:5])
+            if not h or not w:
+                raise ValueError("JPEG with zero dimension")
+            n = seg[5]
+            if n not in (1, 3):
+                raise UnsupportedMediaError(
+                    f"only 1- or 3-component JPEG supported, got {n}"
+                )
+            comps = []
+            for c in range(n):
+                hv = seg[7 + 3 * c]
+                comps.append(
+                    {
+                        "id": seg[6 + 3 * c],
+                        "h": hv >> 4,
+                        "v": hv & 15,
+                        "tq": seg[8 + 3 * c],
+                    }
+                )
+            if any(
+                not 1 <= c["h"] <= 4 or not 1 <= c["v"] <= 4 for c in comps
+            ):
+                raise ValueError("invalid JPEG sampling factors")
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise UnsupportedMediaError(
+                "progressive/hierarchical JPEG not supported"
+            )
+        elif m in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise UnsupportedMediaError(
+                "arithmetic-coded JPEG not supported"
+            )
+        elif m == 0xDD:  # DRI
+            (ri,) = struct.unpack(">H", seg[:2])
+        elif m == 0xDA:  # SOS: scan header, then the entropy stream
+            if comps is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            sel = []
+            for c in range(ns):
+                cs = seg[1 + 2 * c]
+                tt = seg[2 + 2 * c]
+                match = [cc for cc in comps if cc["id"] == cs]
+                if not match:
+                    raise ValueError("JPEG scan references unknown component")
+                sel.append((match[0], tt >> 4, tt & 15))
+            j = i + ln
+            start = j
+            while j + 1 < len(payload):
+                if payload[j] == 0xFF and payload[j + 1] != 0x00 and not (
+                    0xD0 <= payload[j + 1] <= 0xD7
+                ):
+                    break
+                j += 1
+            scan = (sel, payload[start:j])
+            i = j
+            continue
+        # APPn/COM/other: skipped
+        i += ln
+    if comps is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    sel, ecs = scan
+
+    # split the entropy stream on restart markers, unstuff FF00
+    intervals = []
+    cur = bytearray()
+    j = 0
+    while j < len(ecs):
+        b = ecs[j]
+        if b == 0xFF and j + 1 < len(ecs):
+            nxt = ecs[j + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                j += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                intervals.append(bytes(cur))
+                cur = bytearray()
+                j += 2
+                continue
+        cur.append(b)
+        j += 1
+    intervals.append(bytes(cur))
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    n_mcu = mcux * mcuy
+    idct = _jpeg_idct_matrix()
+    zz = np.array(_JPEG_ZIGZAG)
+    planes = {
+        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
+        for c in comps
+    }
+    preds = {c["id"]: 0 for c in comps}
+    per_interval = ri if ri else n_mcu
+    mcu = 0
+    for interval in intervals:
+        if mcu >= n_mcu:
+            break
+        bits = _JpegBits(interval)
+        preds = {c["id"]: 0 for c in comps}  # restart resets DC preds
+        for _ in range(min(per_interval, n_mcu - mcu)):
+            my, mx = divmod(mcu, mcux)
+            for comp, td, ta in sel:
+                cid = comp["id"]
+                q = qt.get(comp["tq"])
+                dct_ = huff.get((0, td))
+                act = huff.get((1, ta))
+                if q is None or dct_ is None or act is None:
+                    raise ValueError("JPEG scan missing tables")
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        s = bits.read_code(dct_)
+                        if s > 11:
+                            raise ValueError("invalid JPEG DC magnitude")
+                        diff = _jpeg_extend(bits.read_bits(s), s)
+                        preds[cid] += diff
+                        coef = np.zeros(64, np.int32)
+                        coef[0] = preds[cid]
+                        k = 1
+                        while k < 64:
+                            rs = bits.read_code(act)
+                            r, sz = rs >> 4, rs & 15
+                            if sz == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            coef[k] = _jpeg_extend(bits.read_bits(sz), sz)
+                            k += 1
+                        block = np.zeros(64)
+                        block[zz] = coef * q  # dequant + dezigzag
+                        spatial = idct.T @ block.reshape(8, 8) @ idct
+                        y0 = (my * comp["v"] + by) * 8
+                        x0 = (mx * comp["h"] + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = spatial
+            mcu += 1
+    if mcu < n_mcu:
+        raise ValueError("JPEG entropy stream ended before the last MCU")
+
+    def full(comp):
+        p = planes[comp["id"]] + 128.0
+        p = np.repeat(p, vmax // comp["v"], axis=0)
+        p = np.repeat(p, hmax // comp["h"], axis=1)
+        return p[:h, :w]
+
+    if len(comps) == 1:
+        y = np.clip(np.rint(full(comps[0])), 0, 255).astype(np.uint8)
+        return int(w), int(h), np.repeat(y[..., None], 3, axis=2)
+    y, cb, cr = (full(c) for c in comps)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return int(w), int(h), np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_jpeg(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Real JPEG decode (see ``_jpeg_rgb``) to the shared image
+    decode contract: (width, height, 1, per-channel mean+std) —
+    identical shape to ``_decode_ppm``/``_decode_png``."""
+    import numpy as np
+
+    w, h, rgb = _jpeg_rgb(payload)
+    flat = rgb.reshape(-1, 3).astype(np.float64) / 255.0
+    feature = [float(x) for x in flat.mean(axis=0)] + [
+        float(x) for x in flat.std(axis=0)
+    ]
+    return int(w), int(h), 1, feature
+
+
 def _codec(name: str):
     """Runtime-optional codec import (VERDICT r7 item 7): pillow /
     soundfile are NOT in this container, but a user running the
@@ -475,6 +808,26 @@ def _decode_any(payload: bytes, fake: bool) -> tuple[int, int, int, list[float]]
         # always propagates — corruption never reaches the fake.
         try:
             return _decode_png(payload)
+        except UnsupportedMediaError:
+            decoded = _decode_pillow(payload)
+            if decoded is not None:
+                return decoded
+            if fake:
+                return _fake_decode(payload)
+            raise
+        except ValueError:
+            decoded = _decode_pillow(payload)
+            if decoded is not None:
+                return decoded
+            raise
+    if payload[:3] == b"\xff\xd8\xff":
+        # stdlib-real since r16 (baseline/sequential huffman). The
+        # shapes the stdlib path refuses (progressive, arithmetic,
+        # 12-bit) follow the PNG policy: Pillow when installed, else
+        # the fake only for fake=True unsupported shapes; corruption
+        # always propagates.
+        try:
+            return _decode_jpeg(payload)
         except UnsupportedMediaError:
             decoded = _decode_pillow(payload)
             if decoded is not None:
@@ -669,6 +1022,24 @@ def _resize_any(raw: bytes, out_w: int, out_h: int, fake: bool) -> bytes:
         except ValueError:
             # corrupt payloads: Pillow may still salvage, the fake
             # never runs — corruption fails loudly
+            out = _resize_pillow(raw, out_w, out_h)
+            if out is not None:
+                return out
+            raise
+        return _nn_resize_to_p6(rgb, out_w, out_h)
+    if raw[:3] == b"\xff\xd8\xff":
+        try:
+            _w, _h, rgb = _jpeg_rgb(raw)
+        except UnsupportedMediaError:
+            # progressive/arithmetic/12-bit: Pillow when installed,
+            # else the deterministic fake only under fake=True
+            out = _resize_pillow(raw, out_w, out_h)
+            if out is not None:
+                return out
+            if fake:
+                return _fake_p6(raw, out_w, out_h)
+            raise
+        except ValueError:
             out = _resize_pillow(raw, out_w, out_h)
             if out is not None:
                 return out

@@ -154,11 +154,14 @@ def test_resize_without_libs_raises_and_fake_path(spark):
         resize_media,
     )
 
+    # GIF magic: no stdlib decoder, no codec installed -> the honest
+    # NIE / fake pair (a JPEG-magic garbage payload is CORRUPT since
+    # r16's stdlib JPEG decoder and fails loudly instead)
     media = media_table(
-        spark.createDataFrame([(b"\xff\xd8\xff notjpeg",)], "img binary"),
+        spark.createDataFrame([(b"GIF89a notreal",)], "img binary"),
         "img",
         "image",
-        "image/jpeg",
+        "image/gif",
     )
     with _pytest.raises(Exception, match="NotImplementedError|resize"):
         resize_media(media, 2, 2).collect()
@@ -806,3 +809,259 @@ def test_png_adam7_decodes_real():
     assert _decode_png(
         _png_adv(rgba, depth=16, interlace=1, color_type=6)
     ) == _decode_png(_png_adv(rgba, depth=8, interlace=0, color_type=6))
+
+
+def _make_jpeg(px, hv=((1, 1), (1, 1), (1, 1)), quant=1, restart=0):
+    """Minimal baseline-JPEG encoder (test-side twin of _jpeg_rgb):
+    forward 8x8 DCT + flat quantization (``quant``) + canonical
+    huffman with ALL-9-BIT codes (counts put every symbol at length
+    9 — valid canonical tables without embedding Annex K), optional
+    subsampling factors per component and restart intervals. px:
+    (h, w, 3) uint8 RGB, or (h, w, 1) for grayscale."""
+    import math
+    import struct
+
+    import numpy as np
+
+    from parquet_pipeline_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        _jpeg_idct_matrix,
+    )
+
+    h, w, nc = px.shape
+    # RGB -> YCbCr planes (or the single gray plane)
+    f = px.astype(np.float64)
+    if nc == 3:
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    else:
+        planes = [f[..., 0]]
+    hv = hv[: len(planes)]
+    hmax = max(x for x, _ in hv)
+    vmax = max(y for _, y in hv)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    def comp_plane(p, ch, cv):
+        # box-subsample to the component resolution, then pad to the
+        # full MCU grid by edge replication
+        sub = p[:: vmax // cv, :: hmax // ch]
+        ph, pw = mcuy * cv * 8, mcux * ch * 8
+        out = np.zeros((ph, pw))
+        out[: sub.shape[0], : sub.shape[1]] = sub
+        out[sub.shape[0] :, : sub.shape[1]] = sub[-1:, :]
+        out[:, sub.shape[1] :] = out[:, sub.shape[1] - 1 : sub.shape[1]]
+        return out - 128.0
+
+    comp_data = [comp_plane(p, ch, cv) for p, (ch, cv) in zip(planes, hv)]
+    m = _jpeg_idct_matrix()
+    zz = np.array(_JPEG_ZIGZAG)
+    q = np.full(64, quant, np.int32)
+
+    # flat canonical tables (counts are BYTES, so ≤255 codes per
+    # length): DC symbols 0..11 all at 9 bits; AC symbols 0..254 at
+    # 9 bits + symbol 255 at 10 bits
+    def canonical(counts, vals):
+        code, k, out = 0, 0, {}
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                out[vals[k]] = (length, code)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    dc_counts, dc_vals = [0] * 8 + [12] + [0] * 7, list(range(12))
+    ac_counts, ac_vals = [0] * 8 + [255, 1] + [0] * 6, list(range(256))
+    dc_code = canonical(dc_counts, dc_vals)
+    ac_code = canonical(ac_counts, ac_vals)
+
+    bits: list[int] = []
+
+    def emit(length, value):
+        for k in range(length - 1, -1, -1):
+            bits.append((value >> k) & 1)
+
+    def emit_block(block, pred):
+        coef_nat = np.rint((m @ block @ m.T) / q.reshape(8, 8)).astype(int)
+        coef = coef_nat.reshape(-1)[zz]  # zigzag order
+        diff = int(coef[0]) - pred
+        s = diff and int(math.floor(math.log2(abs(diff)))) + 1
+        emit(*dc_code[s])
+        if s:
+            emit(s, diff if diff > 0 else diff + (1 << s) - 1)
+        run = 0
+        for k in range(1, 64):
+            v = int(coef[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                emit(*ac_code[0xF0])  # ZRL
+                run -= 16
+            sz = int(math.floor(math.log2(abs(v)))) + 1
+            emit(*ac_code[(run << 4) | sz])
+            emit(sz, v if v > 0 else v + (1 << sz) - 1)
+            run = 0
+        if run:
+            emit(*ac_code[0])  # EOB
+        return int(coef[0])
+
+    def flush_ecs():
+        nonlocal bits
+        while len(bits) % 8:
+            bits.append(1)  # pad with 1s per T.81
+        by = bytearray()
+        for k in range(0, len(bits), 8):
+            v = 0
+            for b2 in bits[k : k + 8]:
+                v = (v << 1) | b2
+            by.append(v)
+            if v == 0xFF:
+                by.append(0x00)  # byte stuffing
+        bits = []
+        return bytes(by)
+
+    ecs = b""
+    preds = [0] * len(planes)
+    n_mcu = mcux * mcuy
+    for mcu in range(n_mcu):
+        if restart and mcu and mcu % restart == 0:
+            ecs += flush_ecs()
+            ecs += bytes([0xFF, 0xD0 + ((mcu // restart - 1) % 8)])
+            preds = [0] * len(planes)
+        my, mx = divmod(mcu, mcux)
+        for ci, ((ch, cv), plane) in enumerate(zip(hv, comp_data)):
+            for by_ in range(cv):
+                for bx in range(ch):
+                    y0 = (my * cv + by_) * 8
+                    x0 = (mx * ch + bx) * 8
+                    preds[ci] = emit_block(
+                        plane[y0 : y0 + 8, x0 : x0 + 8], preds[ci]
+                    )
+    ecs += flush_ecs()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def dht(tc, th, counts, vals):
+        return seg(
+            0xC4, bytes([tc << 4 | th]) + bytes(counts) + bytes(vals)
+        )
+
+    dqt = seg(0xDB, bytes([0]) + bytes(int(x) for x in q))
+    sof = seg(
+        0xC0,
+        bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([len(planes)])
+        + b"".join(
+            bytes([ci + 1, ch << 4 | cv, 0]) for ci, (ch, cv) in enumerate(hv)
+        ),
+    )
+    sos = seg(
+        0xDA,
+        bytes([len(planes)])
+        + b"".join(bytes([ci + 1, 0]) for ci in range(len(planes)))
+        + bytes([0, 63, 0]),
+    )
+    out = b"\xff\xd8" + dqt + sof
+    out += dht(0, 0, dc_counts, dc_vals) + dht(1, 0, ac_counts, ac_vals)
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+    out += sos + ecs + b"\xff\xd9"
+    return out
+
+
+def test_jpeg_baseline_decodes_real():
+    """Baseline JPEG decodes stdlib-real (r16, the last honest
+    refusal with a public spec): 4:4:4 RGB, grayscale, and a restart
+    interval round-trip through the test encoder twin at flat
+    quant=1 — the only loss is the DCT float round-trip, so pixels
+    recover within a few counts."""
+    import numpy as np
+
+    from parquet_pipeline_spark.operators.multimodal import _jpeg_rgb
+
+    rs = np.random.RandomState(3)
+    px = rs.randint(0, 256, size=(16, 11, 3), dtype=np.uint8)
+    w, h, rgb = _jpeg_rgb(_make_jpeg(px))
+    assert (w, h) == (11, 16)
+    # RGB->YCbCr->RGB + DCT round-trip: small bounded error
+    assert int(np.abs(rgb.astype(int) - px.astype(int)).max()) <= 4
+
+    gray = rs.randint(0, 256, size=(9, 14, 1), dtype=np.uint8)
+    w, h, rgb_g = _jpeg_rgb(_make_jpeg(gray, hv=((1, 1),)))
+    assert (w, h) == (14, 9)
+    assert (rgb_g[..., 0] == rgb_g[..., 1]).all()
+    assert int(np.abs(rgb_g[..., 0].astype(int) - gray[..., 0].astype(int)).max()) <= 2
+
+    # restart intervals: DC predictors reset at each RSTn
+    w, h, rgb_r = _jpeg_rgb(_make_jpeg(px, restart=1))
+    assert (rgb_r == rgb).all()
+
+
+def test_jpeg_subsampled_and_distributed():
+    """4:2:0 chroma subsampling decodes through the upsample path
+    (constant-chroma image survives box subsampling exactly), and a
+    JPEG payload runs through the distributed decode_media plumbing
+    with fake=False."""
+    import numpy as np
+
+    from parquet_pipeline_spark.operators.multimodal import _jpeg_rgb
+
+    # constant color: subsampling is lossless for it
+    px = np.zeros((20, 18, 3), dtype=np.uint8)
+    px[...] = (180, 90, 40)
+    jp = _make_jpeg(px, hv=((2, 2), (1, 1), (1, 1)))
+    w, h, rgb = _jpeg_rgb(jp)
+    assert (w, h) == (18, 20)
+    assert int(np.abs(rgb.astype(int) - px.astype(int)).max()) <= 3
+
+
+def test_jpeg_distributed_and_policy(spark):
+    """JPEG through decode_media/resize_media with fake=False (real
+    decode, no codec library), plus the dirty-cell policy: truncated
+    scan raises; progressive SOF2 is UNSUPPORTED (fake=True reaches
+    the stub, fake=False raises); corrupt never reaches the fake."""
+    import numpy as np
+    import pytest as _pytest
+
+    from parquet_pipeline_spark.operators import multimodal
+    from parquet_pipeline_spark.operators.multimodal import (
+        _decode_ppm,
+        decode_media,
+        media_table,
+        resize_media,
+    )
+
+    rs = np.random.RandomState(5)
+    px = rs.randint(0, 256, size=(12, 9, 3), dtype=np.uint8)
+    jp = _make_jpeg(px)
+    media = media_table(
+        spark.createDataFrame([(jp,)], "img binary"), "img", "image",
+        "image/jpeg",
+    )
+    [row] = decode_media(media, fake=False).collect()
+    assert (row["width"], row["height"], row["n_frames"]) == (9, 12, 1)
+    want_mean = px.reshape(-1, 3).mean(axis=0) / 255.0
+    assert np.allclose(row["feature"][:3], want_mean, atol=0.02)
+
+    [rrow] = resize_media(media, 4, 5, fake=False).collect()
+    w, h, _, _ = _decode_ppm(bytes(rrow["payload"]))
+    assert (w, h) == (4, 5)
+
+    # truncated scan: corrupt, fails loudly even with fake=True
+    with _pytest.raises(ValueError):
+        multimodal._decode_any(jp[: len(jp) // 2], fake=True)
+    # progressive (SOF2): valid-but-unsupported -> stub iff fake=True
+    prog = jp.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(ValueError, match="progressive"):
+        multimodal._decode_any(prog, fake=False)
+    assert multimodal._decode_any(prog, fake=True) == (
+        multimodal._fake_decode(prog)
+    )
