@@ -1179,7 +1179,7 @@ def bm25_rank(
     "t25_bm25_topk",
     oracle="""
     WITH docs AS (
-      SELECT doc_id, string_split(lower(text), ' ') AS toks
+      SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
       FROM documents WHERE text IS NOT NULL
     ), dl AS (
       SELECT doc_id, len(toks) AS dl FROM docs

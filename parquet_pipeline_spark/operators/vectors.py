@@ -2652,7 +2652,7 @@ def rrf_fuse(
     "v09_hybrid_rrf",
     oracle="""
     WITH docs AS (
-      SELECT doc_id, string_split(lower(text), ' ') AS toks
+      SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
       FROM documents WHERE text IS NOT NULL
     ), dl AS (
       SELECT doc_id, len(toks) AS dl FROM docs
