@@ -11,12 +11,14 @@ UDF signatures) is real and tested. Decode kernels: formats with a
 stdlib-only parse are decoded FOR REAL — PPM (P6) images via header
 parse + numpy pixel stats, PNG via stdlib zlib inflate + scanline
 unfilter (r15; 16-bit + Adam7 r16), baseline JPEG via stdlib marker
-parse + huffman entropy decode + numpy IDCT (r16), WAV audio via
-the ``wave`` module + numpy RMS bands. Other formats use OPTIONAL
-codecs detected at runtime — Pillow for images, soundfile for audio
-(neither is in this container, but a deployment with them installed
-gets real progressive-JPEG/GIF/FLAC decodes through the same
-kernels); absent those, they raise NotImplementedError by default,
+parse + huffman entropy decode + numpy IDCT (r16), GIF via stdlib
+LZW + palettes (r16 — animated GIFs yield a real n_frames), WAV
+audio via the ``wave`` module + numpy RMS bands. Other formats use
+OPTIONAL codecs detected at runtime — Pillow for images, soundfile
+for audio (neither is in this container, but a deployment with them
+installed gets real progressive-JPEG/TIFF/WebP/FLAC decodes through
+the same kernels); absent those, they raise NotImplementedError by
+default,
 or run a deterministic fake (payload-hash-seeded) with ``fake=True``
 so the distributed pipeline can be exercised end-to-end regardless.
 
@@ -714,6 +716,175 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, list[float]]:
     return int(w), int(h), 1, feature
 
 
+def _gif_lzw(min_code_size: int, data: bytes) -> list[int]:
+    """GIF-variant LZW decode (r16): LSB-first bitstream, clear/end
+    codes, table growing to 12-bit codes. Returns palette indices.
+    Malformed streams (code past the table, missing end, truncated
+    bits) raise ValueError — the dirty-cell policy."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out: list[int] = []
+    table: list | None = None
+    code_size = min_code_size + 1
+    prev: list | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while True:
+        if bitpos + code_size > total_bits:
+            raise ValueError("truncated GIF LZW stream")
+        code = 0
+        for i in range(code_size):
+            code |= ((data[(bitpos + i) >> 3] >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += code_size
+        if code == clear:
+            table = [[i] for i in range(clear)] + [None, None]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if table is None:
+            raise ValueError("GIF LZW data before clear code")
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]
+        else:
+            raise ValueError("invalid GIF LZW code")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return out
+
+
+def _gif_frames(payload: bytes):
+    """Real GIF87a/89a parse — pure stdlib + numpy (r16): logical
+    screen + global color table, per-image descriptors with local
+    color tables and the 4-pass interlace reorder, LZW-decoded
+    pixels. Returns (w, h, frames) with frames a list of (h_i, w_i,
+    3) uint8 RGB arrays in stream order — an ANIMATED gif yields one
+    entry per frame, which is what gives the decode contract a real
+    n_frames > 1. Disposal/transparency are ignored (frames are
+    returned raw, not composited): the feature contract reads the
+    FIRST frame only and frame counts don't depend on compositing."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    w, h = struct.unpack("<HH", payload[6:10])
+    packed = payload[10]
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[i : i + 3 * n], np.uint8)
+        if gct.size != 3 * n:
+            raise ValueError("truncated GIF color table")
+        gct = gct.reshape(-1, 3)
+        i += 3 * n
+    frames = []
+
+    def skip_subblocks(j):
+        while True:
+            if j >= len(payload):
+                raise ValueError("truncated GIF sub-blocks")
+            sz = payload[j]
+            j += 1
+            if sz == 0:
+                return j
+            j += sz
+
+    while True:
+        if i >= len(payload):
+            raise ValueError("GIF missing trailer")
+        b = payload[i]
+        i += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            i = skip_subblocks(i + 1)
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+        if i + 9 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
+        _l, _t, fw, fh = struct.unpack("<HHHH", payload[i : i + 8])
+        fpacked = payload[i + 8]
+        i += 9
+        pal = gct
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 0x07)
+            pal = np.frombuffer(payload[i : i + 3 * n], np.uint8)
+            if pal.size != 3 * n:
+                raise ValueError("truncated GIF color table")
+            pal = pal.reshape(-1, 3)
+            i += 3 * n
+        if pal is None:
+            raise ValueError("GIF image with no color table")
+        if fw == 0 or fh == 0:
+            raise ValueError("GIF frame with zero dimension")
+        if i >= len(payload):
+            raise ValueError("truncated GIF image data")
+        min_code = payload[i]
+        i += 1
+        if not 2 <= min_code <= 11:
+            raise ValueError(f"invalid GIF LZW code size {min_code}")
+        chunks = []
+        while True:
+            if i >= len(payload):
+                raise ValueError("truncated GIF sub-blocks")
+            sz = payload[i]
+            i += 1
+            if sz == 0:
+                break
+            chunks.append(payload[i : i + sz])
+            if len(chunks[-1]) != sz:
+                raise ValueError("truncated GIF sub-blocks")
+            i += sz
+        idx = _gif_lzw(min_code, b"".join(chunks))
+        if len(idx) < fw * fh:
+            raise ValueError("GIF pixel data length mismatch")
+        arr = np.array(idx[: fw * fh], np.int32).reshape(fh, fw)
+        if fpacked & 0x40:  # interlaced: rows in 4-pass order
+            rows = (
+                list(range(0, fh, 8))
+                + list(range(4, fh, 8))
+                + list(range(2, fh, 4))
+                + list(range(1, fh, 2))
+            )
+            un = np.zeros_like(arr)
+            un[rows] = arr
+            arr = un
+        if int(arr.max(initial=0)) >= len(pal):
+            raise ValueError("GIF palette index out of range")
+        frames.append(pal[arr])
+    if not frames:
+        raise ValueError("GIF with no image data")
+    return int(w), int(h), frames
+
+
+def _decode_gif(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Real GIF decode to the shared image contract: logical-screen
+    (width, height), n_frames = the real frame count (animated GIFs
+    feed ``frame_sample`` with true frame indices), feature =
+    per-channel mean+std of the FIRST frame."""
+    import numpy as np
+
+    w, h, frames = _gif_frames(payload)
+    flat = frames[0].reshape(-1, 3).astype(np.float64) / 255.0
+    feature = [float(x) for x in flat.mean(axis=0)] + [
+        float(x) for x in flat.std(axis=0)
+    ]
+    return int(w), int(h), len(frames), feature
+
+
 def _codec(name: str):
     """Runtime-optional codec import (VERDICT r7 item 7): pillow /
     soundfile are NOT in this container, but a user running the
@@ -835,6 +1006,18 @@ def _decode_any(payload: bytes, fake: bool) -> tuple[int, int, int, list[float]]
             if fake:
                 return _fake_decode(payload)
             raise
+        except ValueError:
+            decoded = _decode_pillow(payload)
+            if decoded is not None:
+                return decoded
+            raise
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        # stdlib-real since r16 (LZW + palettes + interlace; animated
+        # GIFs produce a real n_frames). No unsupported-shape class:
+        # a GIF that fails to parse is corrupt — Pillow may still
+        # salvage, the fake never runs.
+        try:
+            return _decode_gif(payload)
         except ValueError:
             decoded = _decode_pillow(payload)
             if decoded is not None:
@@ -1045,6 +1228,15 @@ def _resize_any(raw: bytes, out_w: int, out_h: int, fake: bool) -> bytes:
                 return out
             raise
         return _nn_resize_to_p6(rgb, out_w, out_h)
+    if raw[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            _w, _h, frames = _gif_frames(raw)
+        except ValueError:
+            out = _resize_pillow(raw, out_w, out_h)
+            if out is not None:
+                return out
+            raise
+        return _nn_resize_to_p6(frames[0], out_w, out_h)
     out = _resize_pillow(raw, out_w, out_h)
     if out is not None:
         return out

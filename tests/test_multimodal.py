@@ -154,14 +154,14 @@ def test_resize_without_libs_raises_and_fake_path(spark):
         resize_media,
     )
 
-    # GIF magic: no stdlib decoder, no codec installed -> the honest
-    # NIE / fake pair (a JPEG-magic garbage payload is CORRUPT since
-    # r16's stdlib JPEG decoder and fails loudly instead)
+    # TIFF magic: no stdlib decoder, no codec installed -> the honest
+    # NIE / fake pair (JPEG/PNG/GIF-magic garbage payloads are
+    # CORRUPT since r16's stdlib decoders and fail loudly instead)
     media = media_table(
-        spark.createDataFrame([(b"GIF89a notreal",)], "img binary"),
+        spark.createDataFrame([(b"II*\x00 tiffish",)], "img binary"),
         "img",
         "image",
-        "image/gif",
+        "image/tiff",
     )
     with _pytest.raises(Exception, match="NotImplementedError|resize"):
         resize_media(media, 2, 2).collect()
@@ -1065,3 +1065,166 @@ def test_jpeg_distributed_and_policy(spark):
     assert multimodal._decode_any(prog, fake=True) == (
         multimodal._fake_decode(prog)
     )
+
+
+def _make_gif(frames_idx, palette, interlace=False, animated=True):
+    """Minimal GIF89a encoder (test-side twin of _gif_frames):
+    global color table, optional interlace, one image descriptor per
+    frame. The LZW stream emits every index as a LITERAL code while
+    mirroring the decoder's table-length/code-size bookkeeping
+    (clear-reset before 12-bit overflow) — valid LZW, no compression.
+    frames_idx: list of (h, w) int arrays; palette: (n, 3) uint8."""
+    import math
+    import struct
+
+    import numpy as np
+
+    n_pal = len(palette)
+    pal_bits = max(1, math.ceil(math.log2(n_pal)))
+    pal_full = 1 << pal_bits
+    min_code = max(2, pal_bits)
+
+    def lzw_literals(indices):
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        bits: list[int] = []
+        code_size = min_code + 1
+
+        def emit(code):
+            for i in range(code_size):
+                bits.append((code >> i) & 1)
+
+        emit(clear)
+        table_len = clear + 2
+        first = True
+        for v in indices:
+            emit(int(v))
+            if first:
+                first = False
+            else:
+                table_len += 1
+                if table_len == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            if table_len >= 4094:
+                emit(clear)
+                code_size = min_code + 1
+                table_len = clear + 2
+                first = True
+        emit(end)
+        out = bytearray()
+        for k in range(0, len(bits), 8):
+            v = 0
+            for j, b in enumerate(bits[k : k + 8]):
+                v |= b << j
+            out.append(v)
+        return bytes(out)
+
+    h0, w0 = frames_idx[0].shape
+    sw = max(f.shape[1] for f in frames_idx)
+    sh = max(f.shape[0] for f in frames_idx)
+    out = b"GIF89a" + struct.pack("<HH", sw, sh)
+    out += bytes([0x80 | (pal_bits - 1), 0, 0])  # GCT flag + size
+    pal = np.zeros((pal_full, 3), np.uint8)
+    pal[:n_pal] = palette
+    out += pal.tobytes()
+    if animated and len(frames_idx) > 1:
+        # NETSCAPE looping extension: exercises the skip path
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for f in frames_idx:
+        fh, fw = f.shape
+        rows = f
+        if interlace:
+            order = (
+                list(range(0, fh, 8))
+                + list(range(4, fh, 8))
+                + list(range(2, fh, 4))
+                + list(range(1, fh, 2))
+            )
+            rows = f[order]
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, fw, fh)
+        out += bytes([0x40 if interlace else 0x00])
+        out += bytes([min_code])
+        stream = lzw_literals(rows.reshape(-1))
+        for k in range(0, len(stream), 255):
+            chunk = stream[k : k + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    return out + b"\x3b"
+
+
+def test_gif_decodes_real():
+    """GIF decodes stdlib-real (r16): LZW literal stream with the
+    growing-code-size bookkeeping, palette mapping, interlace
+    reorder — pixel-exact against the palette lookup; an ANIMATED
+    gif reports the real frame count through the decode contract."""
+    import numpy as np
+
+    from parquet_pipeline_spark.operators.multimodal import (
+        _decode_gif,
+        _gif_frames,
+    )
+
+    rs = np.random.RandomState(13)
+    pal = rs.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rs.randint(0, 16, size=(11, 9))
+    w, h, frames = _gif_frames(_make_gif([idx], pal))
+    assert (w, h) == (9, 11) and len(frames) == 1
+    assert (frames[0] == pal[idx]).all()
+
+    # interlaced twin: same pixels back
+    _w, _h, fr_i = _gif_frames(_make_gif([idx], pal, interlace=True))
+    assert (fr_i[0] == pal[idx]).all()
+
+    # animated: 3 frames, real n_frames, feature from frame 0
+    anim = _make_gif([idx, (idx + 1) % 16, (idx + 2) % 16], pal)
+    aw, ah, nf, feat = _decode_gif(anim)
+    assert (aw, ah, nf) == (9, 11, 3)
+    want = pal[idx].reshape(-1, 3).mean(axis=0) / 255.0
+    assert np.allclose(feat[:3], want, atol=1e-9)
+
+    # a big low-color frame forces the LZW table through several
+    # code-size bumps and a clear-reset
+    big = rs.randint(0, 4, size=(80, 90))
+    pal4 = rs.randint(0, 256, size=(4, 3), dtype=np.uint8)
+    _w, _h, fr_b = _gif_frames(_make_gif([big], pal4))
+    assert (fr_b[0] == pal4[big]).all()
+
+
+def test_gif_distributed_and_policy(spark):
+    """GIF through decode_media / frame_sample / resize_media with
+    fake=False — an animated GIF's REAL frame count drives
+    frame_sample — plus the dirty-cell policy: truncated or
+    garbage-after-magic payloads raise, never reach the fake."""
+    import numpy as np
+    import pytest as _pytest
+
+    from parquet_pipeline_spark.operators import multimodal
+    from parquet_pipeline_spark.operators.multimodal import (
+        _decode_ppm,
+        decode_media,
+        frame_sample,
+        media_table,
+        resize_media,
+    )
+
+    rs = np.random.RandomState(17)
+    pal = rs.randint(0, 256, size=(8, 3), dtype=np.uint8)
+    frames = [rs.randint(0, 8, size=(6, 10)) for _ in range(5)]
+    gif = _make_gif(frames, pal)
+    media = media_table(
+        spark.createDataFrame([(gif,)], "img binary"), "img", "image",
+        "image/gif",
+    )
+    decoded = decode_media(media, fake=False)
+    [row] = decoded.collect()
+    assert (row["width"], row["height"], row["n_frames"]) == (10, 6, 5)
+    sampled = frame_sample(decoded, every_n=2).collect()
+    assert sorted(r["frame_idx"] for r in sampled) == [0, 2, 4]
+
+    [rrow] = resize_media(media, 4, 3, fake=False).collect()
+    w, h, _, _ = _decode_ppm(bytes(rrow["payload"]))
+    assert (w, h) == (4, 3)
+
+    with _pytest.raises(ValueError):
+        multimodal._decode_any(gif[: len(gif) // 2], fake=True)
+    with _pytest.raises(ValueError):
+        multimodal._decode_any(b"GIF89a notreal", fake=True)
