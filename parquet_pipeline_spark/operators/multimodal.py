@@ -363,8 +363,11 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, list[float]]:
 def _decode_wav(payload: bytes) -> tuple[int, int, int, list[float]]:
     """Real WAV decode via the stdlib ``wave`` module + numpy:
     n_frames = PCM frame count, width/height carry (channels,
-    sample_rate_khz), feature = RMS over 8 equal time bands
-    (16-bit PCM)."""
+    sample_rate_khz), feature = RMS over 8 equal time bands. All
+    integer PCM widths decode (r16 widened from 16-bit-only): 8-bit
+    is unsigned per the RIFF spec, 16/32-bit little-endian signed,
+    24-bit unpacked from 3-byte little-endian triplets — each
+    normalized to [-1, 1) so the RMS feature is width-invariant."""
     import io
     import wave
 
@@ -376,9 +379,27 @@ def _decode_wav(payload: bytes) -> tuple[int, int, int, list[float]]:
         n = w.getnframes()
         sampwidth = w.getsampwidth()
         raw = w.readframes(n)
-    if sampwidth != 2:
-        raise ValueError(f"only 16-bit PCM supported, got {8 * sampwidth}-bit")
-    samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    if sampwidth == 1:
+        samples = (
+            np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+        ) / 128.0
+    elif sampwidth == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sampwidth == 3:
+        b = np.frombuffer(raw, dtype=np.uint8)
+        if b.size % 3:
+            raise ValueError("truncated 24-bit WAV sample data")
+        b = b.reshape(-1, 3).astype(np.int64)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        samples = v.astype(np.float64) / float(1 << 23)
+    elif sampwidth == 4:
+        samples = (
+            np.frombuffer(raw, dtype="<i4").astype(np.float64)
+            / float(1 << 31)
+        )
+    else:
+        raise ValueError(f"unsupported WAV sample width {8 * sampwidth}-bit")
     bands = np.array_split(samples, 8) if samples.size else []
     feature = [float(np.sqrt((b**2).mean())) if b.size else 0.0 for b in bands]
     return channels, rate // 1000, n, feature

@@ -1228,3 +1228,47 @@ def test_gif_distributed_and_policy(spark):
         multimodal._decode_any(gif[: len(gif) // 2], fake=True)
     with _pytest.raises(ValueError):
         multimodal._decode_any(b"GIF89a notreal", fake=True)
+
+
+def test_wav_all_pcm_widths_decode(spark):
+    """r16: every integer PCM width decodes (8-bit unsigned, 16/32
+    signed LE, 24-bit 3-byte triplets), each normalized to [-1, 1) —
+    the same sine tone reads the same RMS bands at every width."""
+    import io
+    import math
+    import struct
+    import wave
+
+    import numpy as np
+    import pytest as _pytest
+
+    from parquet_pipeline_spark.operators.multimodal import _decode_wav
+
+    rate, n = 16000, 4000
+
+    def tone(width):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(width)
+            w.setframerate(rate)
+            frames = bytearray()
+            for i in range(n):
+                x = 0.5 * math.sin(2 * math.pi * 440 * i / rate)
+                if width == 1:
+                    frames += struct.pack("B", int(round(x * 127)) + 128)
+                elif width == 2:
+                    frames += struct.pack("<h", int(round(x * 32767)))
+                elif width == 3:
+                    v = int(round(x * ((1 << 23) - 1)))
+                    frames += struct.pack("<i", v)[:3]
+                else:
+                    frames += struct.pack("<i", int(round(x * ((1 << 31) - 1))))
+            w.writeframes(bytes(frames))
+        return buf.getvalue()
+
+    want = 0.5 / math.sqrt(2)
+    for width in (1, 2, 3, 4):
+        ch, khz, nf, feat = _decode_wav(tone(width))
+        assert (ch, khz, nf) == (1, 16, n)
+        assert all(abs(f - want) < 0.02 for f in feat), (width, feat)
