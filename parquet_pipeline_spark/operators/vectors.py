@@ -2650,7 +2650,7 @@ def rrf_fuse(
 
 @register(
     "v09_hybrid_rrf",
-    oracle="""
+    oracle=r"""
     WITH docs AS (
       SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
       FROM documents WHERE text IS NOT NULL

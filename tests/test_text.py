@@ -310,3 +310,32 @@ def test_bm25_hot_term_cap(spark):
     assert got == want and len(got) == 2  # hot term fully eliminated
     # default None keeps classic BM25: every matching doc scored
     assert bm25_rank(docs, ["the"]).count() == 40
+
+
+def test_bm25_batch_equals_solo(spark, sf_dir):
+    """bm25_rank_batch scores each query EXACTLY as its solo
+    bm25_rank run (per-term df is query-independent), in one corpus
+    pass — including under the hot-term cap."""
+    from parquet_pipeline_spark.operators.text import bm25_rank, bm25_rank_batch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = {
+        0: ["spark", "merge"],
+        1: ["table", "sort"],
+        2: ["window", "spark", "filter"],
+    }
+    batch = bm25_rank_batch(docs, queries)
+    got = {
+        (r["q_id"], r["doc_id"]): r["score_bm25"] for r in batch.collect()
+    }
+    for qid, terms in queries.items():
+        solo = {
+            (qid, r["doc_id"]): r["score_bm25"]
+            for r in bm25_rank(docs, terms).collect()
+        }
+        assert {k: v for k, v in got.items() if k[0] == qid} == solo
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no query terms"):
+        bm25_rank_batch(docs, {0: []})

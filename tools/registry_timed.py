@@ -67,6 +67,7 @@ DEFAULT_NAMES = [
     # streaming tier — t25's median prices the two-pass text plan
     # (PLANS.md §t25); v09 composes it with the vector top-k + fuse
     "t25_bm25_topk",
+    "t26_bm25_batch",
     "v09_hybrid_rrf",
     "s05_streaming_sq8_equivalence",
 ]
