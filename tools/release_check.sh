@@ -34,7 +34,11 @@ python tools/adversarial_index_check.py "${FUZZ_SEED:-7}" 2>/dev/null | tail -1 
 echo "=== 9/9 bench (after cool-down: a sample taken right after a
 full-CPU pytest reads ~45% slow with a calibration factor of only
 ~1.13 — the r15 box lesson) ==="
-sleep "${BENCH_COOLDOWN_SECS:-120}"
+# 120 s proved insufficient after the ~40-min battery (r16: the
+# in-battery sample read 14.65 normalized vs a 13.60 solo median
+# minutes later) — default to 5 min; the drift rule's 3-sample solo
+# median remains the authoritative number either way
+sleep "${BENCH_COOLDOWN_SECS:-300}"
 python bench.py 2>/dev/null | tail -1 || fail=1
 
 exit $fail
