@@ -124,6 +124,66 @@ class Engine:
         )
 
 
+    # -- hybrid retrieval (north-star; the t25/v09 machinery) ----------
+    def search(
+        self,
+        query: str,
+        table: str | None = None,
+        k: int = 10,
+        k_rrf: int = 60,
+        max_df_ratio: float | None = 0.5,
+        embedder=None,
+        dim: int = 64,
+    ) -> DataFrame:
+        """Hybrid retrieval over the semantic index (r16): BM25
+        keyword ranking × cosine vector ranking, fused by reciprocal
+        rank (``rrf_fuse``) — the engine verb over the machinery the
+        t25/v09 driver rows value-hash-verify. The query string is
+        both the keyword bag (whitespace-tokenized, stopword-grade
+        terms dropped past ``max_df_ratio``) and the embedded
+        semantic query (same embedder/dim contract as
+        ``build_semantic_index``). ``table`` scopes to one indexed
+        source table. Returns (vec_id, source_table, text,
+        score_rrf), fused-score desc, ≤ k rows."""
+        from pyspark.sql import functions as F
+
+        from parquet_pipeline_spark.operators.embedding import embed_query
+        from parquet_pipeline_spark.operators.text import bm25_rank
+        from parquet_pipeline_spark.operators.vectors import rrf_fuse, topk
+
+        if self._documents is None or self._embeddings is None:
+            raise ValueError("search: call build_semantic_index first")
+        terms = [t for t in query.lower().split() if t]
+        if not terms:
+            raise ValueError("search: empty query")
+        docs, emb = self._documents, self._embeddings
+        if table is not None:
+            docs = docs.filter(F.col("source_table") == table)
+            emb = emb.filter(F.col("source_table") == table)
+        kw = (
+            bm25_rank(
+                docs,
+                terms,
+                id_col="vec_id",
+                text_col="text",
+                max_df_ratio=max_df_ratio,
+            )
+            .orderBy(F.col("score_bm25").desc(), "vec_id")
+            .limit(k)
+        )
+        qv = embed_query(query, embedder, dim=dim)
+        vec = topk(emb, qv, k=k).select("vec_id", "score")
+        fused = rrf_fuse([kw, vec], id_col="vec_id").limit(k)
+        return (
+            fused.join(
+                docs.select("vec_id", "source_table", "text"),
+                "vec_id",
+                "left",
+            )
+            .select("vec_id", "source_table", "text", "score_rrf")
+            .orderBy(F.col("score_rrf").desc(), "vec_id")
+        )
+
     # -- corpus curation (north-star training-data surface) ------------
     def curate(
         self,

@@ -300,3 +300,50 @@ def test_engine_curate_matches_t20_query(spark):
         for r in QUERIES["t20_curation_pipeline"](spark, sf_dir).collect()
     }
     assert got == expected and got
+
+
+def test_engine_hybrid_search(spark, tmp_path, sf_dir):
+    """Engine.search (r16): the hybrid verb equals the hand-composed
+    bm25_rank + topk + rrf_fuse over the same index, carries the doc
+    text back, and refuses before an index exists / on an empty
+    query."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from parquet_pipeline_spark.engine import Engine
+    from parquet_pipeline_spark.operators.embedding import embed_query
+    from parquet_pipeline_spark.operators.text import bm25_rank
+    from parquet_pipeline_spark.operators.vectors import rrf_fuse, topk
+
+    eng = Engine(spark, warehouse_dir=str(tmp_path / "lake3"))
+    with _pytest.raises(ValueError, match="build_semantic_index"):
+        eng.search("anything")
+
+    eng.catalog.register_path(f"{sf_dir}/documents.parquet", "documents")
+    eng.build_semantic_index("documents", "text", id_col="doc_id")
+    with _pytest.raises(ValueError, match="empty query"):
+        eng.search("   ")
+
+    got = eng.search("spark window sort", k=10).collect()
+    assert 0 < len(got) <= 10
+    assert [c for c in got[0].asDict()] == [
+        "vec_id", "source_table", "text", "score_rrf"
+    ]
+    assert all(r["source_table"] == "documents" for r in got)
+    assert all(r["text"] for r in got)
+
+    # equals the hand-composed pipeline on the same snapshot
+    docs, emb = eng._documents, eng._embeddings
+    kw = (
+        bm25_rank(docs, ["spark", "window", "sort"], id_col="vec_id",
+                  text_col="text", max_df_ratio=0.5)
+        .orderBy(F.col("score_bm25").desc(), "vec_id").limit(10)
+    )
+    qv = embed_query("spark window sort", None, dim=64)
+    vec = topk(emb, qv, k=10).select("vec_id", "score")
+    want = {
+        (r["vec_id"], r["score_rrf"])
+        for r in rrf_fuse([kw, vec], id_col="vec_id").limit(10).collect()
+    }
+    assert {(r["vec_id"], r["score_rrf"]) for r in got} == want
