@@ -12,7 +12,9 @@ stdlib-only parse are decoded FOR REAL — PPM (P6) images via header
 parse + numpy pixel stats, PNG via stdlib zlib inflate + scanline
 unfilter (r15; 16-bit + Adam7 r16), baseline JPEG via stdlib marker
 parse + huffman entropy decode + numpy IDCT (r16), GIF via stdlib
-LZW + palettes (r16 — animated GIFs yield a real n_frames), WAV
+LZW + palettes (r16 — animated GIFs yield a real n_frames), AVI
+video containers via RIFF chunk walk (r16 — BI_RGB frames directly,
+MJPEG frames through the JPEG decoder, real frame counts), WAV
 audio via the ``wave`` module + numpy RMS bands. Other formats use
 OPTIONAL codecs detected at runtime — Pillow for images, soundfile
 for audio (neither is in this container, but a deployment with them
@@ -906,6 +908,96 @@ def _decode_gif(payload: bytes) -> tuple[int, int, int, list[float]]:
     return int(w), int(h), len(frames), feature
 
 
+def _avi_parse(payload: bytes):
+    """Real AVI (RIFF) container parse — pure stdlib (r16): walks the
+    chunk tree for the 'avih' main header (logical width/height) and
+    the video stream's frame chunks ('##db'/'##dc'; audio '##wb'
+    chunks are counted out). Returns (w, h, frame_chunks,
+    compression) where compression is the video strf's biCompression
+    fourcc/code. Malformed structure raises ValueError."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    state = {"wh": None, "comp": None, "frames": []}
+
+    def walk(start: int, end: int) -> None:
+        i = start
+        while i + 8 <= end:
+            cid = payload[i : i + 4]
+            (sz,) = struct.unpack("<I", payload[i + 4 : i + 8])
+            if i + 8 + sz > end:
+                raise ValueError("truncated AVI chunk")
+            if cid in (b"LIST", b"RIFF"):
+                walk(i + 12, i + 8 + sz)
+            else:
+                data = payload[i + 8 : i + 8 + sz]
+                if cid == b"avih":
+                    if len(data) < 40:
+                        raise ValueError("truncated AVI main header")
+                    state["wh"] = struct.unpack("<II", data[32:40])
+                elif cid == b"strf" and state["comp"] is None:
+                    # first strf = first stream; only the video
+                    # stream's BITMAPINFOHEADER carries biCompression
+                    if len(data) >= 20:
+                        state["comp"] = data[16:20]
+                elif len(cid) == 4 and cid[2:4] in (b"db", b"dc"):
+                    state["frames"].append(data)
+            i += 8 + sz + (sz & 1)  # chunks are word-aligned
+
+    walk(12, len(payload))
+    if state["wh"] is None:
+        raise ValueError("AVI missing avih header")
+    if not state["frames"]:
+        raise ValueError("AVI with no video frames")
+    w, h = state["wh"]
+    if not w or not h:
+        raise ValueError("AVI with zero dimension")
+    return int(w), int(h), state["frames"], state["comp"] or b"\x00" * 4
+
+
+def _avi_first_rgb(payload: bytes):
+    """(w, h, n_frames, first-frame RGB) for an AVI: uncompressed
+    BI_RGB frames decode as bottom-up BGR24 with 4-byte row padding;
+    MJPEG frames (JPEG magic) decode through the stdlib baseline
+    JPEG decoder — the two shapes a codec-less container pipeline
+    can serve for real. Other codecs raise UnsupportedMediaError
+    (valid AVI, codec-seam territory)."""
+    import numpy as np
+
+    w, h, frames, comp = _avi_parse(payload)
+    first = frames[0]
+    if first[:3] == b"\xff\xd8\xff":
+        _w, _h, rgb = _jpeg_rgb(first)
+        return w, h, len(frames), rgb
+    if comp in (b"\x00\x00\x00\x00", b"DIB "):
+        stride = (w * 3 + 3) & ~3
+        if len(first) < stride * h:
+            raise ValueError("AVI frame data length mismatch")
+        rows = np.frombuffer(first, np.uint8, stride * h).reshape(h, stride)
+        bgr = rows[:, : w * 3].reshape(h, w, 3)
+        rgb = np.ascontiguousarray(bgr[::-1, :, ::-1])  # bottom-up BGR
+        return w, h, len(frames), rgb
+    raise UnsupportedMediaError(
+        f"AVI codec {comp!r} not supported (BI_RGB and MJPEG decode "
+        "stdlib-real; install a codec library for others)"
+    )
+
+
+def _decode_avi(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Real AVI decode to the shared contract: container (width,
+    height), the REAL video frame count (feeds ``frame_sample``),
+    feature = per-channel mean+std of the first frame."""
+    import numpy as np
+
+    w, h, n_frames, rgb = _avi_first_rgb(payload)
+    flat = rgb.reshape(-1, 3).astype(np.float64) / 255.0
+    feature = [float(x) for x in flat.mean(axis=0)] + [
+        float(x) for x in flat.std(axis=0)
+    ]
+    return int(w), int(h), int(n_frames), feature
+
+
 def _codec(name: str):
     """Runtime-optional codec import (VERDICT r7 item 7): pillow /
     soundfile are NOT in this container, but a user running the
@@ -1046,6 +1138,17 @@ def _decode_any(payload: bytes, fake: bool) -> tuple[int, int, int, list[float]]
             raise
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        # stdlib-real since r16: BI_RGB frames directly, MJPEG frames
+        # through the stdlib JPEG decoder. Unsupported codecs run
+        # the stub only under fake=True (Pillow has no AVI path);
+        # corruption always propagates.
+        try:
+            return _decode_avi(payload)
+        except UnsupportedMediaError:
+            if fake:
+                return _fake_decode(payload)
+            raise
     decoded = _decode_pillow(payload) or _decode_soundfile(payload)
     if decoded is not None:
         return decoded
@@ -1258,6 +1361,14 @@ def _resize_any(raw: bytes, out_w: int, out_h: int, fake: bool) -> bytes:
                 return out
             raise
         return _nn_resize_to_p6(frames[0], out_w, out_h)
+    if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+        try:
+            _w, _h, _n, rgb = _avi_first_rgb(raw)
+        except UnsupportedMediaError:
+            if fake:
+                return _fake_p6(raw, out_w, out_h)
+            raise
+        return _nn_resize_to_p6(rgb, out_w, out_h)
     out = _resize_pillow(raw, out_w, out_h)
     if out is not None:
         return out

@@ -1272,3 +1272,119 @@ def test_wav_all_pcm_widths_decode(spark):
         ch, khz, nf, feat = _decode_wav(tone(width))
         assert (ch, khz, nf) == (1, 16, n)
         assert all(abs(f - want) < 0.02 for f in feat), (width, feat)
+
+
+def _make_avi(frames_rgb, codec="dib"):
+    """Minimal AVI encoder (test-side twin of _avi_parse): RIFF →
+    hdrl (avih + strl(strh vids + strf BITMAPINFOHEADER)) → movi
+    with one chunk per frame. codec='dib' writes bottom-up BGR24
+    with 4-byte row padding in '00db' chunks; codec='mjpg' writes
+    each frame as a baseline JPEG (via _make_jpeg) in '00dc'.
+    frames_rgb: list of (h, w, 3) uint8 arrays."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = frames_rgb[0].shape
+
+    def chunk(cid, data):
+        pad = b"\x00" if len(data) & 1 else b""
+        return cid + struct.pack("<I", len(data)) + data + pad
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    if codec == "dib":
+        comp, fourcc = 0, b"\x00\x00\x00\x00"
+        stride = (w * 3 + 3) & ~3
+
+        def enc(f):
+            bgr = f[::-1, :, ::-1]  # bottom-up, BGR
+            rows = np.zeros((h, stride), np.uint8)
+            rows[:, : w * 3] = bgr.reshape(h, w * 3)
+            return chunk(b"00db", rows.tobytes())
+    else:
+        comp, fourcc = 0x47504A4D, b"MJPG"  # 'MJPG' little-endian
+
+        def enc(f):
+            return chunk(b"00dc", _make_jpeg(f))
+
+    avih = struct.pack(
+        "<10I", 40000, 0, 0, 0, len(frames_rgb), 0, 1, 0, w, h
+    ) + b"\x00" * 16
+    strh = (
+        b"vids" + fourcc + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 25,
+                                       0, len(frames_rgb), 0, 0, 0)
+        + struct.pack("<hhhh", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, comp,
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(enc(f) for f in frames_rgb))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_decodes_real(spark):
+    """AVI decodes stdlib-real (r16): container dims + the REAL frame
+    count from '00db' chunks, first-frame pixels recovered exactly
+    from bottom-up padded BGR; MJPEG frames route through the stdlib
+    JPEG decoder; unknown codecs are UNSUPPORTED (stub iff fake=True)
+    while truncation stays loud. Runs distributed, and frame_sample
+    consumes the real frame count."""
+    import numpy as np
+    import pytest as _pytest
+
+    from parquet_pipeline_spark.operators import multimodal
+    from parquet_pipeline_spark.operators.multimodal import (
+        _decode_avi,
+        _decode_ppm,
+        decode_media,
+        frame_sample,
+        media_table,
+        resize_media,
+    )
+
+    rs = np.random.RandomState(23)
+    frames = [
+        rs.randint(0, 256, size=(6, 7, 3), dtype=np.uint8) for _ in range(4)
+    ]
+    avi = _make_avi(frames, codec="dib")
+    w, h, nf, feat = _decode_avi(avi)
+    assert (w, h, nf) == (7, 6, 4)
+    want = frames[0].reshape(-1, 3).mean(axis=0) / 255.0
+    assert np.allclose(feat[:3], want, atol=1e-9)
+
+    # MJPEG: frames are baseline JPEGs -> our own JPEG decoder
+    mjpg = _make_avi(frames, codec="mjpg")
+    w, h, nf, feat_m = _decode_avi(mjpg)
+    assert (w, h, nf) == (7, 6, 4)
+    assert np.allclose(feat_m[:3], want, atol=0.02)
+
+    # distributed plumbing + frame_sample on the real count
+    media = media_table(
+        spark.createDataFrame([(avi,)], "v binary"), "v", "video",
+        "video/x-msvideo",
+    )
+    decoded = decode_media(media, fake=False)
+    [row] = decoded.collect()
+    assert (row["width"], row["height"], row["n_frames"]) == (7, 6, 4)
+    assert sorted(
+        r["frame_idx"] for r in frame_sample(decoded, every_n=2).collect()
+    ) == [0, 2]
+    [rrow] = resize_media(media, 3, 2, fake=False).collect()
+    assert _decode_ppm(bytes(rrow["payload"]))[:2] == (3, 2)
+
+    # unknown codec: valid container, unsupported -> stub iff fake
+    xvid = bytearray(_make_avi(frames, codec="dib"))
+    i = xvid.index(b"strf") + 8 + 16
+    xvid[i : i + 4] = b"XVID"
+    xvid = bytes(xvid)
+    with _pytest.raises(ValueError, match="not supported"):
+        multimodal._decode_any(xvid, fake=False)
+    assert multimodal._decode_any(xvid, fake=True) == (
+        multimodal._fake_decode(xvid)
+    )
+    with _pytest.raises(ValueError):
+        multimodal._decode_any(avi[: len(avi) // 2], fake=True)
