@@ -984,6 +984,56 @@ def _avi_first_rgb(payload: bytes):
     )
 
 
+def _bmp_rgb(payload: bytes):
+    """Real BMP decode — stdlib struct + numpy (r16): 24-bit BI_RGB
+    bottom-up rows with 4-byte padding (the AVI DIB frame layout
+    behind a BITMAPFILEHEADER). Other bit depths / compressions
+    raise UnsupportedMediaError; malformed structure raises
+    ValueError."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    w, h = struct.unpack("<ii", payload[18:26])
+    bpp, comp = struct.unpack("<HI", payload[28:34])
+    if w <= 0 or h == 0:
+        raise ValueError("BMP with zero dimension")
+    if bpp != 24 or comp != 0:
+        raise UnsupportedMediaError(
+            f"only 24-bit BI_RGB BMP supported, got bpp={bpp} "
+            f"compression={comp}"
+        )
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if data_off + stride * h > len(payload):
+        raise ValueError("BMP pixel data length mismatch")
+    rows = np.frombuffer(payload, np.uint8, stride * h, data_off).reshape(
+        h, stride
+    )
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        bgr = bgr[::-1]
+    return int(w), int(h), np.ascontiguousarray(bgr[:, :, ::-1])
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Real BMP decode to the shared image contract."""
+    import numpy as np
+
+    w, h, rgb = _bmp_rgb(payload)
+    flat = rgb.reshape(-1, 3).astype(np.float64) / 255.0
+    feature = [float(x) for x in flat.mean(axis=0)] + [
+        float(x) for x in flat.std(axis=0)
+    ]
+    return int(w), int(h), 1, feature
+
+
 def _decode_avi(payload: bytes) -> tuple[int, int, int, list[float]]:
     """Real AVI decode to the shared contract: container (width,
     height), the REAL video frame count (feeds ``frame_sample``),
@@ -1131,6 +1181,23 @@ def _decode_any(payload: bytes, fake: bool) -> tuple[int, int, int, list[float]]
         # salvage, the fake never runs.
         try:
             return _decode_gif(payload)
+        except ValueError:
+            decoded = _decode_pillow(payload)
+            if decoded is not None:
+                return decoded
+            raise
+    if payload[:2] == b"BM":
+        # stdlib-real since r16 (24-bit BI_RGB). Other depths:
+        # Pillow seam, then the stub only under fake=True.
+        try:
+            return _decode_bmp(payload)
+        except UnsupportedMediaError:
+            decoded = _decode_pillow(payload)
+            if decoded is not None:
+                return decoded
+            if fake:
+                return _fake_decode(payload)
+            raise
         except ValueError:
             decoded = _decode_pillow(payload)
             if decoded is not None:
@@ -1367,6 +1434,22 @@ def _resize_any(raw: bytes, out_w: int, out_h: int, fake: bool) -> bytes:
         except UnsupportedMediaError:
             if fake:
                 return _fake_p6(raw, out_w, out_h)
+            raise
+        return _nn_resize_to_p6(rgb, out_w, out_h)
+    if raw[:2] == b"BM":
+        try:
+            _w, _h, rgb = _bmp_rgb(raw)
+        except UnsupportedMediaError:
+            out = _resize_pillow(raw, out_w, out_h)
+            if out is not None:
+                return out
+            if fake:
+                return _fake_p6(raw, out_w, out_h)
+            raise
+        except ValueError:
+            out = _resize_pillow(raw, out_w, out_h)
+            if out is not None:
+                return out
             raise
         return _nn_resize_to_p6(rgb, out_w, out_h)
     out = _resize_pillow(raw, out_w, out_h)

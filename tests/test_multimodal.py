@@ -1388,3 +1388,127 @@ def test_avi_decodes_real(spark):
     )
     with _pytest.raises(ValueError):
         multimodal._decode_any(avi[: len(avi) // 2], fake=True)
+
+
+def test_bmp_decodes_real(spark):
+    """BMP decodes stdlib-real (r16): 24-bit BI_RGB bottom-up padded
+    rows (and the top-down negative-height variant) recover pixels
+    exactly; sub-24-bit is UNSUPPORTED (stub iff fake=True), garbage
+    after the magic is corrupt and loud."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from parquet_pipeline_spark.operators import multimodal
+    from parquet_pipeline_spark.operators.multimodal import (
+        _bmp_rgb,
+        _decode_ppm,
+        decode_media,
+        media_table,
+        resize_media,
+    )
+
+    rs = np.random.RandomState(29)
+    px = rs.randint(0, 256, size=(5, 7, 3), dtype=np.uint8)
+
+    def make_bmp(px, top_down=False, bpp=24):
+        h, w, _ = px.shape
+        stride = (w * 3 + 3) & ~3
+        rows = np.zeros((h, stride), np.uint8)
+        bgr = px[:, :, ::-1] if top_down else px[::-1, :, ::-1]
+        rows[:, : w * 3] = bgr.reshape(h, w * 3)
+        body = rows.tobytes()
+        hdr = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, bpp,
+            0, len(body), 0, 0, 0, 0,
+        )
+        return hdr + info + body
+
+    for td in (False, True):
+        w, h, rgb = _bmp_rgb(make_bmp(px, top_down=td))
+        assert (w, h) == (7, 5) and (rgb == px).all(), td
+
+    media = media_table(
+        spark.createDataFrame([(make_bmp(px),)], "img binary"), "img",
+        "image", "image/bmp",
+    )
+    [row] = decode_media(media, fake=False).collect()
+    assert (row["width"], row["height"], row["n_frames"]) == (7, 5, 1)
+    [rrow] = resize_media(media, 3, 2, fake=False).collect()
+    assert _decode_ppm(bytes(rrow["payload"]))[:2] == (3, 2)
+
+    shallow = make_bmp(px, bpp=8)
+    with _pytest.raises(ValueError, match="24-bit"):
+        multimodal._decode_any(shallow, fake=False)
+    assert multimodal._decode_any(shallow, fake=True) == (
+        multimodal._fake_decode(shallow)
+    )
+    with _pytest.raises(ValueError):
+        multimodal._decode_any(b"BM garbage", fake=True)
+
+
+def test_streaming_media_decode_matches_batch(spark, tmp_path):
+    """decode_media is a plain mapInPandas transformation, so it
+    applies to a STREAMING media frame unchanged: media payloads
+    streamed in two file micro-batches decode to exactly the rows
+    the batch decode produces — the stream≡batch contract extended
+    to the multimodal family."""
+    import numpy as np
+
+    from parquet_pipeline_spark.operators.multimodal import decode_media
+
+    rs = np.random.RandomState(31)
+    pals = rs.randint(0, 256, size=(3, 8, 3), dtype=np.uint8)
+    payloads = [
+        _make_gif([rs.randint(0, 8, size=(5, 6)) for _ in range(k + 1)], p)
+        for k, p in enumerate(pals)
+    ]
+    rows = [
+        (i, bytes(pl), {"modality": "image", "mime": "image/gif",
+                        "width": None, "height": None, "duration_ms": None})
+        for i, pl in enumerate(payloads)
+    ]
+    schema = (
+        "media_id long, payload binary, "
+        "meta struct<modality:string,mime:string,width:int,height:int,"
+        "duration_ms:long>"
+    )
+    batch_df = spark.createDataFrame(rows, schema)
+    want = sorted(
+        (r["media_id"], r["width"], r["height"], r["n_frames"])
+        for r in decode_media(batch_df, fake=False).collect()
+    )
+
+    src = tmp_path / "media_stream"
+    src.mkdir()
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    for i, chunk in enumerate((rows[:2], rows[2:])):
+        p = str(src / f"b{i}.parquet")
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(p)
+        for f in _os.listdir(p):
+            _os.utime(_os.path.join(p, f), (now + i, now + i))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    dest = str(tmp_path / "decoded")
+    q = (
+        decode_media(stream, fake=False)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .option("path", dest)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = sorted(
+        (r["media_id"], r["width"], r["height"], r["n_frames"])
+        for r in spark.read.parquet(dest).collect()
+    )
+    assert got == want and len(got) == 3
