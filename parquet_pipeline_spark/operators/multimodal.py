@@ -1260,6 +1260,105 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     return media.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _iter_frames(payload: bytes):
+    """Yield (frame_idx, rgb) for every frame of a multi-frame
+    container — AVI (BI_RGB / MJPEG) and GIF; single-frame image
+    formats yield their one frame via the shared decoders."""
+    import numpy as np
+
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        w, h, frames, comp = _avi_parse(payload)
+        for i, data in enumerate(frames):
+            if data[:3] == b"\xff\xd8\xff":
+                _w, _h, rgb = _jpeg_rgb(data)
+            elif comp in (b"\x00\x00\x00\x00", b"DIB "):
+                stride = (w * 3 + 3) & ~3
+                if len(data) < stride * h:
+                    raise ValueError("AVI frame data length mismatch")
+                rows = np.frombuffer(data, np.uint8, stride * h).reshape(
+                    h, stride
+                )
+                rgb = np.ascontiguousarray(
+                    rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]
+                )
+            else:
+                raise UnsupportedMediaError(
+                    f"AVI codec {comp!r} not supported"
+                )
+            yield i, rgb
+        return
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        _w, _h, frames = _gif_frames(payload)
+        yield from enumerate(frames)
+        return
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        _w, _h, rgb = _png_rgb(payload)
+    elif payload[:3] == b"\xff\xd8\xff":
+        _w, _h, rgb = _jpeg_rgb(payload)
+    elif payload[:2] == b"BM":
+        _w, _h, rgb = _bmp_rgb(payload)
+    elif payload.startswith(b"P6"):
+        w0, h0, _n, _f = _decode_ppm(payload)
+        import numpy as _np
+
+        i = payload.index(b"255") + 4
+        rgb = _np.frombuffer(
+            payload, _np.uint8, w0 * h0 * 3, i
+        ).reshape(h0, w0, 3)
+    else:
+        raise NotImplementedError(
+            "per-frame decode: AVI/GIF/PNG/JPEG/BMP/PPM payloads only"
+        )
+    yield 0, rgb
+
+
+def decode_frames(media: DataFrame) -> DataFrame:
+    """Per-FRAME decode (r16 — the training-data op behind frame
+    sampling and frame-level dedup): one output row per frame of
+    every payload, (media_id, frame_idx, width, height, per-channel
+    mean+std feature), through the same Arrow mapInPandas plumbing
+    as ``decode_media``. Multi-frame containers (AVI, animated GIF)
+    fan out to their real frames; still images yield frame 0.
+    Compose with a filter on ``frame_idx % n`` for sampling or with
+    the embedding/dedup operators on ``feature`` for frame-level
+    near-dup removal. Dirty payloads fail the ROW loudly, matching
+    decode_media's contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for idx, rgb in _iter_frames(bytes(payload or b"")):
+                    flat = rgb.reshape(-1, 3).astype(np.float64) / 255.0
+                    feat = [float(x) for x in flat.mean(axis=0)] + [
+                        float(x) for x in flat.std(axis=0)
+                    ]
+                    rows.append(
+                        (mid, idx, rgb.shape[1], rgb.shape[0], feat)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "width", "height", "feature"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=FRAME_SCHEMA
+    )
+
+
 def frame_sample(decoded: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame-sampling plan: explode n_frames into frame indices and
     keep every n-th — pure column expressions (the decode already

@@ -1512,3 +1512,40 @@ def test_streaming_media_decode_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(dest).collect()
     )
     assert got == want and len(got) == 3
+
+
+def test_decode_frames_per_frame_rows(spark):
+    """decode_frames (r16): one row per REAL frame — an animated GIF
+    and a DIB AVI fan out to per-frame features (each frame's mean
+    matches its own pixels), a still PNG yields frame 0, and the
+    whole thing runs through mapInPandas distributed."""
+    import numpy as np
+
+    from parquet_pipeline_spark.operators.multimodal import decode_frames
+
+    rs = np.random.RandomState(37)
+    pal = rs.randint(0, 256, size=(8, 3), dtype=np.uint8)
+    gif_frames = [rs.randint(0, 8, size=(5, 6)) for _ in range(3)]
+    gif = _make_gif(gif_frames, pal)
+    avi_frames = [
+        rs.randint(0, 256, size=(4, 7, 3), dtype=np.uint8) for _ in range(2)
+    ]
+    avi = _make_avi(avi_frames, codec="dib")
+    png_px = rs.randint(0, 256, size=(6, 6, 3), dtype=np.uint8)
+    png = _make_png(png_px)
+
+    df = spark.createDataFrame(
+        [(1, gif), (2, avi), (3, png)], "media_id long, payload binary"
+    )
+    got = {
+        (r["media_id"], r["frame_idx"]): r
+        for r in decode_frames(df).collect()
+    }
+    assert set(got) == {(1, 0), (1, 1), (1, 2), (2, 0), (2, 1), (3, 0)}
+    for k, fidx in ((1, 0), (1, 1), (1, 2)):
+        want = pal[gif_frames[fidx]].reshape(-1, 3).mean(axis=0) / 255.0
+        assert np.allclose(got[(1, fidx)]["feature"][:3], want, atol=1e-6)
+    for fidx in (0, 1):
+        want = avi_frames[fidx].reshape(-1, 3).mean(axis=0) / 255.0
+        assert np.allclose(got[(2, fidx)]["feature"][:3], want, atol=1e-6)
+    assert (got[(3, 0)]["width"], got[(3, 0)]["height"]) == (6, 6)
