@@ -42,7 +42,7 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1356,6 +1356,47 @@ def decode_frames(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         run, schema=FRAME_SCHEMA
+    )
+
+
+def dedup_consecutive_frames(
+    frames: DataFrame,
+    threshold: float = 0.995,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Temporal near-dup removal over ``decode_frames`` output (r16
+    — the video-curation twin of text near-dup): drop every frame
+    whose feature cosine to the PREVIOUS frame of the same media is
+    ≥ ``threshold`` (a static shot collapses to its first frame; a
+    cut or motion restarts the chain). One window lag per media,
+    pure column expressions — the per-media partitioned window
+    shuffles on ``id_col``, so a 100 TB frame table spreads across
+    executors by media, never through one task. Byte-identical
+    consecutive features drop regardless of norm (a black frame run
+    has an undefined cosine but is still a run); a frame with no
+    predecessor is always kept.
+
+    Feature-agnostic: ``decode_frames``'s 6-dim channel stats catch
+    static shots and exact runs, but two unrelated noisy frames can
+    share statistics — a production pipeline feeds REAL frame
+    embeddings through the same ``feature`` column (the operator
+    only assumes an array column and a frame order)."""
+    w = W.partitionBy(id_col).orderBy("frame_idx")
+    prev = F.lag("feature").over(w)
+    dot = F.aggregate(
+        F.zip_with(F.col("feature"), prev, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731 — tiny local expr builder
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    sim = F.try_divide(dot, norm(F.col("feature")) * norm(prev))
+    dup = (F.col("feature") == prev) | (sim >= F.lit(float(threshold)))
+    return (
+        frames.withColumn("_dup", F.coalesce(dup, F.lit(False)))
+        .filter(~F.col("_dup"))
+        .drop("_dup")
     )
 
 

@@ -1549,3 +1549,42 @@ def test_decode_frames_per_frame_rows(spark):
         want = avi_frames[fidx].reshape(-1, 3).mean(axis=0) / 255.0
         assert np.allclose(got[(2, fidx)]["feature"][:3], want, atol=1e-6)
     assert (got[(3, 0)]["width"], got[(3, 0)]["height"]) == (6, 6)
+
+
+def test_dedup_consecutive_frames(spark):
+    """Temporal frame dedup (r16): a static run collapses to its
+    first frame (exact AND near duplicates), a scene cut survives,
+    chains are per-media, and an all-black run (zero-norm features,
+    undefined cosine) still collapses via exact equality."""
+    import numpy as np
+
+    from parquet_pipeline_spark.operators.multimodal import (
+        decode_frames,
+        dedup_consecutive_frames,
+    )
+
+    # frames with DISTINCT channel statistics: the 6-dim mean/std
+    # feature cannot tell two random-noise frames apart (their stats
+    # coincide), which is exactly why the operator is feature-
+    # agnostic — production pipelines feed real embeddings through
+    # the same column
+    a = np.zeros((6, 8, 3), dtype=np.uint8)
+    a[..., 0] = 200  # red-ish shot
+    a_near = a.copy()
+    a_near[0, 0, 0] = 201  # one-pixel wiggle
+    b = np.zeros((6, 8, 3), dtype=np.uint8)
+    b[..., 2] = 220  # blue shot: a hard cut
+    black = np.zeros((6, 8, 3), dtype=np.uint8)
+
+    avi1 = _make_avi([a, a, a_near, b], codec="dib")
+    avi2 = _make_avi([black, black, b], codec="dib")
+    df = spark.createDataFrame(
+        [(1, avi1), (2, avi2)], "media_id long, payload binary"
+    )
+    kept = sorted(
+        (r["media_id"], r["frame_idx"])
+        for r in dedup_consecutive_frames(decode_frames(df)).collect()
+    )
+    # media 1: exact dup (1) and near dup (2) dropped, cut (3) kept
+    # media 2: black run collapses despite undefined cosine
+    assert kept == [(1, 0), (1, 3), (2, 0), (2, 2)]
