@@ -32,11 +32,13 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from parquet_pipeline_spark import tables
 from parquet_pipeline_spark.registry import register
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # cached handle (schema + listing), not cached data — see tables.py
+    return tables.table(spark, sf_dir, "documents")
 
 
 def explode_spans(

@@ -26,6 +26,7 @@ import os
 
 import logging
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -33,6 +34,7 @@ from pyspark.sql import types as T
 logger = logging.getLogger(__name__)
 
 from parquet_pipeline_spark.functions import char_ngrams, jaccard, cosine_similarity
+from parquet_pipeline_spark import tables
 from parquet_pipeline_spark.registry import register
 
 
@@ -45,11 +47,13 @@ def _nonzero_vec(vec_col: str) -> Column:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # cached handle (schema + listing), not cached data — see tables.py
+    return tables.table(spark, sf_dir, "documents")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # cached handle (schema + listing), not cached data — see tables.py
+    return tables.table(spark, sf_dir, "embeddings")
 
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
@@ -235,19 +239,31 @@ def minhash_sig_table(
 
     exploded = df.select(F.col(id_col), F.explode_outer(grams).alias("_g"))
 
-    def seed_hash(i: int) -> Column:
+    # Aggregates are built as ONE SQL-parsed expression each instead
+    # of ~8 nested Column-API calls (r16 optimization, the a08 r11
+    # "JVM-side literal" precedent): every Column call is a py4j
+    # round-trip costing ~4 ms on the bench box, so 32 seeds built
+    # via F.min(F.when(...F.xxhash64(...))) cost ~0.9 s of plan-
+    # construction time PER QUERY BUILD — pure driver latency, zero
+    # executor work. The strings parse to byte-identical expressions
+    # (pinned by the exceptAll equality tests in tests/test_dedup.py):
+    # CASE WHEN _g IS NOT NULL guards the NULL-gram min exactly as
+    # the F.when form did.
+    def seed_hash_sql(i: int) -> str:
         if hash_fn == "md5":
-            e = _md5_long(F.concat_ws("_", F.col("_g"), F.lit(str(i))))
+            e = (
+                f"CAST(conv(substring(md5(CAST(concat_ws('_', _g, '{i}') "
+                f"AS BINARY)), 1, 8), 16, 10) AS BIGINT)"
+            )
         else:
-            e = F.xxhash64(F.col("_g"), F.lit(i))
-        # guard: a NULL gram (explode_outer of an empty/null shingle
-        # array) must yield a NULL min, matching the HOF formulation
-        # where array_min over a null array is null — xxhash64/md5
-        # of NULL would otherwise manufacture a non-null value
-        return F.when(F.col("_g").isNotNull(), e)
+            e = f"xxhash64(_g, {i})"
+        return f"min(CASE WHEN _g IS NOT NULL THEN {e} END)"
 
     return exploded.groupBy(id_col).agg(
-        *[F.min(seed_hash(i)).alias(f"_h{i}") for i in range(num_hashes)]
+        *[
+            F.expr(seed_hash_sql(i)).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
     )
 
 
@@ -308,21 +324,28 @@ def banded_minhash(
             hash_fn=hash_fn,
         )
     )
-    sig = F.array(*[F.col(f"_h{i}") for i in range(num_hashes)])
-
-    def band_hash(b):
-        sl = F.slice(F.col("sig"), b * rows_per_band + 1, F.lit(rows_per_band))
-        if hash_fn == "md5":
-            # hash the comma-joined decimal rendering — reproducible
-            # as array_to_string(...) in the DuckDB oracle
-            return _md5_long(
-                F.concat_ws(",", F.transform(sl, lambda x: x.cast("string")))
-            )
-        return F.xxhash64(sl)
-
-    band_structs = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(b.alias("band_id"), band_hash(b).alias("band_hash")),
+    # One SQL-parsed expression for the array/band construction
+    # instead of ~50 Column-API py4j round-trips (~4 ms each on the
+    # bench box) — identical expressions, pure plan-build-time win
+    # (the minhash_sig_table rationale; equality pinned by the
+    # exceptAll tests in tests/test_dedup.py).
+    sig = F.expr(
+        "array(" + ",".join(f"_h{i}" for i in range(num_hashes)) + ")"
+    )
+    sl = f"slice(sig, b * {rows_per_band} + 1, {rows_per_band})"
+    if hash_fn == "md5":
+        # hash the comma-joined decimal rendering — reproducible
+        # as array_to_string(...) in the DuckDB oracle
+        bh = (
+            f"CAST(conv(substring(md5(CAST(concat_ws(',', "
+            f"transform({sl}, x -> CAST(x AS STRING))) AS BINARY)), "
+            f"1, 8), 16, 10) AS BIGINT)"
+        )
+    else:
+        bh = f"xxhash64({sl})"
+    band_structs = F.expr(
+        f"transform(sequence(0, {bands - 1}), "
+        f"b -> named_struct('band_id', b, 'band_hash', {bh}))"
     )
     return (
         per_doc.select(F.col(id_col), sig.alias("sig"))
@@ -405,13 +428,29 @@ def lsh_candidate_pairs(
     # only ever enumerated *inside* a bucket. (A self-join would
     # recompute the whole minhash pipeline for both sides.) The
     # row_number cap below bounds what collect_set holds per task;
-    # its window partitions on the same key the groupBy shuffles on,
-    # so Catalyst reuses one exchange for both.
+    # its window partitions on the same key the groupBy shuffles on.
     w_bucket = W.partitionBy("band_id", "band_hash").orderBy(id_col)
     # _min_id rides the same window (running first == partition min
     # under this ordering) — one WindowExec computes both columns.
-    ranked = banded.withColumn("_rn", F.row_number().over(w_bucket)).withColumn(
-        "_min_id", F.first(id_col).over(w_bucket)
+    #
+    # PERSISTED (r16 optimization, guide §2.4): the head and overflow
+    # branches were meant to share one exchange via ReuseExchange,
+    # but Spark 3.5+'s rank-filter pushdown inserts a map-side
+    # WindowGroupLimit under the HEAD branch's exchange only (the
+    # overflow filter `_rn > cap` is not a group limit), so the two
+    # exchange subtrees stop being canonical-equal and the ENTIRE
+    # minhash pipeline — shingle explode, num_hashes min-aggregates,
+    # band explode, bucket shuffle — ran twice (plan-audited: two
+    # full HashAggregate+Exchange chains under the Union at r16
+    # start). Materializing the ranked projection once makes both
+    # branches cache reads: rows are (id, band_id, band_hash, _rn,
+    # _min_id) ≈ 40 B × bands per doc — far smaller than the text
+    # being re-shingled; MEMORY_AND_DISK so oversized corpora spill
+    # instead of failing (the grams-projection convention).
+    ranked = (
+        banded.withColumn("_rn", F.row_number().over(w_bucket))
+        .withColumn("_min_id", F.first(id_col).over(w_bucket))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     buckets = (
         ranked.filter(F.col("_rn") <= bucket_cap)
@@ -419,16 +458,12 @@ def lsh_candidate_pairs(
         .agg(F.collect_set(id_col).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    pairs_in_bucket = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("ids"),
-                lambda a: F.transform(
-                    F.col("ids"), lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))
-                ),
-            )
-        ),
-        lambda p: p["id_a"] < p["id_b"],
+    # one SQL parse instead of ~15 Column-API py4j round-trips
+    # (identical expression; the minhash_sig_table rationale)
+    pairs_in_bucket = F.expr(
+        "filter(flatten(transform(ids, a -> transform(ids, "
+        "b -> named_struct('id_a', a, 'id_b', b)))), "
+        "p -> p.id_a < p.id_b)"
     )
     head_pairs = buckets.select(F.explode(pairs_in_bucket).alias("p")).select(
         "p.id_a", "p.id_b"
@@ -519,21 +554,26 @@ def minhash_near_dups(
         # exact-equal-to-plain-verify; the measured candidate-rate /
         # recall / wall-time curve at sf5 lives in BENCH_NOTES
         # §d03 banding-precision lever.
-        sa = sigs.select(
-            F.col(id_col).alias("id_a"),
-            *[F.col(f"_h{i}").alias(f"_ha{i}") for i in range(num_hashes)],
+        # selectExpr / F.expr: one SQL parse instead of ~100 Column-
+        # API py4j round-trips each (the minhash_sig_table rationale;
+        # identical expressions — `<=>` IS eqNullSafe)
+        sa = sigs.selectExpr(
+            f"{id_col} AS id_a",
+            *[f"_h{i} AS _ha{i}" for i in range(num_hashes)],
         )
-        sb = sigs.select(
-            F.col(id_col).alias("id_b"),
-            *[F.col(f"_h{i}").alias(f"_hb{i}") for i in range(num_hashes)],
+        sb = sigs.selectExpr(
+            f"{id_col} AS id_b",
+            *[f"_h{i} AS _hb{i}" for i in range(num_hashes)],
         )
         # eqNullSafe: degenerate all-NULL signatures (empty/null text)
         # estimate 1.0 against each other and reach the exact verify,
         # which rejects them the same way the unprefiltered path does
         # (jaccard of empty gram sets is NULL)
-        matches = sum(
-            F.when(F.col(f"_ha{i}").eqNullSafe(F.col(f"_hb{i}")), 1).otherwise(0)
-            for i in range(num_hashes)
+        matches = F.expr(
+            " + ".join(
+                f"(CASE WHEN _ha{i} <=> _hb{i} THEN 1 ELSE 0 END)"
+                for i in range(num_hashes)
+            )
         )
         cands = (
             cands.join(sa, "id_a")
@@ -2052,7 +2092,7 @@ def d08_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01 (the oracle's cents CTE is the 8 lowest ids); scale usage
     grows n_centroids with the corpus — that policy is what d09
     exercises."""
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = tables.table(spark, sf_dir, "embeddings")
     return semdedup_pairs(emb, n_centroids=8, threshold=0.30)
 
 
@@ -2078,7 +2118,7 @@ def d09_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fixed coarse cells, cell-local fine centroids; measured
     3.7×/2.6× faster at sf1/sf5 with ~15% boundary-pair recall
     trade, BENCH_NOTES r6)."""
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = tables.table(spark, sf_dir, "embeddings")
     n = emb.count()
     return semdedup_pairs(emb, n_centroids=max(n // 64, 8), threshold=0.30)
 

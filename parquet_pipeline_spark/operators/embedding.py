@@ -152,6 +152,7 @@ def sanitize_collection_name(name: str) -> str:
 # component via list comprehensions; the REAL casts mirror the
 # float32 storage of the embedding column.
 def _register():
+    from parquet_pipeline_spark import tables
     from parquet_pipeline_spark.registry import register
 
     @register(
@@ -184,7 +185,7 @@ def _register():
         """,
     )
     def e01_embed_documents(spark, sf_dir: str) -> DataFrame:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        docs = tables.table(spark, sf_dir, "documents").filter(
             F.col("doc_id") < 100
         )
         emb = embed_text(docs, "text", "doc_id", embedder=hash_embedder(16), dim=16)

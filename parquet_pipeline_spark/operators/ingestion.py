@@ -40,6 +40,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from parquet_pipeline_spark import tables
 from parquet_pipeline_spark.registry import register
 from parquet_pipeline_spark.scratch import scratch_dir
 from parquet_pipeline_spark.sources.readers import read_any, read_excel_sheets
@@ -58,7 +59,7 @@ def _slice_rows(spark: SparkSession, sf_dir: str, lo: int, hi: int) -> list[tupl
     from 0), and the collect IS the operator — a single input file is
     fabricated on the driver exactly like the reference produces it."""
     assert hi - lo <= 200
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = tables.table(spark, sf_dir, "documents")
     return [
         (r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"])
         for r in docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
@@ -320,7 +321,7 @@ def i07_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     zstd parquet sink → read-back. Closes the last official-record
     gap on the read_any dispatch table alongside i01–i06
     (VERDICT r9 item 3)."""
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+    docs = tables.table(spark, sf_dir, "documents").select(
         *_CANONICAL
     )
     tmp = scratch_dir("i07_orc_")
@@ -395,7 +396,7 @@ def i09_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     reference user gains)."""
     from parquet_pipeline_spark.sources.readers import read_parquet_evolved
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+    docs = tables.table(spark, sf_dir, "documents").select(
         *_CANONICAL
     )
     tmp = scratch_dir("i09_evolve_")
@@ -434,7 +435,7 @@ def i10_resilient_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_sources."""
     from parquet_pipeline_spark.sources.readers import read_parquet_resilient
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+    docs = tables.table(spark, sf_dir, "documents").select(
         *_CANONICAL
     )
     tmp = scratch_dir("i10_resilient_")
@@ -487,7 +488,7 @@ def i05_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the operator shape Delta/Iceberg/Hudi implement with metadata;
     reference analog: the INSERT INTO append path,
     duckdb_util.py:315-317, which has no replace semantics at all)."""
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+    docs = tables.table(spark, sf_dir, "documents").select(
         *_CANONICAL
     )
     from parquet_pipeline_spark.sources.writers import upsert_parquet

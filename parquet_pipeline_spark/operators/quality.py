@@ -20,6 +20,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from parquet_pipeline_spark import tables
 from parquet_pipeline_spark.registry import register
 
 Rule = tuple
@@ -115,7 +116,7 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """,
 )
 def q56_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    orders = tables.table(spark, sf_dir, "orders")
     return validate(
         orders,
         [
@@ -188,7 +189,7 @@ def q94_quarantine_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quarantine triage report: how many rows violate which rule
     combinations (the quarantined side of quarantine_split,
     aggregated by reason set)."""
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li = tables.table(spark, sf_dir, "lineitem")
     _clean, bad = quarantine_split(
         li,
         [

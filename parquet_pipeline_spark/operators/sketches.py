@@ -16,11 +16,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from parquet_pipeline_spark import tables
 from parquet_pipeline_spark.registry import register
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # cached handle (schema + listing), not cached data — see tables.py
+    return tables.table(spark, sf_dir, name)
 
 
 @register("a02_approx_distinct")  # rows-only: HLL values are engine-specific

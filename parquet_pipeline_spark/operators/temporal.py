@@ -26,6 +26,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from parquet_pipeline_spark import tables
 from parquet_pipeline_spark.registry import register
 
 
@@ -493,7 +494,7 @@ def interval_overlap_join(
 )
 def x06_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = (
-        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        tables.table(spark, sf_dir, "orders")
         .filter(F.col("o_custkey") < 200)
         .select(
             "o_custkey",

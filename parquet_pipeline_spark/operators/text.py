@@ -28,11 +28,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from parquet_pipeline_spark.functions import word_shingles, word_tokens
+from parquet_pipeline_spark import tables
 from parquet_pipeline_spark.registry import register
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # cached handle (schema + listing), not cached data — see tables.py
+    return tables.table(spark, sf_dir, "documents")
 
 
 # ---------------------------------------------------------------------------

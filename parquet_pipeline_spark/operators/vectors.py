@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from parquet_pipeline_spark.functions import cosine_similarity, dot, l2_norm
+from parquet_pipeline_spark import tables
 from parquet_pipeline_spark.registry import register
 
 logger = logging.getLogger(__name__)
@@ -70,7 +71,8 @@ def _drop_zero_queries(query_rows: list, op: str) -> list:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # cached handle (schema + listing), not cached data — see tables.py
+    return tables.table(spark, sf_dir, "embeddings")
 
 
 def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0):
@@ -476,7 +478,7 @@ def v05_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _query_vector(spark, sf_dir, vec_id=0)
     emb = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
     hits = topk(emb, qv, k=5).select("vec_id", F.round("score", 6).alias("score"))
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = tables.table(spark, sf_dir, "documents")
     return hits.join(docs, hits.vec_id == docs.doc_id).select(
         "vec_id",
         "score",
