@@ -35,6 +35,7 @@ checked against brute force in tests/test_vectors.py.
 from __future__ import annotations
 
 import logging
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -98,7 +99,22 @@ def scored(df: DataFrame, query_vec: list[float], out: str = "score") -> DataFra
     (or a zero-norm query) score NULL — try_divide, not `/`, so one
     degenerate vector can't abort the job under ANSI mode."""
     qnorm = sum(v * v for v in query_vec) ** 0.5
-    q = F.array(*[F.lit(v) for v in query_vec])
+    # ONE SQL-parsed array literal instead of 2 py4j round-trips per
+    # element (~0.5 s of driver time per plan build for a 64-dim
+    # query on the bench box — r16; the a08 JVM-literal precedent).
+    # repr() is the shortest round-trip decimal rendering, so the
+    # parsed doubles are bit-identical to F.lit(v). Non-finite
+    # components (nan/inf from a dirty embedding) have no SQL
+    # literal — fall back to the per-element form for those rare
+    # queries rather than mis-parse.
+    if all(math.isfinite(float(v)) for v in query_vec):
+        q = F.expr(
+            "array("
+            + ",".join(f"CAST({float(v)!r} AS DOUBLE)" for v in query_vec)
+            + ")"
+        )
+    else:
+        q = F.array(*[F.lit(float(v)) for v in query_vec])
     return df.withColumn(
         out,
         F.try_divide(
