@@ -35,7 +35,13 @@ def with_provenance(df: DataFrame, tag: str, col: str = "__TABLE__") -> DataFram
 def to_markdown(df: DataFrame, max_rows: int = 20) -> str:
     """Bounded markdown rendering (A19). Uses pandas' to_markdown
     when tabulate is present; falls back to a plain pipe table."""
-    pdf = df.limit(max_rows).toPandas()
+    return _pdf_markdown(df.limit(max_rows).toPandas())
+
+
+def _pdf_markdown(pdf) -> str:
+    """Markdown for an already-fetched pandas frame (shared by
+    ``to_markdown`` and ``summarize_result`` so the latter renders
+    from its one fetch instead of running a second Spark job)."""
     try:
         return pdf.to_markdown(index=False)
     except ImportError:
@@ -69,12 +75,15 @@ def summarize_result(question: str, df: DataFrame, max_rows: int = 10) -> str:
     error-frame phrasing preserved."""
     if is_error_frame(df):
         return "No data found or error occurred"
-    rows = df.limit(max_rows + 1).collect()
-    n_shown = min(len(rows), max_rows)
-    more = " and more" if len(rows) > max_rows else ""
+    # ONE fetch of max_rows+1 serves both the row count and the
+    # markdown sample (r16, guide §5: this ran the result query twice
+    # — a collect for the count, then to_markdown's own toPandas job)
+    pdf = df.limit(max_rows + 1).toPandas()
+    n_shown = min(len(pdf), max_rows)
+    more = " and more" if len(pdf) > max_rows else ""
     cols = ", ".join(df.columns)
     return (
         f"Question: {question}\n"
         f"Result: {n_shown} row(s){more} with columns [{cols}].\n"
-        f"{to_markdown(df, max_rows)}"
+        f"{_pdf_markdown(pdf.head(max_rows))}"
     )

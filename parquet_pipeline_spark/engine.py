@@ -46,6 +46,13 @@ class Engine:
         self.catalog = Catalog(spark)
         self._embeddings: DataFrame | None = None
         self._documents: DataFrame | None = None
+        # ask()-path views cache (r16): key = catalog (name, path)
+        # snapshot, value = {name: DataFrame} resolved once. Temp
+        # views are registered by the catalog at attach/ingest time;
+        # resolving + re-registering them on every question cost
+        # ~0.3 s of pure driver/py4j work per ask().
+        self._views_key: tuple | None = None
+        self._views_cache: dict[str, DataFrame] = {}
 
     @classmethod
     def local(cls, **kwargs) -> "Engine":
@@ -112,15 +119,22 @@ class Engine:
 
     # -- query (reference: run_rag_pipeline) ---------------------------
     def ask(self, question: str) -> QueryResult:
-        views = {name: self.catalog.df(name) for name in self.catalog.tables}
+        key = tuple(sorted((n, e.path) for n, e in self.catalog.tables.items()))
+        if key != self._views_key:
+            self._views_cache = {
+                name: self.catalog.df(name) for name in self.catalog.tables
+            }
+            self._views_key = key
         return run_query_pipeline(
             self.spark,
             question,
-            views,
+            self._views_cache,
             client=self.client,
             embeddings=self._embeddings,
             documents=self._documents,
             table_col="source_table",
+            # the catalog registered every view at attach/ingest time
+            preregistered=True,
         )
 
 

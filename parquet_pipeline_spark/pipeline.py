@@ -154,6 +154,7 @@ def run_query_pipeline(
     embedder=None,
     table_col: str = "source_table",
     semantic_threshold: float = 0.5,
+    preregistered: bool = False,
 ) -> QueryResult:
     """The reference's RAG query loop, Spark-first and keyless-safe.
 
@@ -161,9 +162,15 @@ def run_query_pipeline(
     ``embeddings``/``documents``: optional semantic layer — when a
     sub-query routes to SEMANTIC_SEARCH, retrieval narrows the table
     set (A49) and injects attributed context.
+    ``preregistered``: the caller guarantees every entry in ``views``
+    is ALREADY live as a temp view under its key on this session
+    (the Engine's catalog registers views at attach/ingest time), so
+    the re-registration loop — ~20 ms of py4j per view, paid per
+    question — is skipped (r16, guide §5 driver costs).
     """
-    for name, df in views.items():
-        df.createOrReplaceTempView(name)
+    if not preregistered:
+        for name, df in views.items():
+            df.createOrReplaceTempView(name)
     catalog = _catalog_columns(views)
     res = QueryResult(question=question)
     if not views:
@@ -233,7 +240,14 @@ def run_query_pipeline(
             # can use exact retrieved values
             schema_ctx = f"{schema_ctx}\n\nSemantic context:\n{semantic_context}"
         first = next(iter(selected.values()))
-        sample_md = to_markdown(sample_head(first, 10))
+        # The 10-row sample feeds the LLM prompt only; the keyless
+        # fallback grammar never reads it, so don't pay a Spark job
+        # per sub-query to fetch context nobody consumes (r16, guide
+        # §5: driver-side work on the query path). With a client the
+        # sample is fetched exactly as before.
+        sample_md = (
+            to_markdown(sample_head(first, 10)) if client is not None else ""
+        )
         sql = generate_sql(sub, sql_tables, client, schema_ctx, sample_md)
         res.sql[sub] = sql
         res.results[sub] = run_sql_safe(spark, sql)

@@ -52,6 +52,23 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r16 (guide §2.2/§2.4): let AQE re-partition stages that READ
+        # a persisted plan. Default false pins every cache consumer to
+        # the cached plan's output partitioning, so the multi-stage
+        # dedup pipelines (grams/ranked persists in dedup.py) ran each
+        # post-cache shuffle at the full spark.sql.shuffle.partitions
+        # even when the cache holds a few thousand rows — pure per-task
+        # scheduling overhead locally, and at cluster scale it blocks
+        # AQE coalescing/skew-splitting for the same stages. Interleaved
+        # A/B on d03 (5 pairs, sf0.1): 2.22 -> 1.83 s median, true won
+        # every pair. Trade-off (why Spark defaults it off): a cached
+        # plan's output partitioning can no longer be relied on for
+        # exchange reuse across consumers — none of our cache consumers
+        # do that (they re-shuffle on different keys downstream).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config(
