@@ -364,22 +364,39 @@ def q66_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_late"
         ),
     )
-    # two-level aggregation, both satisfied by the join's
-    # l_orderkey partitioning (no further shuffle): per-(order,
-    # supplier) late-row counts, then per-order supplier counts.
-    # Partial (map-side) aggregation shrinks data before any
-    # exchange — unlike a collect_set window, which buffers whole
-    # partitions. A qualifying order has exactly one distinct late
-    # supplier, so MAX over the late suppliers IS that supplier and
-    # no join back to the detail rows is needed.
-    per_os = flagged.groupBy("l_orderkey", "l_suppkey").agg(
-        F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("late_rows")
-    )
-    per_order = per_os.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum((F.col("late_rows") > 0).cast("int")).alias("n_late_supp"),
-        F.max(F.when(F.col("late_rows") > 0, F.col("l_suppkey"))).alias("l_suppkey"),
-        F.sum("late_rows").alias("n_late_rows"),
+    # ONE aggregation keyed by l_orderkey (r16, guide §2.4): the old
+    # two-level form — groupBy(l_orderkey, l_suppkey) then
+    # groupBy(l_orderkey) — paid TWO exchanges whenever the upstream
+    # join doesn't deliver l_orderkey partitioning (at bench scale the
+    # orders join is a broadcast, so the pair agg shuffled on
+    # (l_orderkey, l_suppkey) and the order agg re-shuffled on
+    # l_orderkey; plans/r16/q66_* before/after: 3 Exchange → 2).
+    # collect_list ships the same bytes the pair rows did (~10 B of
+    # (suppkey, is_late) per lineitem row vs ~24 B per mostly-unique
+    # pair), the per-order arrays are order-size-bounded (TPC-H ≤ 7
+    # lineitems/order — no collect blow-up), and the distinct/late
+    # supplier counts fold out of the array with order-insensitive
+    # HOF expressions, so collect_list's nondeterministic ordering
+    # cannot reach the result. When the join IS l_orderkey-partitioned
+    # (the 100-TB sort-merge plan) this aggregation still reuses that
+    # partitioning exactly as the two-level form did.
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("l_suppkey", "is_late")).alias("_rows")
+    ).select(
+        "l_orderkey",
+        F.expr("size(array_distinct(transform(_rows, r -> r.l_suppkey)))").alias(
+            "n_supp"
+        ),
+        F.expr(
+            "size(array_distinct(transform(filter(_rows, r -> r.is_late), "
+            "r -> r.l_suppkey)))"
+        ).alias("n_late_supp"),
+        F.expr(
+            "array_max(transform(filter(_rows, r -> r.is_late), r -> r.l_suppkey))"
+        ).alias("l_suppkey"),
+        F.expr("size(filter(_rows, r -> r.is_late))").cast("long").alias(
+            "n_late_rows"
+        ),
     )
     qual = per_order.filter(
         (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
