@@ -69,21 +69,23 @@ HEADLINE = [
 # full-suite composition at that sf — BENCH_NOTES §Methodology:
 # subset runs are not comparable); omitted otherwise.
 #
-# Bases are the r12 recalibration campaign's medians (4 burst-clean
-# solo runs; BENCH_NOTES §r12 recalibration). The original r5 bases
-# stopped co-moving with the suite for TWO reasons the campaign
-# separated: nonuniform box drift, and r11 CODE wins inside the pin
-# set itself (q01 0.473→0.322, q08 0.916→0.772 are real plan
-# improvements — dividing by their old bases penalized them).
+# Bases are the r16 recalibration campaign's medians (3 burst-clean
+# solo runs; BENCH_NOTES §r16 recalibration). The r12 bases were
+# invalidated by the r16 optimization round's CODE wins inside the
+# pin set itself (table-handle memo + SQL-parsed expression building
+# sped up all five pins: q01 0.322→0.226, q08 0.772→0.433 are real
+# plan/driver improvements — dividing by the r12 bases made them
+# read as "fast box" and inflated value_normalized, factor 0.61 on a
+# quiet idle box).
 # Standing rule: a code change that touches a pin query's plan
 # invalidates that pin's base — re-derive it in the same round or
 # the factor starts measuring the diff instead of the box.
 CALIBRATION_PINS = {
-    "q01_pricing_summary": 0.322,
-    "q08_join_multiway": 0.772,
-    "d01_exact_dedup": 0.234,
-    "t05_token_count": 0.195,
-    "v01_cosine_topk": 0.409,
+    "q01_pricing_summary": 0.226,
+    "q08_join_multiway": 0.433,
+    "d01_exact_dedup": 0.161,
+    "t05_token_count": 0.134,
+    "v01_cosine_topk": 0.251,
 }
 
 # sf5 pin set (VERDICT r8 item 2): the sf0.1 pins only probe the
@@ -100,6 +102,10 @@ CALIBRATION_PINS_BY_SF = {
     # runs at .scaledata/sf5 (BENCH_NOTES §r12 recalibration). The r9
     # bases carried the pre-r11 q01/q08/v01 plans; the same code wins
     # that invalidated the sf0.1 pins invalidated these.
+    # NOTE (r16): the r16 code wins invalidate these too (same five
+    # queries); the sf5 re-derivation campaign is deferred to the
+    # next round (BENCH_NOTES §r16 recalibration) — treat sf5
+    # value_normalized as stale-based until then, read sf5 raw.
     5.0: {
         "q01_pricing_summary": 1.397,
         "q08_join_multiway": 8.561,
@@ -115,7 +121,12 @@ CALIBRATION_PINS_BY_SF = {
 # record is self-describing — a reader never has to guess which
 # band generation a value_normalized belongs to.
 NORMALIZED_BAND_BY_SF = {
-    0.1: (11.3, 14.4),
+    # sf0.1: r16 campaign (3 burst-clean solo runs; BENCH_NOTES §r16
+    # recalibration). The r12 band was 11.3–14.4; the drop is the r16
+    # optimization round's measured code win, not a box change.
+    0.1: (8.3, 9.48),
+    # sf5: still the r12 band — stale alongside the sf5 pins (see
+    # CALIBRATION_PINS_BY_SF note); re-derived next round.
     5.0: (56.2, 68.5),
 }
 
