@@ -31,6 +31,17 @@ BLOOM_K = 4
 _WORDS = BLOOM_BITS // 64
 
 
+def _positions_sql(key_sql: str, k: int) -> list[str]:
+    """SQL-text twin of ``_positions`` — parses to the identical
+    expressions (xxhash64 seeds: ``-1`` is an INT literal exactly
+    like ``F.lit(-1)``, so the hashes match byte-for-byte; pinned by
+    test_bloom_prejoin_matches_plain_join + the a08 oracle row).
+    Kept next to ``_positions`` so the two stay in lockstep."""
+    h1 = f"pmod(xxhash64({key_sql}), {BLOOM_BITS})"
+    h2 = f"(pmod(xxhash64(-1, {key_sql}), {BLOOM_BITS}) | 1)"
+    return [f"pmod({h1} + {i} * {h2}, {BLOOM_BITS})" for i in range(k)]
+
+
 def _positions(key: Column, k: int) -> list[Column]:
     """k bit positions via Kirsch–Mitzenmaier double hashing:
     pos_i = (h1 + i·h2) mod m from TWO xxhash64 evaluations instead
@@ -124,10 +135,36 @@ def bloom_prejoin(
             f"left_semi joins; got how={how!r} (outer joins must keep "
             "unmatched fact rows that the Bloom prefilter removes)"
         )
-    bitmap = build_bloom(dim, dim_key, k)
-    pre = (
-        with_bloom_hit(fact, bitmap, fact_key, k)
-        .filter(F.col("_bloom_hit"))
-        .drop("_bloom_hit")
+    # r16 round 2 (guide §3.2, the runtime-filter shape): the bitmap
+    # is built INSIDE the probe plan as an uncorrelated scalar
+    # subquery — the same shape Spark's own runtime Bloom filter
+    # injects (bloom_filter_agg + might_contain, SPARK-32268) —
+    # instead of ``build_bloom``'s separate collect() job. Same
+    # aggregation, same bitmap values (holes filled with 0 exactly
+    # like the driver-side word loop), but: no py4j collect round
+    # trip, no Python-side job boundary (one action runs subquery +
+    # probe + join), and the driver never blocks mid-plan-build.
+    # The subquery result is evaluated once per action and embedded
+    # as a constant in codegen, so the probe predicate is the same
+    # literal-array long arithmetic as before (k textual copies of
+    # the subquery dedupe via ReuseSubquery). ``build_bloom`` +
+    # ``with_bloom_hit`` remain the explicit-bitmap API for callers
+    # that genuinely need a materialized filter (the streaming
+    # prefilter builds it once per epoch, outside any single plan).
+    spark = fact.sparkSession
+    arr_sql = (
+        f"(SELECT transform(sequence(0, {_WORDS - 1}), "
+        "i -> coalesce(m[i], CAST(0 AS BIGINT))) "
+        "FROM (SELECT map_from_entries(collect_list(struct(w, word))) AS m "
+        "FROM (SELECT CAST(p / 64 AS INT) AS w, "
+        "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))) AS word "
+        f"FROM (SELECT explode(array({','.join(_positions_sql(dim_key, k))})) AS p "
+        "FROM {dim}) GROUP BY w)))"
     )
+    cond = " AND ".join(
+        f"getbit(element_at({arr_sql}, CAST({p} / 64 AS INT) + 1), "
+        f"CAST({p} % 64 AS INT)) = 1"
+        for p in _positions_sql(fact_key, k)
+    )
+    pre = spark.sql("SELECT * FROM {fact} WHERE " + cond, fact=fact, dim=dim)
     return pre.join(dim, pre[fact_key] == dim[dim_key], how)

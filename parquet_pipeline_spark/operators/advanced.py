@@ -147,40 +147,42 @@ def q62_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q63_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    # where(str)/selectExpr/F.expr join conditions: the Column-API
+    # form built this plan in ~600 py4j round-trips (tools/
+    # py4j_count.py); the string forms parse server-side to the
+    # identical expressions in ~150 (r16 round 2). All column names
+    # across the six tables are distinct, so name-resolved equi-join
+    # conditions bind exactly like the qualified-column form did.
+    cust = _t(spark, sf_dir, "customer").selectExpr("c_custkey", "c_nationkey")
     orders = (
         _t(spark, sf_dir, "orders")
-        .filter(
-            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        .where(
+            "o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01'"
         )
-        .select("o_orderkey", "o_custkey")
+        .selectExpr("o_orderkey", "o_custkey")
     )
-    li = _t(spark, sf_dir, "lineitem").select(
+    li = _t(spark, sf_dir, "lineitem").selectExpr(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
-    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    supp = _t(spark, sf_dir, "supplier").selectExpr("s_suppkey", "s_nationkey")
     nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    region = _t(spark, sf_dir, "region").where("r_name = 'ASIA'")
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
+        cust.join(orders, F.expr("c_custkey = o_custkey"))
+        .join(li, F.expr("o_orderkey = l_orderkey"))
         # supplier scales with SF (10k rows × sf) — forcing a broadcast
         # OOMs at the 100-TB design point. Nation/region below are
         # fixed-size dims, so those hints stay; supplier is left to
         # AQE/statistics, which still broadcasts it when small.
-        .join(
-            supp,
-            (li.l_suppkey == supp.s_suppkey)
-            & (cust.c_nationkey == supp.s_nationkey),
-        )
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(supp, F.expr("l_suppkey = s_suppkey AND c_nationkey = s_nationkey"))
+        .join(F.broadcast(nation), F.expr("s_nationkey = n_nationkey"))
+        .join(F.broadcast(region), F.expr("n_regionkey = r_regionkey"))
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.expr(
+                "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue"
+            )
         )
         .orderBy(F.col("revenue").desc(), "n_name")
     )
@@ -346,23 +348,25 @@ def t09_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q66_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    # string-form plan build (r16 round 2): ~590 py4j round-trips →
+    # ~150; identical expressions, pinned by the q66 oracle row
+    li = _t(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
     orders = (
         _t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderstatus") == "F")
-        .select("o_orderkey", "o_orderdate")
+        .where("o_orderstatus = 'F'")
+        .selectExpr("o_orderkey", "o_orderdate")
     )
     # inner join is sufficient even though EXISTS ranges over ALL
     # lineitem rows: a qualifying row's order is 'F' by construction,
     # so every row the EXISTS could probe lives on an 'F' order too —
     # non-'F' orders can contribute neither late rows nor witnesses,
     # and the join prunes them before the shuffle
-    flagged = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+    flagged = li.join(orders, F.expr("l_orderkey = o_orderkey")).selectExpr(
         "l_orderkey",
         "l_suppkey",
-        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias(
-            "is_late"
-        ),
+        "(l_shipdate > o_orderdate + INTERVAL 60 DAYS) AS is_late",
     )
     # ONE aggregation keyed by l_orderkey (r16, guide §2.4): the old
     # two-level form — groupBy(l_orderkey, l_suppkey) then
@@ -381,31 +385,24 @@ def q66_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the 100-TB sort-merge plan) this aggregation still reuses that
     # partitioning exactly as the two-level form did.
     per_order = flagged.groupBy("l_orderkey").agg(
-        F.collect_list(F.struct("l_suppkey", "is_late")).alias("_rows")
-    ).select(
+        F.expr("collect_list(struct(l_suppkey, is_late)) AS _rows")
+    ).selectExpr(
         "l_orderkey",
-        F.expr("size(array_distinct(transform(_rows, r -> r.l_suppkey)))").alias(
-            "n_supp"
-        ),
-        F.expr(
-            "size(array_distinct(transform(filter(_rows, r -> r.is_late), "
-            "r -> r.l_suppkey)))"
-        ).alias("n_late_supp"),
-        F.expr(
-            "array_max(transform(filter(_rows, r -> r.is_late), r -> r.l_suppkey))"
-        ).alias("l_suppkey"),
-        F.expr("size(filter(_rows, r -> r.is_late))").cast("long").alias(
-            "n_late_rows"
-        ),
+        "size(array_distinct(transform(_rows, r -> r.l_suppkey))) AS n_supp",
+        "size(array_distinct(transform(filter(_rows, r -> r.is_late), "
+        "r -> r.l_suppkey))) AS n_late_supp",
+        "array_max(transform(filter(_rows, r -> r.is_late), r -> r.l_suppkey)) "
+        "AS l_suppkey",
+        "CAST(size(filter(_rows, r -> r.is_late)) AS BIGINT) AS n_late_rows",
     )
-    qual = per_order.filter(
-        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
-    ).select("l_suppkey", "n_late_rows")
-    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    qual = per_order.where("n_supp >= 2 AND n_late_supp = 1").selectExpr(
+        "l_suppkey", "n_late_rows"
+    )
+    supp = _t(spark, sf_dir, "supplier").selectExpr("s_suppkey", "s_name")
     return (
-        qual.join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        qual.join(supp, F.expr("l_suppkey = s_suppkey"))
         .groupBy("s_name")
-        .agg(F.sum("n_late_rows").cast("long").alias("numwait"))
+        .agg(F.expr("CAST(sum(n_late_rows) AS BIGINT) AS numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )

@@ -52,24 +52,23 @@ def explode_spans(
     The trailing partial span (< N words) is kept as its own span so
     reassembly is lossless.
     """
-    words = F.split(F.col(text_col), " ")
-    with_words = df.select(
-        F.col(id_col),
-        words.alias("_words"),
-        F.ceil(F.size(words) / F.lit(span_words)).cast("int").alias("_n"),
-    )
-    idx = F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("span_idx")
-    return with_words.select(F.col(id_col), F.col("_words"), idx).select(
-        F.col(id_col),
-        F.col("span_idx"),
-        F.array_join(
-            F.slice(
-                F.col("_words"),
-                F.col("span_idx") * span_words + 1,
-                span_words,
-            ),
-            " ",
-        ).alias("span"),
+    # string-form plan build (r16 round 2): the Column-API chain cost
+    # ~570 py4j round-trips per t18 build (tools/py4j_count.py);
+    # these parse server-side to the identical expressions (pinned by
+    # the t18/t20/t23 oracle rows + the span_dedup property tests)
+    return (
+        df.selectExpr(
+            id_col,
+            f"split({text_col}, ' ') AS _words",
+            f"CAST(ceil(size(split({text_col}, ' ')) / {span_words}) AS INT) AS _n",
+        )
+        .selectExpr(id_col, "_words", "explode(sequence(0, _n - 1)) AS span_idx")
+        .selectExpr(
+            id_col,
+            "span_idx",
+            f"array_join(slice(_words, span_idx * {span_words} + 1, "
+            f"{span_words}), ' ') AS span",
+        )
     )
 
 
@@ -90,25 +89,20 @@ def span_dedup(
     # content-address by md5 so the dedup shuffle key is fixed-width
     # even for long spans; the window inside a hash group orders the
     # (typically 1-3) occurrences of one exact span
-    w = W.partitionBy(F.md5("span")).orderBy(id_col, "span_idx")
-    flagged = spans.withColumn("kept", F.row_number().over(w) == 1)
-
-    def _is_kept(s: Column) -> Column:
-        return s["kept"]
+    flagged = spans.selectExpr(
+        "*",
+        "(row_number() OVER (PARTITION BY md5(span) "
+        f"ORDER BY {id_col}, span_idx) = 1) AS kept",
+    )
 
     return flagged.groupBy(id_col).agg(
-        F.count("*").alias("n_spans"),
-        F.sum(F.col("kept").cast("int")).alias("kept_spans"),
-        F.array_join(
-            F.transform(
-                F.filter(
-                    F.sort_array(F.collect_list(F.struct("span_idx", "kept", "span"))),
-                    _is_kept,
-                ),
-                lambda s: s["span"],
-            ),
-            " ",
-        ).alias("clean_text"),
+        F.expr("count(*) AS n_spans"),
+        F.expr("sum(CAST(kept AS INT)) AS kept_spans"),
+        F.expr(
+            "array_join(transform(filter("
+            "sort_array(collect_list(struct(span_idx, kept, span))), "
+            "s -> s.kept), s -> s.span), ' ') AS clean_text"
+        ),
     )
 
 

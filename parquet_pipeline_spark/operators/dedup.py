@@ -222,6 +222,7 @@ def minhash_sig_table(
     ngram: int = 3,
     grams_col: str | None = None,
     hash_fn: str = "xxhash64",
+    as_array: bool = False,
 ) -> DataFrame:
     """Per-document minhash signature as ``num_hashes`` LONG COLUMNS
     (``_h0.._h{n-1}``), one row per id — the explode + codegen'd
@@ -230,7 +231,20 @@ def minhash_sig_table(
     that docstring for the r10 measurement). Kept as columns rather
     than an array so downstream per-position comparisons (the
     signature-similarity prefilter) stay whole-stage-codegen'd
-    integer expressions instead of interpreted HOF lambdas."""
+    integer expressions instead of interpreted HOF lambdas.
+
+    ``as_array=True`` returns the signature as ONE array<long>
+    column ``sig`` instead (element i = the ``_h{i}`` value): callers
+    that only band the signature (``banded_minhash`` with no
+    prefilter, i.e. the d03 path) never touch the per-position
+    columns, and the array form builds the whole aggregation in a
+    SINGLE SQL parse instead of ``num_hashes`` F.expr parses —
+    ~64 py4j round-trips (~4 ms each) of pure plan-construction
+    latency removed per query build (r16 round 2; the
+    seed_hash_sql rationale below). Catalyst extracts the same
+    ``num_hashes`` min-aggregates from the array constructor, so the
+    physical aggregation (partial min per seed before the exchange)
+    is unchanged — only the result expression differs."""
     if grams_col is None:
         df = _ensure_parallelism(df)
         grams = char_ngrams(text_col, ngram)
@@ -259,6 +273,11 @@ def minhash_sig_table(
             e = f"xxhash64(_g, {i})"
         return f"min(CASE WHEN _g IS NOT NULL THEN {e} END)"
 
+    if as_array:
+        sig_sql = (
+            "array(" + ",".join(seed_hash_sql(i) for i in range(num_hashes)) + ")"
+        )
+        return exploded.groupBy(id_col).agg(F.expr(sig_sql).alias("sig"))
     return exploded.groupBy(id_col).agg(
         *[
             F.expr(seed_hash_sql(i)).alias(f"_h{i}")
@@ -311,10 +330,21 @@ def banded_minhash(
     compute them once, persist, and share.
     """
     rows_per_band = num_hashes // bands
-    per_doc = (
-        sigs
-        if sigs is not None
-        else minhash_sig_table(
+    if sigs is not None:
+        # caller shares a columns-form signature table (the prefilter
+        # path needs per-position columns): band from those columns
+        base = sigs.select(
+            F.col(id_col),
+            F.expr(
+                "array(" + ",".join(f"_h{i}" for i in range(num_hashes)) + ")"
+            ).alias("sig"),
+        )
+    else:
+        # no downstream column consumer: build the signature directly
+        # as ONE array aggregate — a single SQL parse for the whole
+        # 32-seed aggregation instead of 32 F.expr parses + the array
+        # rebuild (r16 round 2; see minhash_sig_table.as_array).
+        base = minhash_sig_table(
             df,
             id_col=id_col,
             text_col=text_col,
@@ -322,16 +352,8 @@ def banded_minhash(
             ngram=ngram,
             grams_col=grams_col,
             hash_fn=hash_fn,
+            as_array=True,
         )
-    )
-    # One SQL-parsed expression for the array/band construction
-    # instead of ~50 Column-API py4j round-trips (~4 ms each on the
-    # bench box) — identical expressions, pure plan-build-time win
-    # (the minhash_sig_table rationale; equality pinned by the
-    # exceptAll tests in tests/test_dedup.py).
-    sig = F.expr(
-        "array(" + ",".join(f"_h{i}" for i in range(num_hashes)) + ")"
-    )
     sl = f"slice(sig, b * {rows_per_band} + 1, {rows_per_band})"
     if hash_fn == "md5":
         # hash the comma-joined decimal rendering — reproducible
@@ -347,10 +369,8 @@ def banded_minhash(
         f"transform(sequence(0, {bands - 1}), "
         f"b -> named_struct('band_id', b, 'band_hash', {bh}))"
     )
-    return (
-        per_doc.select(F.col(id_col), sig.alias("sig"))
-        .select(id_col, F.explode(band_structs).alias("band"))
-        .select(id_col, "band.band_id", "band.band_hash")
+    return base.select(id_col, F.explode(band_structs).alias("band")).select(
+        id_col, "band.band_id", "band.band_hash"
     )
 
 
@@ -429,9 +449,12 @@ def lsh_candidate_pairs(
     # recompute the whole minhash pipeline for both sides.) The
     # row_number cap below bounds what collect_set holds per task;
     # its window partitions on the same key the groupBy shuffles on.
-    w_bucket = W.partitionBy("band_id", "band_hash").orderBy(id_col)
-    # _min_id rides the same window (running first == partition min
-    # under this ordering) — one WindowExec computes both columns.
+    # _min_id rides the same window as the rank (running first ==
+    # partition min under this ordering) — one WindowExec computes
+    # both columns. Both window expressions ride ONE selectExpr call
+    # (two SQL parses server-side) instead of the Window-spec +
+    # row_number/first/over Column-API chain (~15 py4j round-trips;
+    # r16 round 2, the minhash_sig_table rationale).
     #
     # PERSISTED (r16 optimization, guide §2.4): the head and overflow
     # branches were meant to share one exchange via ReuseExchange,
@@ -447,31 +470,30 @@ def lsh_candidate_pairs(
     # _min_id) ≈ 40 B × bands per doc — far smaller than the text
     # being re-shingled; MEMORY_AND_DISK so oversized corpora spill
     # instead of failing (the grams-projection convention).
-    ranked = (
-        banded.withColumn("_rn", F.row_number().over(w_bucket))
-        .withColumn("_min_id", F.first(id_col).over(w_bucket))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    over = f"OVER (PARTITION BY band_id, band_hash ORDER BY {id_col})"
+    ranked = banded.selectExpr(
+        "*",
+        f"row_number() {over} AS _rn",
+        f"first({id_col}) {over} AS _min_id",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     buckets = (
-        ranked.filter(F.col("_rn") <= bucket_cap)
+        ranked.where(f"_rn <= {int(bucket_cap)}")
         .groupBy("band_id", "band_hash")
-        .agg(F.collect_set(id_col).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .agg(F.expr(f"collect_set({id_col}) AS ids"))
+        .where("size(ids) > 1")
     )
     # one SQL parse instead of ~15 Column-API py4j round-trips
-    # (identical expression; the minhash_sig_table rationale)
-    pairs_in_bucket = F.expr(
-        "filter(flatten(transform(ids, a -> transform(ids, "
+    # (identical expression; the minhash_sig_table rationale).
+    # inline() = explode + struct-field projection in one generator.
+    head_pairs = buckets.selectExpr(
+        "inline(filter(flatten(transform(ids, a -> transform(ids, "
         "b -> named_struct('id_a', a, 'id_b', b)))), "
-        "p -> p.id_a < p.id_b)"
-    )
-    head_pairs = buckets.select(F.explode(pairs_in_bucket).alias("p")).select(
-        "p.id_a", "p.id_b"
+        "p -> p.id_a < p.id_b))"
     )
     # Overflow rows (_rn > cap): one direct pair to the bucket's min
     # id each. id_a < id_b holds by construction (the min sorts first).
-    overflow_pairs = ranked.filter(F.col("_rn") > bucket_cap).select(
-        F.col("_min_id").alias("id_a"), F.col(id_col).alias("id_b")
+    overflow_pairs = ranked.where(f"_rn > {int(bucket_cap)}").selectExpr(
+        "_min_id AS id_a", f"{id_col} AS id_b"
     )
     return head_pairs.unionByName(overflow_pairs).distinct()
 
@@ -515,11 +537,17 @@ def minhash_near_dups(
     from pyspark import StorageLevel
 
     df = _ensure_parallelism(df)
-    grams = df.select(
-        F.col(id_col),
-        F.transform(char_ngrams(text_col, ngram), lambda g: F.xxhash64(g)).alias(
-            "gs"
-        ),
+    # one SQL parse for the shingle+hash projection instead of the
+    # char_ngrams/transform Column-API chain (~15 py4j round-trips;
+    # r16 round 2) — parses to the same expressions char_ngrams
+    # builds (substring/greatest/sequence/array_distinct), pinned by
+    # the twin-path equality tests in tests/test_dedup.py
+    grams = df.selectExpr(
+        id_col,
+        f"transform(array_distinct(transform("
+        f"sequence(1, greatest(length({text_col}) - {ngram - 1}, 1)), "
+        f"i -> substring({text_col}, i, {ngram}))), "
+        f"g -> xxhash64(g)) AS gs",
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = None
     if sig_prefilter is not None:
@@ -581,15 +609,26 @@ def minhash_near_dups(
             .filter(matches >= F.lit(int(math.ceil(sig_prefilter * num_hashes))))
             .select("id_a", "id_b")
         )
-    ga = grams.select(F.col(id_col).alias("id_a"), F.col("gs").alias("gs_a"))
-    gb = grams.select(F.col(id_col).alias("id_b"), F.col("gs").alias("gs_b"))
+    # string-form verify tail (r16 round 2: ~290 of d03's py4j round
+    # trips lived here; these parse to the identical jaccard
+    # expressions — the same shared-subtree shape, since a repeated
+    # Column object and repeated SQL text both canonicalize to the
+    # same expression — pinned by test_jaccard_* + the d07/d14 oracle
+    # rows that flow through this code)
+    ga = grams.selectExpr(f"{id_col} AS id_a", "gs AS gs_a")
+    gb = grams.selectExpr(f"{id_col} AS id_b", "gs AS gs_b")
+    inter = "CAST(size(array_intersect(gs_a, gs_b)) AS DOUBLE)"
+    union = f"(CAST(size(gs_a) AS DOUBLE) + CAST(size(gs_b) AS DOUBLE) - {inter})"
+    jac_sql = (
+        f"CASE WHEN {union} > 0 THEN {inter} / {union} ELSE 0.0D END"
+    )
     verified = (
         cands.join(ga, "id_a")
         .join(gb, "id_b")
-        .withColumn("jac", jaccard(F.col("gs_a"), F.col("gs_b")))
-        .filter(F.col("jac") >= threshold)
+        .selectExpr("id_a", "id_b", f"({jac_sql}) AS jac")
+        .where(f"jac >= CAST({float(threshold)!r} AS DOUBLE)")
     )
-    return verified.select("id_a", "id_b", F.round("jac", 6).alias("jac"))
+    return verified.selectExpr("id_a", "id_b", "round(jac, 6) AS jac")
 
 
 @register("d03_minhash_lsh_neardup")  # rows-only: xxhash64-based, not SQL-portable

@@ -100,20 +100,23 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # string-form plan build (r16 round 2): 365 → ~90 py4j round
+    # trips (tools/py4j_count.py); identical expressions, pinned by
+    # the q01 oracle row. Pin query — bases re-derived this round.
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc_price = "l_extendedprice * (1 - l_discount)"
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        li.where("l_shipdate <= TIMESTAMP '1998-09-02'")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.expr("round(sum(l_quantity), 2) AS sum_qty"),
+            F.expr("round(sum(l_extendedprice), 2) AS sum_base_price"),
+            F.expr(f"round(sum({disc_price}), 2) AS sum_disc_price"),
+            F.expr(f"round(sum({disc_price} * (1 + l_tax)), 2) AS sum_charge"),
+            F.expr("round(avg(l_quantity), 2) AS avg_qty"),
+            F.expr("round(avg(l_extendedprice), 2) AS avg_price"),
+            F.expr("round(avg(l_discount), 4) AS avg_disc"),
+            F.expr("count(1) AS count_order"),
         )
     )
 
@@ -131,10 +134,16 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 0.05D: a DOUBLE literal exactly like F.lit(0.05) (bare 0.05
+    # lexes as DECIMAL in SQL — same folded value, but D keeps the
+    # pushed-filter literal byte-identical to the Column form)
     return (
         _t(spark, sf_dir, "lineitem")
-        .filter((F.col("l_quantity") > 45) & (F.col("l_discount") < 0.05))
-        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+        .where("l_quantity > 45 AND l_discount < 0.05D")
+        .selectExpr(
+            "l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_discount",
+        )
     )
 
 
@@ -239,13 +248,13 @@ def q05_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q06_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "orders")
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(10)
-        .select(
+        .selectExpr(
             "o_orderkey",
             "o_custkey",
-            F.round("o_totalprice", 2).alias("o_totalprice"),
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "round(o_totalprice, 2) AS o_totalprice",
+            "date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate",
         )
     )
 
@@ -300,32 +309,41 @@ def q07_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q08_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select(
+    # string-form plan build (r16 round 2): 308 → ~90 py4j round
+    # trips; identical expressions, pinned by the q08 oracle row.
+    # Pin query — bases re-derived this round.
+    li = _t(spark, sf_dir, "lineitem").selectExpr(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
-    orders = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
-    ).select("o_orderkey", "o_custkey")
-    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where("o_orderdate >= TIMESTAMP '1997-01-01'")
+        .selectExpr("o_orderkey", "o_custkey")
+    )
+    cust = _t(spark, sf_dir, "customer").selectExpr("c_custkey", "c_nationkey")
     # nation/region are fixed-size dims (25 / 5 rows at EVERY scale
     # factor) — always broadcast; the fact-fact joins shuffle.
     nation = F.broadcast(
-        _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+        _t(spark, sf_dir, "nation").selectExpr(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
     )
     region = F.broadcast(
-        _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+        _t(spark, sf_dir, "region").where("r_name = 'ASIA'").selectExpr(
+            "r_regionkey"
+        )
     )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(nation, cust.c_nationkey == nation.n_nationkey)
-        .join(region, nation.n_regionkey == region.r_regionkey)
+        li.join(orders, F.expr("l_orderkey = o_orderkey"))
+        .join(cust, F.expr("o_custkey = c_custkey"))
+        .join(nation, F.expr("c_nationkey = n_nationkey"))
+        .join(region, F.expr("n_regionkey = r_regionkey"))
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
+            F.expr(
+                "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue"
+            ),
+            F.expr("count(1) AS n_items"),
         )
     )
 
@@ -345,22 +363,24 @@ def q08_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q09_join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select(
+    li = _t(spark, sf_dir, "lineitem").selectExpr(
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
     )
-    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 15).select(
-        "p_partkey", "p_brand"
+    part = (
+        _t(spark, sf_dir, "part")
+        .where("p_size <= 15")
+        .selectExpr("p_partkey", "p_brand")
     )
     # part is ~0.13% the rows of lineitem and shrinks further after
     # the p_size filter — broadcast avoids shuffling the fact table.
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(F.broadcast(part), F.expr("l_partkey = p_partkey"))
         .groupBy("p_brand")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
-            F.round(F.avg("l_quantity"), 3).alias("avg_qty"),
+            F.expr(
+                "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue"
+            ),
+            F.expr("round(avg(l_quantity), 3) AS avg_qty"),
         )
     )
 
@@ -662,18 +682,19 @@ def q18_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q19_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    w = W.partitionBy("c_mktsegment").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
+    cust = _t(spark, sf_dir, "customer").selectExpr("c_custkey", "c_mktsegment")
     return (
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select(
+        orders.join(cust, F.expr("o_custkey = c_custkey"))
+        .selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY c_mktsegment "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS rn",
+        )
+        .where("rn <= 3")
+        .selectExpr(
             "c_mktsegment",
             "o_orderkey",
-            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "round(o_totalprice, 2) AS o_totalprice",
             "rn",
         )
     )
@@ -818,15 +839,15 @@ def q23_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q24_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir).withColumn(
-        # try_cast: wrong-typed k ('{"k": "str"}') must yield NULL,
-        # not an ANSI cast error aborting the job
-        "k", F.get_json_object("props", "$.k").try_cast("bigint")
+    # try_cast: wrong-typed k ('{"k": "str"}') must yield NULL,
+    # not an ANSI cast error aborting the job
+    ev = _events(spark, sf_dir).selectExpr(
+        "*", "try_cast(get_json_object(props, '$.k') AS BIGINT) AS k"
     )
     return ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.avg("k"), 3).alias("avg_k"),
-        F.sum("k").alias("sum_k"),
+        F.expr("count(1) AS n_events"),
+        F.expr("round(avg(k), 3) AS avg_k"),
+        F.expr("sum(k) AS sum_k"),
     )
 
 
@@ -849,13 +870,13 @@ def q24_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q25_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        ev.groupBy(F.expr("window(ts, '1 hour')").alias("w"), "event_type")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 3).alias("total_value"),
+            F.expr("count(1) AS n_events"),
+            F.expr("round(sum(value), 3) AS total_value"),
         )
-        .select(
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        .selectExpr(
+            "date_format(w.start, 'yyyy-MM-dd HH:mm:ss') AS window_start",
             "event_type",
             "n_events",
             "total_value",
@@ -1082,32 +1103,34 @@ def q32_vs_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q33_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # string-form plan build (r16 round 2): 325 → ~90 py4j round
+    # trips; identical expressions, pinned by the q33 oracle row
     cust = (
         _t(spark, sf_dir, "customer")
-        .filter(F.col("c_mktsegment") == "BUILDING")
-        .select("c_custkey")
+        .where("c_mktsegment = 'BUILDING'")
+        .selectExpr("c_custkey")
     )
-    orders = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    orders = _t(spark, sf_dir, "orders").where(
+        "o_orderdate < TIMESTAMP '1998-03-15'"
     )
-    li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    li = _t(spark, sf_dir, "lineitem").where(
+        "l_shipdate > TIMESTAMP '1998-03-15'"
     )
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
+        cust.join(orders, F.expr("c_custkey = o_custkey"))
+        .join(li, F.expr("o_orderkey = l_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.expr(
+                "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue"
+            )
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
-        .select(
+        .selectExpr(
             "l_orderkey",
             "revenue",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate",
             "o_orderpriority",
         )
     )

@@ -146,18 +146,25 @@ def sessionize(
     NULL timestamp are excluded by contract — they have no position
     in time (and Spark's NULLS-FIRST vs SQL's NULLS-LAST window
     ordering would otherwise diverge)."""
-    events = events.filter(F.col(ts_col).isNotNull())
-    w = W.partitionBy(entity_col).orderBy(ts_col, order_tiebreak)
+    # string-form build (r16 round 2): the Window-spec Column chain
+    # cost ~180 py4j round-trips per build; identical expressions,
+    # pinned by the x02/x04 oracle rows + the sessionize tests.
+    #
     # unix_timestamp: epoch seconds for TIMESTAMP, and (crucially)
     # UTC-interpreted wall-clock seconds for TIMESTAMP_NTZ — i.e.
     # independent of the session timezone for both types (a plain
     # cast-to-long is illegal on NTZ)
-    secs = F.unix_timestamp(F.col(ts_col))
-    gap = secs - F.lag(secs).over(w)
-    new_session = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
-    return events.withColumn(
-        "session_id",
-        F.sum(new_session).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)) - 1,
+    events = events.where(f"{ts_col} IS NOT NULL")
+    order = f"PARTITION BY {entity_col} ORDER BY {ts_col}, {order_tiebreak}"
+    secs = f"unix_timestamp({ts_col})"
+    gap = f"({secs} - lag({secs}) OVER ({order}))"
+    new_session = (
+        f"CASE WHEN {gap} IS NULL OR {gap} > {gap_seconds} THEN 1 ELSE 0 END"
+    )
+    return events.selectExpr(
+        "*",
+        f"(sum({new_session}) OVER ({order} ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND CURRENT ROW) - 1) AS session_id",
     )
 
 
@@ -281,9 +288,9 @@ def x02_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     sessions = sessionize(ev, "user_id", "ts", "event_id", gap_seconds=1800)
     return sessions.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.expr("count(1) AS n_events"),
+        F.expr("date_format(min(ts), 'yyyy-MM-dd HH:mm:ss') AS session_start"),
+        F.expr("date_format(max(ts), 'yyyy-MM-dd HH:mm:ss') AS session_end"),
     )
 
 
@@ -424,50 +431,35 @@ def interval_overlap_join(
     the typical interval length. Exact overlap is re-checked after
     the bucket match, and pairs spanning several shared buckets are
     deduped by the final ``distinct`` on the id pair."""
-    b = (
-        iv.select(
-            F.col(key_col).alias("_k"),
-            F.col(id_col).alias("_id"),
-            F.col(start_col).alias("_s"),
-            F.col(end_col).alias("_e"),
-        )
-        # Degenerate intervals (end <= start) are empty under
-        # half-open semantics and can overlap nothing — and their
-        # last-bucket expression (end - 1µs) would precede the first
-        # bucket, making F.sequence(start, stop, +step) throw with
-        # start > stop. Filter them out before the explode.
-        .filter(F.col("_s") < F.col("_e"))
-        # half-open interval: the bucket containing (end - 1µs) is the
-        # last one the interval truly touches
-        .withColumn(
-            "_bkt",
-            F.explode(
-                F.sequence(
-                    F.window(F.col("_s"), bucket)["start"],
-                    F.window(
-                        F.col("_e") - F.expr("INTERVAL 1 MICROSECOND"), bucket
-                    )["start"],
-                    F.expr(f"INTERVAL {bucket}"),
-                )
-            ),
-        )
+    # Built as selectExpr/where strings — the expressions are the
+    # same ones the Column-API form parsed to (r16 round 2:
+    # tools/py4j_count.py measured this builder at 845 py4j round
+    # trips, the suite's worst; strings parse server-side in a
+    # handful of calls). Semantics pinned by the half-open-boundary
+    # and degenerate-interval tests + the x06 oracle row.
+    #
+    # Degenerate intervals (end <= start) are empty under half-open
+    # semantics and can overlap nothing — and their last-bucket
+    # expression (end - 1µs) would precede the first bucket, making
+    # sequence(start, stop, +step) throw with start > stop. Filter
+    # them out before the explode. Half-open interval: the bucket
+    # containing (end - 1µs) is the last one the interval truly
+    # touches.
+    b = iv.where(f"{start_col} < {end_col}").selectExpr(
+        f"{key_col} AS _k",
+        f"{id_col} AS _id",
+        f"{start_col} AS _s",
+        f"{end_col} AS _e",
+        f"explode(sequence(window({start_col}, '{bucket}').start, "
+        f"window({end_col} - INTERVAL 1 MICROSECOND, '{bucket}').start, "
+        f"INTERVAL {bucket})) AS _bkt",
     )
-    a = b.select(
-        F.col("_k"), F.col("_bkt"),
-        F.col("_id").alias("id_a"), F.col("_s").alias("_s_a"), F.col("_e").alias("_e_a"),
-    )
-    c = b.select(
-        F.col("_k"), F.col("_bkt"),
-        F.col("_id").alias("id_b"), F.col("_s").alias("_s_b"), F.col("_e").alias("_e_b"),
-    )
+    a = b.selectExpr("_k", "_bkt", "_id AS id_a", "_s AS _s_a", "_e AS _e_a")
+    c = b.selectExpr("_k", "_bkt", "_id AS id_b", "_s AS _s_b", "_e AS _e_b")
     return (
         a.join(c, ["_k", "_bkt"])
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.col("_s_a") < F.col("_e_b"))
-            & (F.col("_s_b") < F.col("_e_a"))
-        )
-        .select(F.col("_k").alias(key_col), "id_a", "id_b")
+        .where("id_a < id_b AND _s_a < _e_b AND _s_b < _e_a")
+        .selectExpr(f"_k AS {key_col}", "id_a", "id_b")
         .distinct()
     )
 

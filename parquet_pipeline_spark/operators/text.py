@@ -130,15 +130,15 @@ def t02_chunk_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk per ``source`` (per-file granularity, like the reference's
     per-file ingestion) so the window shuffles on the partition key
     instead of funnelling the whole table through one task."""
-    docs = _docs(spark, sf_dir).select("source", "doc_id", "n_chars")
+    docs = _docs(spark, sf_dir).selectExpr("source", "doc_id", "n_chars")
     chunked = assign_chunks(
         docs, "doc_id", F.col("n_chars"), max_chars=2000, partition_col="source"
     )
     return chunked.groupBy("source", "chunk_id").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum("n_chars").alias("total_chars"),
-        F.min("doc_id").alias("first_doc"),
-        F.max("doc_id").alias("last_doc"),
+        F.expr("count(1) AS n_rows"),
+        F.expr("sum(n_chars) AS total_chars"),
+        F.expr("min(doc_id) AS first_doc"),
+        F.expr("max(doc_id) AS last_doc"),
     )
 
 
@@ -262,14 +262,26 @@ def quality_features(text_col: str) -> dict[str, Column]:
     """,
 )
 def t04_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # string-form twin of quality_features (r16 round 2: 433 → ~25
+    # py4j round-trips per build; tools/py4j_count.py). The snippets
+    # parse to the same expressions word_tokens/quality_features
+    # build — pinned by the t04 oracle row, which hash-checks every
+    # column against the DuckDB recomputation.
     docs = _docs(spark, sf_dir)
-    feats = quality_features("text")
-    return docs.select(
+    toks = r"filter(split(trim(text), '\\s+'), w -> w != '')"
+    nw = f"size({toks})"
+    nu = f"size(array_distinct({toks}))"
+    ur = (
+        f"CASE WHEN {nw} > 0 THEN CAST({nu} AS DOUBLE) / CAST({nw} AS DOUBLE) "
+        "ELSE 0.0D END"
+    )
+    return docs.selectExpr(
         "doc_id",
-        feats["n_words"].alias("n_words"),
-        feats["n_uniq_words"].alias("n_uniq_words"),
-        F.round(feats["uniq_ratio"], 6).alias("uniq_ratio"),
-        F.round(feats["quality"], 6).alias("quality"),
+        f"{nw} AS n_words",
+        f"{nu} AS n_uniq_words",
+        f"round({ur}, 6) AS uniq_ratio",
+        f"round(0.5D * least(CAST({nw} AS DOUBLE) / 50.0D, 1.0D) "
+        f"+ 0.5D * ({ur}), 6) AS quality",
     )
 
 
@@ -289,14 +301,19 @@ def t04_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t05_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # string-form build (r16 round 2: 183 → ~30 py4j round-trips);
+    # same expressions, pinned by the t05 oracle row. Pin query —
+    # bases re-derived this round.
     docs = _docs(spark, sf_dir)
-    n_ws = F.size(word_tokens("text"))
-    bpe = F.ceil(F.length("text") / 4.0)
+    n_ws = r"size(filter(split(trim(text), '\\s+'), w -> w != ''))"
     return docs.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(n_ws).cast("bigint").alias("ws_tokens"),
-        F.sum(bpe).cast("bigint").alias("approx_bpe_tokens"),
-        F.round(F.avg(n_ws), 4).alias("avg_ws_tokens"),
+        F.expr("count(1) AS n_docs"),
+        F.expr(f"CAST(sum({n_ws}) AS BIGINT) AS ws_tokens"),
+        F.expr(
+            "CAST(sum(ceil(length(text) / 4.0D)) AS BIGINT) "
+            "AS approx_bpe_tokens"
+        ),
+        F.expr(f"round(avg({n_ws}), 4) AS avg_ws_tokens"),
     )
 
 

@@ -107,14 +107,35 @@ def scored(df: DataFrame, query_vec: list[float], out: str = "score") -> DataFra
     # components (nan/inf from a dirty embedding) have no SQL
     # literal — fall back to the per-element form for those rare
     # queries rather than mis-parse.
-    if all(math.isfinite(float(v)) for v in query_vec):
-        q = F.expr(
+    if math.isfinite(qnorm) and all(math.isfinite(float(v)) for v in query_vec):
+        # the whole score expression rides the same single parse as
+        # the array literal (r16 round 2: the dot/l2_norm HOF chain
+        # built ~60 more py4j round-trips per query; this string
+        # parses to the identical zip_with/aggregate expressions —
+        # pinned by the v01/v02/v05 oracle rows)
+        qarr = (
             "array("
             + ",".join(f"CAST({float(v)!r} AS DOUBLE)" for v in query_vec)
             + ")"
         )
-    else:
-        q = F.array(*[F.lit(float(v)) for v in query_vec])
+        prod = (
+            f"zip_with(embedding, {qarr}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))"
+        )
+        sq = (
+            "zip_with(embedding, embedding, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))"
+        )
+        fold = "(acc, x) -> acc + x"
+        return df.withColumn(
+            out,
+            F.expr(
+                f"try_divide(aggregate({prod}, 0.0D, {fold}), "
+                f"sqrt(aggregate({sq}, 0.0D, {fold})) "
+                f"* CAST({float(qnorm)!r} AS DOUBLE))"
+            ),
+        )
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
     return df.withColumn(
         out,
         F.try_divide(
@@ -129,9 +150,7 @@ def _nonzero_vec(col: str = "embedding"):
     INPUT keeps the guard out of the score expression — a filter on
     `score IS NOT NULL` gets pushed into the scan with the whole dot
     product duplicated inside it (measured 1.8× on v01/v02 at sf5)."""
-    return F.col(col).isNotNull() & F.exists(
-        F.col(col), lambda x: x != F.lit(0.0)
-    )
+    return F.expr(f"{col} IS NOT NULL AND exists({col}, x -> x != 0.0D)")
 
 
 def topk(df: DataFrame, query_vec: list[float], k: int = 10) -> DataFrame:
