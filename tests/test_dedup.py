@@ -564,3 +564,32 @@ def test_simhash_table_matches_column_form(spark):
     old = df.select("doc_id", simhash("text", 32).alias("s"))
     new = simhash_table(df, "doc_id", "text", 32, out_col="s")
     assert old.exceptAll(new).count() == 0 and new.exceptAll(old).count() == 0
+
+
+def test_minhash_sig_array_matches_columns_form(spark):
+    """r16 round 2: minhash_sig_table(as_array=True) builds the whole
+    32-seed aggregation as ONE SQL-parsed array expression (a plan-
+    construction optimization); it must stay byte-identical to the
+    columns form assembled into an array, for both hash_fns and for
+    degenerate docs (NULL/empty text -> all-NULL signature)."""
+    from parquet_pipeline_spark.operators.dedup import minhash_sig_table
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "ab"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+        (5, "the quick brown fox jumps over the lazy cat"),
+        (6, "ünïcode tökens and more"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for hash_fn in ("xxhash64", "md5"):
+        cols = minhash_sig_table(df, "doc_id", "text", 16, hash_fn=hash_fn)
+        old = cols.selectExpr(
+            "doc_id", "array(" + ",".join(f"_h{i}" for i in range(16)) + ") AS sig"
+        )
+        new = minhash_sig_table(
+            df, "doc_id", "text", 16, hash_fn=hash_fn, as_array=True
+        )
+        assert old.exceptAll(new).count() == 0, hash_fn
+        assert new.exceptAll(old).count() == 0, hash_fn

@@ -150,3 +150,28 @@ def test_quarantine_split_partitions_exactly(spark, sf_dir):
         3: "in_set:flag",
         4: "in_set:flag,range:price",
     }
+
+
+def test_bloom_prejoin_builds_bitmap_in_plan(spark):
+    """r16 round 2: bloom_prejoin assembles its bitmap as an
+    uncorrelated scalar subquery inside the probe plan (the
+    SPARK-32268 runtime-filter shape) instead of a driver-side
+    collect() job. Pin the shape: the probe plan hosts subqueries
+    (so no collect can run during plan construction) and the probe
+    predicate still references the getbit arithmetic."""
+    from parquet_pipeline_spark.functions.bloom import bloom_prejoin
+
+    fact = spark.range(0, 1000).selectExpr("id AS fk", "id % 7 AS payload")
+    dim = spark.range(0, 100).selectExpr("(id * 3) AS dk")
+    joined = bloom_prejoin(fact, dim, "fk", "dk")
+    plan = joined._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Subquery" in plan, "bitmap subquery missing from probe plan"
+    assert "getbit" in plan, "bloom probe predicate missing"
+    # result identity with the plain join (the operator's contract)
+    plain = fact.join(dim, fact.fk == dim.dk)
+    assert joined.exceptAll(plain).count() == 0
+    assert plain.exceptAll(joined).count() == 0
