@@ -74,6 +74,7 @@ def test_gate_refuses_backslash_smuggles(sql):
 
 
 @pytest.mark.parametrize("conf", ["false", "true"])
+@pytest.mark.slow
 def test_gate_and_parser_agree_under_both_conf_values(spark, conf):
     """Under BOTH values of escapedStringLiterals: every gate-passed
     statement that Spark can parse returns its mutation text as DATA

@@ -64,6 +64,7 @@ def _write_short_docs(spark, tmp_path) -> str:
     return str(tmp_path)
 
 
+@pytest.mark.slow
 def test_t22_lm_score_survives_short_docs(spark, tmp_path):
     """A <=1-token doc must contribute zero bigrams, not crash with
     INVALID_ARRAY_INDEX_IN_ELEMENT_AT (descending sequence under
@@ -84,6 +85,7 @@ def test_t08_bigrams_no_phantom_unigram(spark, tmp_path):
     assert _normalize(got) == _normalize(want)
 
 
+@pytest.mark.slow
 def test_bloom_prejoin_rejects_outer_joins(spark):
     from parquet_pipeline_spark.functions.bloom import bloom_prejoin
 
@@ -121,6 +123,7 @@ def test_extract_raw_frames_short_payload(spark):
         assert all(len(b) == 12 for b in out["frame_bytes"])
 
 
+@pytest.mark.slow
 def test_exact_knn_join_tie_break_across_batches(spark):
     """Candidates tied at the k-th score must be kept by (score
     desc, vec_id asc) even when the tie straddles a per-batch

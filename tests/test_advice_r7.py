@@ -19,6 +19,7 @@ import pytest
 from tests.test_sources import _make_xlsx
 
 
+@pytest.mark.slow
 def test_streaming_incremental_dedup_replay_after_index_append(
     spark, sf_dir, tmp_path
 ):

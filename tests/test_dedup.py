@@ -1,3 +1,5 @@
+import pytest
+
 from pyspark.sql import functions as F
 
 from parquet_pipeline_spark.functions import char_ngrams, jaccard
@@ -199,6 +201,7 @@ def test_stratified_sample_deterministic_and_proportional(spark, sf_dir):
     assert small_ids == {i for i in ids1 if i < 100}
 
 
+@pytest.mark.slow
 def test_lsh_hot_bucket_cap(spark):
     """A mega-bucket (many shingle-identical docs) must not explode
     into O(n^2) candidates: capped at bucket_cap members, candidates

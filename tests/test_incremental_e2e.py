@@ -8,6 +8,8 @@ index; write_ivf_index built in one shot)."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 import time
@@ -20,6 +22,7 @@ def _n_files(root):
     return total
 
 
+@pytest.mark.slow
 def test_incremental_corpus_loop_matches_batch_twins(spark, sf_dir, tmp_path):
     from pyspark.sql import functions as F
 

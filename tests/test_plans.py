@@ -8,6 +8,8 @@ deterministic and independent of AQE's runtime choices.
 """
 from __future__ import annotations
 
+import pytest
+
 from datetime import datetime
 
 from pyspark.sql import functions as F
@@ -210,6 +212,7 @@ def test_tpch_extra_plan_shapes(spark, sf_dir):
     assert "GreaterThanOrEqual(l_shipdate" in p, p
 
 
+@pytest.mark.slow
 def test_no_unbounded_nested_loops_anywhere(spark, sf_dir):
     """Global guard over EVERY registry query: no CartesianProduct,
     and BroadcastNestedLoopJoin only where the broadcast side is

@@ -1,6 +1,8 @@
 """Property-based tests (hypothesis) for the pure-python kernels and
 the trickiest distributed invariants on randomized small inputs."""
 
+import pytest
+
 import datetime as dt
 
 from hypothesis import given, settings, strategies as st
@@ -94,6 +96,7 @@ def test_greedy_chunk_properties(texts):
         unique_by=lambda t: t[0],
     ),
 )
+@pytest.mark.slow
 def test_asof_join_matches_naive(probe_secs, quotes_raw):
     from parquet_pipeline_spark.session import get_spark
     from parquet_pipeline_spark.operators.temporal import asof_join
@@ -118,6 +121,7 @@ def test_asof_join_matches_naive(probe_secs, quotes_raw):
     assert got == expected
 
 
+@pytest.mark.slow
 def test_fuzz_differential_vs_duckdb(spark):
     """30 randomized filter+aggregate queries must agree with DuckDB
     (numeric tolerance). Seeded — deterministic in CI."""

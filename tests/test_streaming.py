@@ -1,5 +1,7 @@
 import json
 
+import pytest
+
 from parquet_pipeline_spark.streaming import (
     read_event_stream,
     stream_to_parquet,
@@ -261,6 +263,7 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert rows.get("2024-01-01 00:00:00") == 2, rows
 
 
+@pytest.mark.slow
 def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
     """Stream-stream click→purchase attribution join equals the same
     join run in batch over identical data."""
@@ -930,6 +933,7 @@ def test_streaming_ivf_pq_append_grows_index_and_refuses_drift(spark, sf_dir, tm
     assert spark.read.parquet(idx).count() == n0 + 1  # no drifted codes landed
 
 
+@pytest.mark.slow
 def test_streaming_knn_probe_matches_batch(spark, sf_dir, tmp_path):
     """Query vectors streamed in two micro-batches through the
     persisted IVF-ADC index produce exactly the rows one batched
@@ -1033,6 +1037,7 @@ def test_streaming_knn_probe_matches_batch(spark, sf_dir, tmp_path):
     assert all(vid % 2 == 0 for _q, vid, _s in got_f)
 
 
+@pytest.mark.slow
 def test_streaming_incremental_dedup_flags_idempotent_per_batch(spark, sf_dir, tmp_path):
     """The flags sink partitions by _batch_id with dynamic overwrite:
     re-running a batch (fresh checkpoint, same files) rewrites its

@@ -30,6 +30,11 @@ from pyspark.sql import functions as F
 
 from parquet_pipeline_spark.streaming.events import read_event_stream
 
+# whole-module fuzz battery: ~380 s of randomized stream≡batch
+# equivalence loops — the single biggest block past the driver's
+# verify window (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 BASE = datetime(2024, 1, 1, 0, 0, 0)
 
 

@@ -1008,6 +1008,7 @@ def test_pq_topk_corrupt_codes_are_cell_level(spark):
 
 
 @pytest.mark.parametrize("seed", [7, 103])
+@pytest.mark.slow
 def test_ivf_pq_replayed_append_cannot_corrupt_probes(spark, tmp_path, seed):
     """The at-least-once replay contract the docstrings promise
     (VERDICT r12 item 2): appending the SAME batch twice — the state a
