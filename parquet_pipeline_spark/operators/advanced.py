@@ -368,35 +368,40 @@ def q66_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         "(l_shipdate > o_orderdate + INTERVAL 60 DAYS) AS is_late",
     )
-    # ONE aggregation keyed by l_orderkey (r16, guide §2.4): the old
-    # two-level form — groupBy(l_orderkey, l_suppkey) then
-    # groupBy(l_orderkey) — paid TWO exchanges whenever the upstream
-    # join doesn't deliver l_orderkey partitioning (at bench scale the
-    # orders join is a broadcast, so the pair agg shuffled on
-    # (l_orderkey, l_suppkey) and the order agg re-shuffled on
-    # l_orderkey; plans/r16/q66_* before/after: 3 Exchange → 2).
-    # collect_list ships the same bytes the pair rows did (~10 B of
-    # (suppkey, is_late) per lineitem row vs ~24 B per mostly-unique
-    # pair), the per-order arrays are order-size-bounded (TPC-H ≤ 7
-    # lineitems/order — no collect blow-up), and the distinct/late
-    # supplier counts fold out of the array with order-insensitive
-    # HOF expressions, so collect_list's nondeterministic ordering
-    # cannot reach the result. When the join IS l_orderkey-partitioned
-    # (the 100-TB sort-merge plan) this aggregation still reuses that
-    # partitioning exactly as the two-level form did.
-    per_order = flagged.groupBy("l_orderkey").agg(
-        F.expr("collect_list(struct(l_suppkey, is_late)) AS _rows")
-    ).selectExpr(
-        "l_orderkey",
-        "size(array_distinct(transform(_rows, r -> r.l_suppkey))) AS n_supp",
-        "size(array_distinct(transform(filter(_rows, r -> r.is_late), "
-        "r -> r.l_suppkey))) AS n_late_supp",
-        "array_max(transform(filter(_rows, r -> r.is_late), r -> r.l_suppkey)) "
-        "AS l_suppkey",
-        "CAST(size(filter(_rows, r -> r.is_late)) AS BIGINT) AS n_late_rows",
+    # Two-level codegen aggregation behind ONE explicit l_orderkey
+    # repartition (r17, VERDICT r16 item 1; guide §2.4). History: the
+    # r15 form paid two agg exchanges in the broadcast-join regime
+    # (pair agg hashed on (l_orderkey, l_suppkey), order agg re-hashed
+    # on l_orderkey); r16 replaced it with one collect_list(struct)
+    # aggregation — fewer exchanges, but it compiles to
+    # ObjectHashAggregate, which has no whole-stage codegen and falls
+    # back to sort-based aggregation past 128 in-memory keys
+    # (spark.sql.objectHashAggregate.sortBased.fallbackThreshold) —
+    # and the driver measured it 0.60× (PERF_r16). This form keeps the
+    # single shuffle AND the codegen HashAggregates:
+    # HashPartitioning(l_orderkey) satisfies ClusteredDistribution for
+    # BOTH aggregations (subset rule), so the pair agg and the order
+    # agg run exchange-free behind the one repartition. AQE sizes the
+    # repartition (no pinned partition count), and in the 100 TB
+    # sort-merge regime the optimizer ELIDES it outright — the SMJ
+    # output is already l_orderkey-partitioned; B/C plans verified
+    # byte-identical under autoBroadcastJoinThreshold=-1.
+    # Interleaved A/B/C (tools/q66_ab.py; identity collect-checked):
+    # sf0.1 medians A(collect_list) 0.868 / B(r15) 0.797 / C(this)
+    # 0.716; sf5 A 13.92 / B 12.70 / C 8.84.
+    per_os = (
+        flagged.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.expr("sum(CASE WHEN is_late THEN 1 ELSE 0 END) AS late_rows"))
+    )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.expr("count(1) AS n_supp"),
+        F.expr("sum(CAST(late_rows > 0 AS INT)) AS n_late_supp"),
+        F.expr("max(CASE WHEN late_rows > 0 THEN l_suppkey END) AS l_suppkey"),
+        F.expr("sum(late_rows) AS n_late_rows"),
     )
     qual = per_order.where("n_supp >= 2 AND n_late_supp = 1").selectExpr(
-        "l_suppkey", "n_late_rows"
+        "l_suppkey", "CAST(n_late_rows AS BIGINT) AS n_late_rows"
     )
     supp = _t(spark, sf_dir, "supplier").selectExpr("s_suppkey", "s_name")
     return (

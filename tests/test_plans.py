@@ -169,6 +169,23 @@ def test_q80_min_cost_supplier_plan_shape(spark, sf_dir):
     assert "LessThan(l_partkey,500)" in phys, phys
     assert phys.count("Location: InMemoryFileIndex") >= 2  # both lineitem sides scan
 
+def test_q66_single_shuffle_codegen_aggregation(spark, sf_dir):
+    """q66 guard (r17, VERDICT r16 item 1): the qualification
+    aggregation must be the codegen two-level HashAggregate behind
+    ONE l_orderkey repartition — never ObjectHashAggregate (whose
+    128-key sort fallback bites at scale; the r16 collect_list form
+    measured 0.60× on the driver box), and never a second agg
+    exchange (HashPartitioning(l_orderkey) satisfies both levels)."""
+    from parquet_pipeline_spark.operators.advanced import q66_waiting_supplier
+
+    df = q66_waiting_supplier(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "ObjectHashAggregate" not in phys, phys
+    # data exchanges: the l_orderkey repartition + the s_name agg only
+    n_data_ex = phys.count("Exchange hashpartitioning")
+    assert n_data_ex == 2, phys
+
+
 def test_tpch_extra_plan_shapes(spark, sf_dir):
     """q81-q91 guards: the EXISTS shapes decorrelate to semi joins
     (never a correlated re-scan), scan-level predicates (date
