@@ -38,6 +38,30 @@ from parquet_pipeline_spark import tables
 from parquet_pipeline_spark.registry import register
 
 
+# text→hashed-gram-array blowup of the verify join's build side
+# against the optimizer's (compressed-file-based) scan estimate:
+# ~8 B of gram-long per text char × ~2-4× parquet-zstd compression
+# ⇒ 16× is the conservative low end (minhash_near_dups docstring)
+_GRAM_EXPANSION = 16
+
+
+def _broadcast_threshold_bytes(spark: SparkSession) -> int:
+    """The session's autoBroadcastJoinThreshold in bytes; -1
+    (auto-broadcast disabled) means NOTHING broadcasts, so any
+    positive estimate should prune."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).lower()
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if raw.rstrip("b").endswith(suffix):
+            raw = raw.rstrip("b")[: -len(suffix)]
+            mult = m
+            break
+    val = int(raw) * mult
+    return 0 if val < 0 else val
+
+
 def _nonzero_vec(vec_col: str) -> Column:
     """Zero-norm guard for the semantic-dedup paths (zero vectors
     have no direction): exists() short-circuits at the first nonzero
@@ -508,9 +532,34 @@ def minhash_near_dups(
     ngram: int = 3,
     bucket_cap: int = 64,
     sig_prefilter: float | None = None,
+    verify_prune: bool | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dedup: candidates from banded LSH, then an
     exact Jaccard verify on just the candidate pairs.
+
+    ``verify_prune`` (r17, VERDICT r16 item 4 — guide §3.2): prune
+    each grams side of the verify join to the ids that actually
+    appear in candidates (left-semi against the persisted candidate
+    pairs) BEFORE the join. At corpus scale the verify join's big
+    side is the corpus-wide gram-array projection; once it exceeds
+    the broadcast threshold AQE picks a sort-merge join and the gram
+    arrays shuffle twice — the semi prune cuts that shuffle to the
+    candidate-touched fraction (ids are 16 B/pair; candidate counts
+    are bucket_cap-bounded). Below the broadcast regime the prune is
+    pure overhead (one extra persist + two broadcast semi joins:
+    measured 1.14→1.44 s median at the sf0.1 bench slice, while the
+    25k-doc sf5 slice measured 20.7→17.8 s median in its favor), so
+    ``None`` auto-decides from the driver-side optimizer estimate:
+    prune iff est_input_bytes × _GRAM_EXPANSION exceeds the session's
+    autoBroadcastJoinThreshold (the exact condition under which the
+    un-pruned join stops broadcasting). _GRAM_EXPANSION models the
+    text→hashed-gram-array blowup against the (compressed) scan
+    estimate: ~8 B/char of distinct-gram longs × ~2-4× parquet-zstd
+    text compression ⇒ 16× as the conservative low end. Purely a
+    join-strategy lever: the inner verify join applies the same id
+    equality afterwards, so the output is row-identical either way
+    (pinned by the oracle rows of d07/d14 that flow through here and
+    the d03 byte-identity A/B in tools/d03_ab.py).
 
     The shingle arrays are computed ONCE into a persisted
     (id, grams) projection shared by candidate generation and both
@@ -536,6 +585,13 @@ def minhash_near_dups(
     as pairwise-independent from a long as from a string."""
     from pyspark import StorageLevel
 
+    if verify_prune is None:
+        est = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        verify_prune = est * _GRAM_EXPANSION > _broadcast_threshold_bytes(
+            df.sparkSession
+        )
     df = _ensure_parallelism(df)
     # one SQL parse for the shingle+hash projection instead of the
     # char_ngrams/transform Column-API chain (~15 py4j round-trips;
@@ -615,8 +671,21 @@ def minhash_near_dups(
     # Column object and repeated SQL text both canonicalize to the
     # same expression — pinned by test_jaccard_* + the d07/d14 oracle
     # rows that flow through this code)
-    ga = grams.selectExpr(f"{id_col} AS id_a", "gs AS gs_a")
-    gb = grams.selectExpr(f"{id_col} AS id_b", "gs AS gs_b")
+    if verify_prune:
+        # persist the pair set so the two semi probes below don't
+        # re-run the candidate pipeline (bounded: 16 B/pair, pair
+        # count bucket_cap-bounded)
+        cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
+        ga = grams.join(
+            cands.selectExpr(f"id_a AS {id_col}"), id_col, "left_semi"
+        )
+        gb = grams.join(
+            cands.selectExpr(f"id_b AS {id_col}"), id_col, "left_semi"
+        )
+    else:
+        ga = gb = grams
+    ga = ga.selectExpr(f"{id_col} AS id_a", "gs AS gs_a")
+    gb = gb.selectExpr(f"{id_col} AS id_b", "gs AS gs_b")
     inter = "CAST(size(array_intersect(gs_a, gs_b)) AS DOUBLE)"
     union = f"(CAST(size(gs_a) AS DOUBLE) + CAST(size(gs_b) AS DOUBLE) - {inter})"
     jac_sql = (
