@@ -85,24 +85,68 @@ def span_dedup(
     Returns (id, n_spans, kept_spans, clean_text). Documents whose
     spans were ALL removed stay in the output with clean_text = ''.
     """
+    # Proxy-shuffle form (r17, VERDICT r16 item 7 — guide §8 "decide
+    # with small rows, move big rows once"): the old form exploded
+    # spans and shuffled the SPAN TEXT twice (md5-partitioned window,
+    # then the groupBy(id) reassembly collect_list). Every decision
+    # here depends only on (id, span_idx, md5(span)) — fixed-width
+    # proxy rows — so the decision pass shuffles those, aggregates the
+    # few DROPPED indexes per document (planted near-dups make ~4% of
+    # spans repeats; most docs drop nothing), and re-attaches them to
+    # the original document rows with a left join whose small side is
+    # the dropped table (AQE broadcasts it; even if it outgrows the
+    # broadcast threshold, the doc-id SMJ ships the text ONCE vs the
+    # old form's twice). The rewrite re-derives the spans from the
+    # document row with the exact explode_spans slicing expressions,
+    # so the output is row-identical (pinned by the t18 SQL oracle,
+    # the span_dedup property tests, and an exact 250k-row A/B at sf5:
+    # tools/t18_ab.py — sf5 medians 1.392→1.166, sf0.1 a wash).
+    # Precondition (unchanged from the old form's groupBy semantics):
+    # ``id_col`` is a key — one row per document.
+    n = int(span_words)
     spans = explode_spans(df, text_col, id_col, span_words)
     # content-address by md5 so the dedup shuffle key is fixed-width
     # even for long spans; the window inside a hash group orders the
-    # (typically 1-3) occurrences of one exact span
-    flagged = spans.selectExpr(
-        "*",
-        "(row_number() OVER (PARTITION BY md5(span) "
-        f"ORDER BY {id_col}, span_idx) = 1) AS kept",
+    # (typically 1-3) occurrences of one exact span. Only the proxy
+    # columns enter the exchange — the span text itself is folded to
+    # its md5 before the shuffle.
+    dropped = (
+        spans.selectExpr(
+            id_col,
+            "span_idx",
+            "md5(span) AS _h",
+        )
+        .selectExpr(
+            id_col,
+            "span_idx",
+            f"(row_number() OVER (PARTITION BY _h "
+            f"ORDER BY {id_col}, span_idx) = 1) AS kept",
+        )
+        .where("NOT kept")
+        .groupBy(id_col)
+        .agg(F.expr("collect_list(span_idx) AS _dropped"))
     )
-
-    return flagged.groupBy(id_col).agg(
-        F.expr("count(*) AS n_spans"),
-        F.expr("sum(CAST(kept AS INT)) AS kept_spans"),
-        F.expr(
-            "array_join(transform(filter("
-            "sort_array(collect_list(struct(span_idx, kept, span))), "
-            "s -> s.kept), s -> s.span), ' ') AS clean_text"
-        ),
+    docs = (
+        df.selectExpr(id_col, f"split({text_col}, ' ') AS _words")
+        .selectExpr(
+            id_col,
+            "_words",
+            f"CAST(ceil(size(_words) / {n}) AS INT) AS _n",
+        )
+        # explode_spans' sequence(0, _n-1) yields no rows for NULL
+        # text, so those documents never reached the old groupBy
+        # either — the filter keeps the two forms row-identical
+        .where("_n IS NOT NULL")
+    )
+    return docs.join(dropped, id_col, "left").selectExpr(
+        id_col,
+        "CAST(_n AS BIGINT) AS n_spans",
+        "CAST(_n - coalesce(size(_dropped), 0) AS BIGINT) AS kept_spans",
+        "array_join(transform("
+        "  filter(sequence(0, _n - 1), "
+        "         i -> _dropped IS NULL OR NOT array_contains(_dropped, i)), "
+        f" i -> array_join(slice(_words, i * {n} + 1, {n}), ' ')), ' ') "
+        "AS clean_text",
     )
 
 
