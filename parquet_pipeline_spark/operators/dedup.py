@@ -1507,6 +1507,7 @@ def incremental_near_dups(
     ngram: int = 3,
     hash_fn: str = "xxhash64",
     broadcast_new: bool = True,
+    new_banded: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, dup_of, is_dup) for every row of ``new_docs``:
     ``dup_of`` is the LOWEST corpus id sharing at least one LSH band
@@ -1534,16 +1535,26 @@ def incremental_near_dups(
     (d01-style content hash handles them in one shuffle) and feed
     this operator real text; tests/test_null_inputs.py pins the
     small-scale behavior.
+
+    ``new_banded``: optionally the precomputed ``banded_minhash``
+    projection of ``new_docs`` (SAME parameters) — callers that also
+    persist the batch's fingerprints (the streaming index append)
+    compute them once and share, instead of this function
+    re-deriving them (r17: halves the per-trigger fingerprint work;
+    identical rows either way since it is the same function of the
+    same input, pinned by the d10/d11/s01/s02/s04 gate rows).
     """
-    new_banded = banded_minhash(
-        new_docs,
-        id_col=id_col,
-        text_col=text_col,
-        num_hashes=num_hashes,
-        bands=bands,
-        ngram=ngram,
-        hash_fn=hash_fn,
-    ).withColumnRenamed(id_col, "_new_id")
+    if new_banded is None:
+        new_banded = banded_minhash(
+            new_docs,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            ngram=ngram,
+            hash_fn=hash_fn,
+        )
+    new_banded = new_banded.withColumnRenamed(id_col, "_new_id")
     new_side = F.broadcast(new_banded) if broadcast_new else new_banded
     hits = (
         index.join(new_side, ["band_id", "band_hash"])

@@ -690,7 +690,14 @@ def streaming_incremental_dedup(
         # them before the checkpoint committed)
         batch_ids = batch_df.select(id_col).distinct()
         index = index.join(F.broadcast(batch_ids), id_col, "left_anti")
-        flags = incremental_near_dups(batch_df, index, **kw)
+        # one fingerprint computation per trigger (r17): the flag join
+        # and the index append consume the SAME banded_minhash
+        # projection — persisted (bands×20 B/doc, batch-bounded) so
+        # the second action reuses instead of re-deriving it
+        fp = banded_minhash(batch_df, **kw)
+        if update_index:
+            fp = fp.persist()
+        flags = incremental_near_dups(batch_df, index, new_banded=fp, **kw)
         (
             flags.withColumn("_batch_id", F.lit(batch_id))
             .write.mode("overwrite")
@@ -702,10 +709,11 @@ def streaming_incremental_dedup(
             # the append must MATCH the index's on-disk layout: mixing
             # root files into a band_id-partitioned tree makes parquet
             # partition discovery drop one side silently
-            w = banded_minhash(batch_df, **kw).write.mode("append")
+            w = fp.write.mode("append")
             if index_partitioned:
                 w = w.partitionBy("band_id")
             w.parquet(index_path)
+            fp.unpersist()
 
     writer = doc_stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint
